@@ -1,0 +1,11 @@
+"""pyxu-tpu: a TPU-native computational-imaging / inverse-problem framework.
+
+Built from scratch with the capabilities of the reference framework Pyxu
+(AdriaJ/pyxu): a property-typed operator algebra, a matrix-free linear-operator
+toolbox, and jit-compiled first-order proximal solvers — designed for JAX/XLA
+on TPU (Pallas kernels for hot paths, `jax.sharding` meshes for scale-out).
+"""
+
+__version__ = "0.1.0"
+
+from pyxu_tpu import info  # noqa: F401  (sets matmul precision policy)

@@ -1,0 +1,18 @@
+from pyxu_tpu.utils.complex import (  # noqa: F401
+    complex_dtype,
+    real_dtype,
+    view_as_complex,
+    view_as_real,
+)
+from pyxu_tpu.utils.misc import (  # noqa: F401
+    as_canonical_shape,
+    broadcast_shapes_leading,
+    next_fast_len,
+    peaks,
+    star_like_sample,
+)
+from pyxu_tpu.utils.vectorize import (  # noqa: F401
+    batched_over,
+    flatten_batch,
+    unflatten_batch,
+)
