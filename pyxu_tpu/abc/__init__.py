@@ -21,3 +21,4 @@ from pyxu_tpu.abc.operator import (  # noqa: F401
     infer_operator_class,
 )
 from pyxu_tpu.abc import arithmetic  # noqa: F401
+from pyxu_tpu.abc.solver import Mode, Solver, StoppingCriterion  # noqa: F401

@@ -1,0 +1,305 @@
+"""Iterative-solver engine.
+
+Reference: src/pyxu/abc/solver.py:26-719 (``Solver``, ``Mode``,
+``StoppingCriterion`` protocol, ASYNC worker thread, history, writeback).
+
+TPU re-design (SURVEY §3.2): the reference pays Python dispatch per iteration
+(`_step` loop, abc/solver.py:588-663) and a device->host sync at every
+stop-check.  Here ``fit`` compiles *segments* of the iteration as one
+``lax.while_loop`` whose body is ``stop_rate`` x ``m_step`` plus an on-device
+stop-criterion evaluation and an on-device history write; the host is touched
+once per segment (for logging / writeback / wall-clock criteria).  With the
+default single segment, an entire solve is one XLA computation.
+
+Subclass contract (same shape as the reference's):
+
+* ``m_init(**kwargs) -> mstate``  — a dict pytree of jnp arrays;
+* ``m_step(mstate) -> mstate``    — pure, jit-traceable;
+* ``default_stop_crit()``         — per-solver default;
+* ``objective_func(mstate)``      — optional, for ``track_objective``.
+
+Modes (reference: abc/solver.py:26-34):
+
+* ``Mode.BLOCK``  — run to completion, return;
+* ``Mode.MANUAL`` — ``steps()`` generator of mstates (one jitted step each);
+* ``Mode.ASYNC``  — background thread running BLOCK segments; ``busy()`` /
+  ``stop()`` / ``solution()``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import enum
+import logging
+import pathlib
+import tempfile
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyxu_tpu.opt.stop import MaxDuration, MaxIter, StoppingCriterion
+
+__all__ = ["Mode", "Solver", "StoppingCriterion"]
+
+
+class Mode(enum.Enum):
+    BLOCK = enum.auto()
+    MANUAL = enum.auto()
+    ASYNC = enum.auto()
+
+
+class Solver:
+    """Iterative solver skeleton (reference: abc/solver.py:119-719)."""
+
+    def __init__(self, *, log_var=("x",), verbosity: int = None,
+                 show_progress: bool = False, folder=None, exist_ok: bool = False,
+                 stop_rate: int = 1, writeback_rate: int = None):
+        self._log_var = tuple(log_var)
+        self._verbosity = verbosity
+        self._show_progress = bool(show_progress)
+        self._stop_rate = int(stop_rate)
+        self._writeback_rate = writeback_rate
+        self._folder = folder
+        self._exist_ok = exist_ok
+        self._mstate: dict = {}
+        self._history = None
+        self._astate = {
+            "active": None, "worker": None, "mode": None, "logger": None,
+            "stop_crit": None, "wb_dir": None,
+        }
+
+    # ------------------------------------------------------------ subclass --
+    def m_init(self, **kwargs) -> dict:
+        raise NotImplementedError
+
+    def m_step(self, mstate: dict) -> dict:
+        raise NotImplementedError
+
+    def default_stop_crit(self) -> StoppingCriterion:
+        from pyxu_tpu.opt.stop import RelError
+        return RelError(eps=1e-4, var="x")
+
+    def objective_func(self, mstate: dict):
+        raise NotImplementedError
+
+    # ----------------------------------------------------------------- fit --
+    def fit(self, *, mode: Mode = Mode.BLOCK, stop_crit: StoppingCriterion = None,
+            max_iter: int = 10_000, segment_size: int = None,
+            track_objective: bool = False, **m_init_kwargs):
+        """Solve.  ``max_iter`` is a hard cap (it sizes the device-resident
+        history buffer); ``segment_size`` = iterations per host round-trip
+        (default: writeback/verbosity cadence, else the whole solve).
+        """
+        self._astate["mode"] = mode
+        self._fit_init(stop_crit, max_iter, segment_size, track_objective)
+        self._mstate = self.m_init(**m_init_kwargs)
+        if mode is Mode.BLOCK:
+            self._fit_run()
+            return self
+        if mode is Mode.MANUAL:
+            return self.steps()
+        if mode is Mode.ASYNC:
+            w = threading.Thread(target=self._fit_run, daemon=True)
+            self._astate["worker"] = w
+            self._astate["active"] = threading.Event()
+            self._astate["active"].set()
+            w.start()
+            return self
+        raise ValueError(mode)
+
+    def _fit_init(self, stop_crit, max_iter, segment_size, track_objective):
+        stop = stop_crit if stop_crit is not None else self.default_stop_crit()
+        self._astate["stop_crit"] = stop
+        self._max_iter = int(max_iter)
+        self._track_objective = bool(track_objective)
+        cadence = [s for s in (self._writeback_rate, self._verbosity) if s]
+        self._segment = int(segment_size or (min(cadence) if cadence else self._max_iter))
+        logger = logging.getLogger(f"pyxu_tpu.{type(self).__name__}.{id(self):x}")
+        logger.setLevel(logging.DEBUG)
+        if self._folder is not None:
+            wb = pathlib.Path(self._folder).expanduser().resolve()
+            wb.mkdir(parents=True, exist_ok=self._exist_ok)
+        elif self._writeback_rate is not None:
+            wb = pathlib.Path(tempfile.mkdtemp(prefix="pyxu_tpu_"))
+        else:
+            wb = None
+        self._astate["wb_dir"] = wb
+        if wb is not None and not logger.handlers:
+            fh = logging.FileHandler(wb / "solver.log")
+            fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+            logger.addHandler(fh)
+        if self._show_progress and not any(
+            isinstance(h, logging.StreamHandler) for h in logger.handlers
+        ):
+            logger.addHandler(logging.StreamHandler())
+        self._astate["logger"] = logger
+
+    # ------------------------------------------------------- jitted segment --
+    def _build_segment(self, cstate0):
+        stop = self._astate["stop_crit"]
+        stop_rate = self._stop_rate
+        track = self._track_objective
+
+        def check(mstate, cstate, k):
+            cstate, stop_now, metrics = stop.update(cstate, mstate, k)
+            metrics = {"iteration": jnp.asarray(k, jnp.int32), **metrics}
+            if track:
+                obj = jnp.asarray(self.objective_func(mstate))
+                metrics["objective"] = (
+                    obj if obj.ndim == 0 else jnp.max(obj)
+                ).astype(jnp.float32)
+            return cstate, stop_now, metrics
+
+        # metric structure (shapes/dtypes) without running anything:
+        _, _, metric_shapes = jax.eval_shape(check, self._mstate, cstate0, jnp.asarray(0))
+        self._metric_keys = tuple(metric_shapes.keys())
+        n_rec = self._max_iter // stop_rate + 2
+
+        def make_hist():
+            return {
+                name: jnp.zeros((n_rec,), dtype=sd.dtype)
+                for name, sd in metric_shapes.items()
+            }
+
+        def seg_fn(mstate, cstate, k, stopped, hist, hist_n, k_end):
+            def cond(carry):
+                mstate, cstate, k, stopped, hist, hist_n = carry
+                return jnp.logical_and(jnp.logical_not(stopped), k < k_end)
+
+            def body(carry):
+                mstate, cstate, k, stopped, hist, hist_n = carry
+                mstate = jax.lax.fori_loop(0, stop_rate, lambda i, s: self.m_step(s), mstate)
+                k = k + stop_rate
+                cstate, stop_now, metrics = check(mstate, cstate, k)
+                hist = {
+                    name: hist[name].at[hist_n].set(metrics[name])
+                    for name in hist
+                }
+                return (mstate, cstate, k, stop_now, hist, hist_n + 1)
+
+            return jax.lax.while_loop(cond, body, (mstate, cstate, k, stopped, hist, hist_n))
+
+        return jax.jit(seg_fn), make_hist
+
+    def _fit_run(self):
+        stop = self._astate["stop_crit"]
+        logger = self._astate["logger"]
+        stop.host_init()
+        cstate = stop.init_state(self._mstate)
+        seg_fn, make_hist = self._build_segment(cstate)
+        hist = make_hist()
+        mstate, k, stopped, hist_n = self._mstate, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)
+        while True:
+            k_end = min(int(k) + self._segment, self._max_iter)
+            mstate, cstate, k, stopped, hist, hist_n = seg_fn(
+                mstate, cstate, k, stopped, hist, hist_n, jnp.asarray(k_end)
+            )
+            # --- host round-trip: one sync per segment ---
+            k_host = int(k)
+            stopped_host = bool(stopped)
+            if logger is not None and (self._verbosity or self._show_progress):
+                idx = max(int(hist_n) - 1, 0)
+                msg = ", ".join(
+                    f"{name}={float(jax.device_get(hist[name][idx])):.4e}"
+                    for name in self._metric_keys if name != "iteration"
+                )
+                logger.info("[%d] %s", k_host, msg)
+            if self._writeback_rate is not None:
+                self._mstate = mstate
+                self.writeback()
+            host_stop = stop.host_check()
+            if stopped_host or host_stop or k_host >= self._max_iter:
+                break
+            if self._astate["active"] is not None and not self._astate["active"].is_set():
+                break
+        self._mstate = mstate
+        self._history = self._assemble_history(hist, int(hist_n))
+        if self._astate["wb_dir"] is not None:
+            self.writeback()
+
+    def _assemble_history(self, hist, n):
+        names = list(self._metric_keys)
+        arrays = {name: np.asarray(jax.device_get(hist[name][:n])) for name in names}
+        dtypes = [(name, arrays[name].dtype) for name in names]
+        out = np.empty(n, dtype=dtypes)
+        for name in names:
+            out[name] = arrays[name]
+        return out
+
+    # -------------------------------------------------------- MANUAL mode --
+    def steps(self, n: int = None):
+        """Generator of mstates, one (jitted) iteration at a time
+        (reference: abc/solver.py:330-360)."""
+        stop = self._astate["stop_crit"]
+        stop.host_init()
+        cstate = stop.init_state(self._mstate)
+
+        @jax.jit
+        def one(mstate, cstate, k):
+            mstate = self.m_step(mstate)
+            cstate, stop_now, metrics = stop.update(cstate, mstate, k + 1)
+            return mstate, cstate, stop_now, metrics
+
+        k = 0
+        records = []
+        while (n is None or k < n) and k < self._max_iter:
+            self._mstate, cstate, stop_now, metrics = one(self._mstate, cstate, jnp.asarray(k))
+            k += 1
+            records.append({m: np.asarray(jax.device_get(v)) for m, v in
+                            {"iteration": jnp.asarray(k), **metrics}.items()})
+            yield self._mstate
+            if bool(stop_now) or stop.host_check():
+                break
+        self._history = _records_to_struct(records)
+
+    # --------------------------------------------------------- ASYNC mode --
+    def busy(self) -> bool:
+        w = self._astate["worker"]
+        return w is not None and w.is_alive()
+
+    def stop(self):
+        """Politely interrupt an ASYNC fit at the next segment boundary
+        (reference: abc/solver.py:361-388)."""
+        if self._astate["active"] is not None:
+            self._astate["active"].clear()
+        w = self._astate["worker"]
+        if w is not None:
+            w.join()
+
+    # ------------------------------------------------------------- results --
+    def solution(self):
+        return self._mstate.get("x")
+
+    def stats(self):
+        """(mstate dict, history structured array) — reference abc/solver.py:389-412."""
+        return self._mstate, self._history
+
+    def writeback(self):
+        """Checkpoint log-variables + history to ``data.npz``
+        (reference: abc/solver.py:562-570)."""
+        wb = self._astate["wb_dir"]
+        if wb is None:
+            return
+        data = {f"mstate_{kk}": np.asarray(jax.device_get(vv))
+                for kk, vv in self._mstate.items() if kk in self._log_var or not self._log_var}
+        if self._history is not None:
+            data["history"] = self._history
+        np.savez(wb / "data.npz", **data)
+
+    @property
+    def workdir(self):
+        return self._astate["wb_dir"]
+
+
+def _records_to_struct(records):
+    if not records:
+        return None
+    names = list(records[0].keys())
+    dtypes = [(n, np.asarray(records[0][n]).dtype) for n in names]
+    out = np.empty(len(records), dtype=dtypes)
+    for i, r in enumerate(records):
+        for n in names:
+            out[i][n] = r[n]
+    return out

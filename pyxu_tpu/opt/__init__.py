@@ -1,0 +1,1 @@
+from pyxu_tpu.opt import stop  # noqa: F401
