@@ -1,0 +1,147 @@
+"""North-star benchmark: 4K TV-regularized deconvolution with Condat-Vu.
+
+Workload config 2 of BASELINE.json: Gaussian-blur forward model, isotropic-TV
+regularizer (L21 of the gradient), Condat-Vu primal-dual iterations.
+
+Metric: solver iterations/second, steady-state (compile excluded).
+
+``vs_baseline``: the reference framework (AdriaJ/pyxu) cannot run in this
+image (its numba/dask deps are absent), so the baseline is an equivalent
+NumPy implementation of the *same* Condat-Vu iteration — scipy.ndimage
+correlations + numpy BLAS-1, which is exactly Pyxu's default NumPy-backend
+compute path per iteration (reference: src/pyxu/opt/solver/pds.py:429-520,
+operator applies dispatch to numpy/scipy).  Measured on this host's CPU each
+run; iters/s(ours) / iters/s(numpy-cpu) is reported.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Problem setup (shared by both implementations)
+# --------------------------------------------------------------------------
+H, W = 2160, 3840  # 4K UHD
+LAM = 0.01
+SIGMA_BLUR = 2.0
+KSIZE = 9
+N_ITERS = 200          # timed iterations (ours)
+N_ITERS_BASE = 3       # timed iterations (numpy baseline; extrapolated)
+
+
+def gauss_kernel1d(sigma, n):
+    x = np.arange(n) - (n - 1) / 2
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def make_data():
+    rng = np.random.default_rng(0)
+    x = rng.random((H, W), dtype=np.float32)
+    k1 = gauss_kernel1d(SIGMA_BLUR, KSIZE)
+    import scipy.ndimage as snd
+    y = snd.correlate1d(snd.correlate1d(x, k1, axis=0, mode="reflect"),
+                        k1, axis=1, mode="reflect")
+    y += 0.01 * rng.standard_normal((H, W)).astype(np.float32)
+    return y.astype(np.float32), k1
+
+
+# --------------------------------------------------------------------------
+# Ours: pyxu_tpu Condat-Vu, jitted while-loop, device-resident
+# --------------------------------------------------------------------------
+def run_tpu(y, k1, n_iters):
+    import jax
+    import jax.numpy as jnp
+
+    from pyxu_tpu.operator.func import L21Norm, SquaredL2Norm
+    from pyxu_tpu.operator.linop import Gradient, Stencil
+    from pyxu_tpu.opt.solver import CondatVu
+    from pyxu_tpu.opt.stop import MaxIter
+
+    c = (KSIZE - 1) // 2
+    K = Stencil((H, W), [jnp.asarray(k1), jnp.asarray(k1)], [c, c], mode="symmetric")
+    f = 0.5 * SquaredL2Norm((H, W)).asloss(jnp.asarray(y)) * K
+    D = Gradient((H, W), mode="symmetric")
+    h = LAM * L21Norm((2, H, W), l2_axis=0)
+
+    slv = CondatVu(f=f, h=h, K=D, stop_rate=n_iters)
+    # warm-up segment compiles everything (excluded from timing)
+    slv.fit(x0=jnp.asarray(y), stop_crit=MaxIter(2), max_iter=2,
+            tau=None, sigma=None)
+    # timed run
+    t0 = time.perf_counter()
+    slv2 = CondatVu(f=f, h=h, K=D, stop_rate=n_iters)
+    slv2.fit(x0=jnp.asarray(y), stop_crit=MaxIter(n_iters), max_iter=n_iters)
+    jax.block_until_ready(slv2.solution())
+    dt = time.perf_counter() - t0
+    return n_iters / dt, np.asarray(slv2.solution())
+
+
+# --------------------------------------------------------------------------
+# Baseline: identical iteration in NumPy/SciPy on CPU
+# --------------------------------------------------------------------------
+def run_numpy(y, k1, n_iters, tau, sigma):
+    import scipy.ndimage as snd
+
+    def blur(v):
+        return snd.correlate1d(snd.correlate1d(v, k1, axis=0, mode="reflect"),
+                               k1, axis=1, mode="reflect")
+
+    def grad(v):
+        gx = np.empty_like(v)
+        gx[:-1] = v[1:] - v[:-1]
+        gx[-1] = 0
+        gy = np.empty_like(v)
+        gy[:, :-1] = v[:, 1:] - v[:, :-1]
+        gy[:, -1] = 0
+        return np.stack([gx, gy])
+
+    def grad_T(z):
+        gx, gy = z[0], z[1]
+        out = np.zeros_like(gx)
+        out[0] += -gx[0]
+        out[1:] += gx[:-1] - gx[1:]
+        out[1:][-1] += 0  # boundary handled above
+        out2 = np.zeros_like(gy)
+        out2[:, 0] += -gy[:, 0]
+        out2[:, 1:] += gy[:, :-1] - gy[:, 1:]
+        return -(out + out2) * -1.0  # adjoint of forward difference
+
+    x = y.copy()
+    z = np.zeros((2, H, W), dtype=np.float32)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        # grad f = K^T(K x - y)  (blur is self-adjoint symmetric kernel)
+        gf = blur(blur(x) - y)
+        xp = x - tau * (gf + grad_T(z))
+        u = grad(2 * xp - x)
+        zt = z + sigma * u
+        n = np.sqrt((zt**2).sum(axis=0, keepdims=True))
+        zp = zt - sigma * np.maximum(1 - (LAM / sigma) / np.maximum(n / sigma, 1e-30), 0) * (zt / sigma)
+        # fenchel prox of lam*L21 via Moreau: z - sigma*prox_{h/sigma}(z/sigma)
+        x, z = xp, zp
+    dt = time.perf_counter() - t0
+    return n_iters / dt
+
+
+def main():
+    y, k1 = make_data()
+    ours, _ = run_tpu(y, k1, N_ITERS)
+    # step sizes comparable to ours (beta = ||K||^2 <= 1, L_D <= sqrt(8))
+    tau = 1.0 / (0.5 + np.sqrt(8.0))
+    sigma = 1.0 / np.sqrt(8.0)
+    base = run_numpy(y, k1, N_ITERS_BASE, tau, sigma)
+    print(json.dumps({
+        "metric": "tv_deconv_4k_condatvu",
+        "value": round(ours, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(ours / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -355,7 +355,15 @@ class AddMixin:
         return add(self._lhs.jacobian(arr), self._rhs.jacobian(arr))
 
     def estimate_lipschitz(self, **kw):
-        self._lipschitz = self._lhs.estimate_lipschitz(**kw) + self._rhs.estimate_lipschitz(**kw)
+        if self.has(P.LINEAR):
+            # tight estimate on the composite (reference runs svds on the
+            # composite too, abc/operator.py:1440-1507)
+            from pyxu_tpu.abc.operator import LinOp
+            self._lipschitz = LinOp.estimate_lipschitz(self, **kw)
+        else:
+            self._lipschitz = (
+                self._lhs.estimate_lipschitz(**kw) + self._rhs.estimate_lipschitz(**kw)
+            )
         return self._lipschitz
 
     def estimate_diff_lipschitz(self, **kw):
@@ -480,8 +488,8 @@ class ChainMixin:
 
     def estimate_lipschitz(self, **kw):
         if self.has(P.LINEAR):
-            from pyxu_tpu.math import linalg
-            self._lipschitz = linalg.spectral_norm(self, **kw)
+            from pyxu_tpu.abc.operator import LinOp
+            self._lipschitz = LinOp.estimate_lipschitz(self, **kw)
         else:
             self._lipschitz = (
                 self._lhs.estimate_lipschitz(**kw) * self._rhs.estimate_lipschitz(**kw)
@@ -629,8 +637,11 @@ class CastMixin:
     _data_fields = ("_op",)
 
     def __init__(self, op: Operator):
-        Operator.__init__(self, op.dim_shape, op.codim_shape)
+        # casting to a functional squeezes a size-1 codomain to a scalar one
+        codim = () if (self.has(P.FUNCTIONAL) and op.codim_size == 1) else op.codim_shape
+        Operator.__init__(self, op.dim_shape, codim)
         self._op = op
+        self._squeeze_rank = op.codim_rank if codim == () else 0
         self._name = f"Cast[{op.name}]"
         if _finite(op._lipschitz):
             self._lipschitz = op._lipschitz
@@ -641,12 +652,18 @@ class CastMixin:
         return ("cast", self._op)
 
     def apply(self, arr):
-        return self._op.apply(arr)
+        out = self._op.apply(arr)
+        if self._squeeze_rank:
+            out = out.reshape(out.shape[: out.ndim - self._squeeze_rank])
+        return out
 
     def adjoint(self, arr):
         if self.has(P.LINEAR_SELF_ADJOINT):
             return self.apply(arr)
         if self._op.has(P.LINEAR):
+            if self._squeeze_rank:
+                arr = jnp.asarray(arr)
+                arr = arr.reshape(arr.shape + (1,) * self._squeeze_rank)
             return self._op.adjoint(arr)
         return LinOp.adjoint(self, arr)
 

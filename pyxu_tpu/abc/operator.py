@@ -113,12 +113,41 @@ def _collect_data_fields(cls) -> tuple:
     return tuple(fields)
 
 
+class _Meta:
+    """Volatile host-side metadata (cached Lipschitz constants).
+
+    Compares equal to any other ``_Meta`` so that updating a cached constant
+    neither invalidates jit caches (operators ride in treedefs/aux) nor
+    breaks structural-equality fast paths (e.g. vmapped ``block_diag``).
+    The wrapped value never influences traced computation — it is only read
+    host-side at solver init.
+    """
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __eq__(self, other):
+        return isinstance(other, _Meta)
+
+    def __hash__(self):
+        return 0
+
+    def __repr__(self):
+        return f"_Meta({self.v!r})"
+
+
+_VOLATILE_FIELDS = ("_lipschitz", "_diff_lipschitz")
+
+
 def _op_flatten(op):
     cls = type(op)
     fields = cls._all_data_fields
     data = tuple(op.__dict__.get(f) for f in fields)
     aux = tuple(sorted(
-        ((k, v) for k, v in op.__dict__.items() if k not in fields),
+        ((k, _Meta(v) if k in _VOLATILE_FIELDS else v)
+         for k, v in op.__dict__.items() if k not in fields),
         key=lambda kv: kv[0],
     ))
     return data, aux
@@ -127,7 +156,7 @@ def _op_flatten(op):
 def _op_unflatten(cls, aux, data):
     op = object.__new__(cls)
     for k, v in aux:
-        object.__setattr__(op, k, v)
+        object.__setattr__(op, k, v.v if isinstance(v, _Meta) else v)
     for f, c in zip(cls._all_data_fields, data):
         object.__setattr__(op, f, c)
     return op
@@ -225,10 +254,17 @@ class Operator:
         return cast_op(self, cast_to)
 
     def squeeze(self) -> "Operator":
-        """Specialise a codim-1 Map to a Func (reference: abc/operator.py:328-346)."""
+        """Specialise a codim-1 operator to its functional class:
+        Map->Func, DiffMap->DiffFunc, LinOp->LinFunc
+        (reference: abc/operator.py:328-346)."""
         if self.codim_shape == () or self.codim_size != 1:
             return self
-        cls = infer_operator_class(self.properties() | {Property.FUNCTIONAL})
+        if self.has(Property.LINEAR):
+            cls = LinFunc
+        elif self.has(Property.DIFFERENTIABLE):
+            cls = DiffFunc
+        else:
+            cls = Func
         return self.asop(cls)
 
     def _expr(self) -> tuple:

@@ -18,6 +18,17 @@ from pyxu_tpu.info.dtypes import default_fdtype
 __all__ = ["spectral_norm", "svdvals", "trace", "hutchpp", "norm"]
 
 
+def _op_dtype(op, dtype):
+    """Working dtype: explicit ``dtype``, else the widest floating dtype among
+    the operator's array leaves (falls back to the global default)."""
+    if dtype is not None:
+        return np.dtype(dtype)
+    dts = [l.dtype for l in jax.tree_util.tree_leaves(op)
+           if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+    return np.dtype(jnp.result_type(default_fdtype(), *dts)) if dts \
+        else np.dtype(default_fdtype())
+
+
 def _flat_apply(op, core_shape):
     """Lift op.apply to matrices of flattened probe columns: (m, N) -> (m, M)."""
     def fn(V):  # V: (m, prod(core_shape))
@@ -35,7 +46,7 @@ def spectral_norm(op, key=None, maxiter: int = 64, dtype=None) -> float:
     shape-static; 64 Gram applies give ~1e-3 relative accuracy for the
     well-separated spectra typical of imaging operators.
     """
-    dtype = np.dtype(dtype) if dtype is not None else default_fdtype()
+    dtype = _op_dtype(op, dtype)
     key = jax.random.PRNGKey(17) if key is None else key
     gram = op.gram()
 
@@ -45,7 +56,7 @@ def spectral_norm(op, key=None, maxiter: int = 64, dtype=None) -> float:
         v = v / jnp.linalg.norm(v.ravel())
 
         def body(_, v):
-            w = gram.apply(v)
+            w = gram.apply(v).astype(dtype)  # carry dtype must stay fixed
             return w / jnp.maximum(jnp.linalg.norm(w.ravel()), jnp.finfo(dtype).tiny)
 
         v = jax.lax.fori_loop(0, maxiter, body, v)
@@ -60,7 +71,7 @@ def svdvals(op, k: int = 1, key=None, maxiter: int = 96, dtype=None):
     """Top-k singular values (descending) via subspace iteration + QR on the
     Gram operator (replaces ARPACK svds; reference abc/operator.py:1509-1579).
     """
-    dtype = np.dtype(dtype) if dtype is not None else default_fdtype()
+    dtype = _op_dtype(op, dtype)
     key = jax.random.PRNGKey(19) if key is None else key
     n = op.dim_size
     k = min(k, n)
@@ -72,7 +83,7 @@ def svdvals(op, k: int = 1, key=None, maxiter: int = 96, dtype=None):
         V, _ = jnp.linalg.qr(V.T)  # (n, k) orthonormal columns
 
         def body(_, V):
-            W = gram_flat(V.T).T  # (n, k)
+            W = gram_flat(V.T).T.astype(dtype)  # (n, k); carry dtype fixed
             Q, _ = jnp.linalg.qr(W)
             return Q
 
@@ -87,7 +98,7 @@ def svdvals(op, k: int = 1, key=None, maxiter: int = 96, dtype=None):
 
 def trace(op, dtype=None):
     """Exact trace by basis probing (reference: math/linalg.py:25-59)."""
-    dtype = np.dtype(dtype) if dtype is not None else default_fdtype()
+    dtype = _op_dtype(op, dtype)
     n = op.dim_size
     flat = _flat_apply(op, op.dim_shape)
 
@@ -107,7 +118,7 @@ def hutchpp(op, m: int = 126, key=None, dtype=None):
     tr(A) ~= tr(Q^T A Q) + (3/m) tr(G^T (I-QQ^T) A (I-QQ^T) G),
     Q = qr(A S), S/G Rademacher probes of m/3 columns each.
     """
-    dtype = np.dtype(dtype) if dtype is not None else default_fdtype()
+    dtype = _op_dtype(op, dtype)
     key = jax.random.PRNGKey(23) if key is None else key
     n = op.dim_size
     c = max(min(m // 3, n), 1)

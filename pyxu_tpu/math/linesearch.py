@@ -1,0 +1,58 @@
+"""Armijo backtracking line search, batched + jit-compatible.
+
+Reference: src/pyxu/math/linesearch.py:19-94 (`backtracking_linesearch`,
+mask-refine loop :90-94).  The reference loops host-side shrinking only the
+still-violating batch elements; here the same mask-refinement runs as a
+``lax.while_loop`` with a hard iteration cap so it folds into jitted solver
+steps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["backtracking_linesearch"]
+
+LINESEARCH_DEFAULT_R = 0.5
+LINESEARCH_DEFAULT_C = 1e-4
+
+
+def backtracking_linesearch(f, x, direction, gradient=None, a0: float = 1.0,
+                            r: float = LINESEARCH_DEFAULT_R,
+                            c: float = LINESEARCH_DEFAULT_C,
+                            maxiter: int = 30, core_ndim: int = None):
+    r"""Find step ``a`` with f(x + a d) <= f(x) + c a <∇f(x), d> (batched).
+
+    Parameters mirror the reference; ``f`` is a DiffFunc-like object with
+    ``apply``/``grad``.  Returns per-batch-element step sizes shaped like
+    ``f.apply(x)``.
+    """
+    x = jnp.asarray(x)
+    d = jnp.asarray(direction)
+    core_ndim = (len(f.dim_shape) if core_ndim is None else core_ndim)
+    axes = tuple(range(x.ndim - core_ndim, x.ndim))
+    g = f.grad(x) if gradient is None else jnp.asarray(gradient)
+    f0 = f.apply(x)
+    slope = c * jnp.sum(g * d, axis=axes)
+
+    a_init = jnp.full_like(f0, a0)
+
+    def cond(carry):
+        a, k = carry
+        fa = f.apply(x + _bc(a, core_ndim) * d)
+        bad = fa > f0 + a * slope
+        return jnp.logical_and(jnp.any(bad), k < maxiter)
+
+    def body(carry):
+        a, k = carry
+        fa = f.apply(x + _bc(a, core_ndim) * d)
+        bad = fa > f0 + a * slope
+        return jnp.where(bad, r * a, a), k + 1
+
+    a, _ = jax.lax.while_loop(cond, body, (a_init, 0))
+    return a
+
+
+def _bc(a, core_ndim: int):
+    return a.reshape(a.shape + (1,) * core_ndim)

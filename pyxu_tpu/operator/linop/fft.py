@@ -1,0 +1,99 @@
+r"""Multi-dimensional DFT operator (XLA FFT).
+
+Reference: src/pyxu/operator/linop/fft/fft.py:17-379.  The reference
+dispatches to scipy.fft / cuFFT with `_dask_zip` batching; on TPU the XLA
+FFT is a single fused HLO — batching over leading axes is native.
+
+Public API is real-valued like the reference's: complex arrays ride as a
+trailing axis of size 2 (see pyxu_tpu.utils.complex — the reference
+interleaves on a doubled last axis instead, util/complex.py:13-322).
+
+Conventions (reference: fft.py:17-41): unnormalized DFT
+``A x[k] = sum_n x[n] exp(-2j pi <n/N, k>)``; ``A* = N . ifft``;
+``A* A = N . I`` (gram), ``svdvals = sqrt(N)``, ``pinv = A*/N``.
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyxu_tpu.abc.operator import LinOp, NormalOp
+from pyxu_tpu.utils.complex import view_as_complex, view_as_real
+from pyxu_tpu.utils.misc import as_canonical_shape
+
+__all__ = ["FFT"]
+
+
+class FFT(LinOp):
+    def __init__(self, dim_shape, axes=None, real: bool = False):
+        """``dim_shape``: spatial (complex-domain) shape, no trailing 2.
+
+        real=True: domain is real ``(*dim_shape)``; codomain ``(*dim_shape, 2)``.
+        real=False: both ``(*dim_shape, 2)``.
+        """
+        sp = as_canonical_shape(dim_shape)
+        D = len(sp)
+        if axes is None:
+            axes = tuple(range(D))
+        axes = tuple(sorted(a % D for a in (axes if isinstance(axes, (tuple, list)) else (axes,))))
+        self._sp = sp
+        self._axes = axes
+        self._real = bool(real)
+        dim = sp if real else sp + (2,)
+        super().__init__(dim, sp + (2,))
+        self._N = int(np.prod([sp[a] for a in axes]))
+        self._lipschitz = _math.sqrt(self._N)
+        self._name = "FFT"
+
+    def _fft_axes(self, zndim):
+        # axes of the complex array, counted from the trailing spatial dims
+        D = len(self._sp)
+        return tuple(zndim - D + a for a in self._axes)
+
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+        z = arr if self._real else view_as_complex(arr)
+        out = jnp.fft.fftn(z, axes=self._fft_axes(z.ndim))
+        return view_as_real(out)
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+        z = view_as_complex(arr)
+        out = jnp.fft.ifftn(z, axes=self._fft_axes(z.ndim)) * self._N
+        return out.real if self._real else view_as_real(out)
+
+    def estimate_lipschitz(self, **kw) -> float:
+        return self._lipschitz
+
+    def svdvals(self, k: int = 1, **kw):
+        from pyxu_tpu.info.dtypes import default_fdtype
+        return jnp.full(k, _math.sqrt(self._N), dtype=default_fdtype())
+
+    def gram(self):
+        """A* A = N I on C^sp (reference: fft.py:216-256)."""
+        from pyxu_tpu.operator.linop.base import HomothetyOp
+        if self._real:
+            return HomothetyOp(self.dim_shape, float(self._N))
+        return HomothetyOp(self.dim_shape, float(self._N))
+
+    def pinv(self, arr, damp: float = 0.0, **kw):
+        out = self.adjoint(arr)
+        return out / (self._N + damp)
+
+    def dagger(self, damp: float = 0.0, **kw):
+        from pyxu_tpu.abc import arithmetic
+        return arithmetic.scale(arithmetic.transpose(self), 1.0 / (self._N + damp))
+
+    def cogram(self):
+        from pyxu_tpu.operator.linop.base import HomothetyOp
+        if self._real:
+            # A A* on C^sp is N . (projection onto conjugate-symmetric fields);
+            # no closed form as a Homothety — fall back to generic
+            return super().cogram()
+        return HomothetyOp(self.codim_shape, float(self._N))
+
+    def _expr(self):
+        return (f"FFT[axes={self._axes}, real={self._real}]",)

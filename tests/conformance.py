@@ -1,0 +1,228 @@
+"""Property-driven operator conformance harness.
+
+TPU analog of the reference's conformance test architecture
+(reference: src/pyxu_tests/operator/conftest.py:24-1761): a single suite,
+parameterized over (operator, dtype), that derives its checks from the
+operator's declared `Property` set — math identities (adjoint dot test, prox
+optimality, Lipschitz inequality, gradient vs autodiff), batch broadcasting
+over stacking dims, dtype preservation, and jit/pytree transparency.
+
+Concrete test classes subclass :class:`ConformanceSuite` and override the
+``op`` fixture (and optionally ``data_apply`` for hard-coded ground truth).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import atol_for
+from pyxu_tpu.abc.operator import Property
+
+_BATCH = (2, 1, 3)
+
+
+class ConformanceSuite:
+    #: override in subclasses
+    @pytest.fixture
+    def op(self):
+        raise NotImplementedError
+
+    @pytest.fixture
+    def data_apply(self):
+        """Optional (input, expected_output) pair; None disables the check."""
+        return None
+
+    # ------------------------------------------------------------- helpers --
+    def _point(self, op, rng, dtype, scale=1.0):
+        return jnp.asarray(
+            rng.standard_normal(op.dim_shape) * scale, dtype=dtype
+        )
+
+    def _copoint(self, op, rng, dtype):
+        return jnp.asarray(rng.standard_normal(op.codim_shape), dtype=dtype)
+
+    def _dot(self, a, b):
+        return float(jnp.vdot(jnp.asarray(a).ravel(), jnp.asarray(b).ravel()))
+
+    # -------------------------------------------------------------- checks --
+    def test_value_apply(self, op, data_apply, fdtype):
+        if data_apply is None:
+            pytest.skip("no hard-coded ground truth")
+        x, want = data_apply
+        got = op.apply(jnp.asarray(x, fdtype))
+        assert np.allclose(got, np.asarray(want, fdtype), atol=atol_for(fdtype) * 10)
+
+    def test_batch_broadcast(self, op, rng, fdtype):
+        """Leading stacking dims broadcast (reference: valueND checks,
+        operator/conftest.py:148-184)."""
+        x = self._point(op, rng, fdtype)
+        xb = jnp.broadcast_to(x, _BATCH + x.shape)
+        yb = op.apply(xb)
+        y = op.apply(x)
+        assert yb.shape == _BATCH + y.shape
+        assert np.allclose(yb[0, 0, 0], y, atol=atol_for(fdtype) * 10)
+
+    def test_dtype_preserved(self, op, rng, fdtype):
+        x = self._point(op, rng, fdtype)
+        assert op.apply(x).dtype == fdtype
+
+    def test_jit_and_pytree(self, op, rng, fdtype):
+        """Operators are pytrees usable as jit arguments."""
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+        op2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        x = self._point(op, rng, fdtype)
+        f = jax.jit(lambda o, v: o.apply(v))
+        assert np.allclose(f(op2, x), op.apply(x), atol=atol_for(fdtype) * 10)
+
+    def test_lipschitz(self, op, rng, fdtype):
+        """||f(x)-f(y)|| <= L ||x-y|| on sample pairs (reference: :444)."""
+        L = op.lipschitz
+        if not np.isfinite(L):
+            pytest.skip("unknown Lipschitz constant")
+        for _ in range(5):
+            x = self._point(op, rng, fdtype)
+            y = self._point(op, rng, fdtype)
+            lhs = float(jnp.linalg.norm((op.apply(x) - op.apply(y)).ravel()))
+            rhs = L * float(jnp.linalg.norm((x - y).ravel()))
+            assert lhs <= rhs * (1 + 1e-3) + atol_for(fdtype) * 10
+
+    # ---- linear checks --------------------------------------------------
+    def test_linearity(self, op, rng, fdtype):
+        if not op.has(Property.LINEAR):
+            pytest.skip("not linear")
+        x, y = self._point(op, rng, fdtype), self._point(op, rng, fdtype)
+        got = op.apply(2.5 * x - 1.5 * y)
+        want = 2.5 * op.apply(x) - 1.5 * op.apply(y)
+        assert np.allclose(got, want, atol=atol_for(fdtype) * 100)
+
+    def test_adjoint_dot(self, op, rng, fdtype):
+        """<Ax, y> == <x, A^T y> (reference: test_math_adjoint :1291)."""
+        if not op.has(Property.LINEAR):
+            pytest.skip("not linear")
+        for _ in range(5):
+            x = self._point(op, rng, fdtype)
+            y = self._copoint(op, rng, fdtype)
+            lhs = self._dot(op.apply(x), y)
+            rhs = self._dot(x, op.adjoint(y))
+            ref = max(abs(lhs), abs(rhs), 1.0)
+            assert abs(lhs - rhs) <= 1e-3 * ref if fdtype.itemsize == 4 else 1e-8 * ref
+
+    def test_adjoint_matches_autodiff(self, op, rng, fdtype):
+        """Closed-form adjoints equal the linear transpose of apply."""
+        if not op.has(Property.LINEAR):
+            pytest.skip("not linear")
+        y = self._copoint(op, rng, fdtype)
+        got = op.adjoint(y)
+        prim = jax.ShapeDtypeStruct(op.dim_shape, fdtype)
+        (want,) = jax.linear_transpose(op.apply, prim)(y)
+        assert np.allclose(got, want, atol=atol_for(fdtype) * 100)
+
+    def test_asarray_consistency(self, op, rng, fdtype):
+        if not op.has(Property.LINEAR) or op.dim_size > 512 or op.codim_size > 512:
+            pytest.skip("not linear / too large")
+        A = np.asarray(op.asarray(dtype=fdtype), dtype=np.float64)
+        A2 = A.reshape(op.codim_size, op.dim_size)
+        x = self._point(op, rng, fdtype)
+        want = (A2 @ np.asarray(x, np.float64).ravel()).reshape(
+            op.codim_shape if op.codim_shape else ()
+        )
+        assert np.allclose(np.asarray(op.apply(x), np.float64), want,
+                           atol=atol_for(fdtype) * 100)
+
+    def test_estimate_lipschitz_tight(self, op, rng, fdtype):
+        """Power-iteration estimate matches the true spectral norm."""
+        if not op.has(Property.LINEAR) or op.dim_size > 512 or op.codim_size > 512:
+            pytest.skip("not linear / too large")
+        if fdtype.itemsize == 4:
+            pytest.skip("spectral check in f64 only")
+        A = np.asarray(op.asarray(dtype=np.float64)).reshape(op.codim_size, op.dim_size)
+        true = np.linalg.svd(A, compute_uv=False)[0] if A.size else 0.0
+        est = op.estimate_lipschitz(method="power", maxiter=256)
+        assert est >= true * (1 - 1e-4) - 1e-9
+        assert est <= true * (1 + 1e-2) + 1e-9
+        # and the cached/declared constant is a valid upper bound:
+        # (re-derived ops may carry looser closed-form bounds)
+
+    def test_square_trace(self, op, fdtype):
+        if not op.has(Property.LINEAR_SQUARE) or op.dim_size > 512:
+            pytest.skip("not square / too large")
+        A = np.asarray(op.asarray(dtype=np.float64)).reshape(op.dim_size, op.dim_size)
+        tr = op.trace(method="explicit")
+        assert np.allclose(tr, np.trace(A), atol=1e-6 * max(1, abs(np.trace(A))))
+
+    def test_unitary(self, op, rng, fdtype):
+        if not op.has(Property.LINEAR_UNITARY):
+            pytest.skip("not unitary")
+        x = self._point(op, rng, fdtype)
+        assert np.allclose(op.adjoint(op.apply(x)), x, atol=atol_for(fdtype) * 100)
+
+    def test_self_adjoint(self, op, rng, fdtype):
+        if not op.has(Property.LINEAR_SELF_ADJOINT):
+            pytest.skip("not self-adjoint")
+        x = self._point(op, rng, fdtype)
+        assert np.allclose(op.apply(x), op.adjoint(x), atol=atol_for(fdtype) * 10)
+
+    def test_posdef(self, op, rng, fdtype):
+        if not op.has(Property.LINEAR_POSITIVE_DEFINITE):
+            pytest.skip("not posdef")
+        x = self._point(op, rng, fdtype)
+        assert self._dot(x, op.apply(x)) > 0
+
+    def test_idempotent(self, op, rng, fdtype):
+        if not op.has(Property.LINEAR_IDEMPOTENT):
+            pytest.skip("not idempotent")
+        x = self._point(op, rng, fdtype)
+        y = op.apply(x)
+        assert np.allclose(op.apply(y), y, atol=atol_for(fdtype) * 100)
+
+    # ---- differential checks -------------------------------------------
+    def test_grad_matches_autodiff(self, op, rng, fdtype):
+        if not op.has(Property.DIFFERENTIABLE_FUNCTION):
+            pytest.skip("no grad")
+        x = self._point(op, rng, fdtype)
+        got = op.grad(x)
+        want = jax.grad(lambda v: jnp.sum(op.apply(v)))(x)
+        assert np.allclose(got, want, atol=atol_for(fdtype) * 100)
+
+    def test_jacobian_linearises(self, op, rng, fdtype):
+        if not op.has(Property.DIFFERENTIABLE) or op.has(Property.LINEAR):
+            pytest.skip("linear or not differentiable")
+        if fdtype.itemsize == 4:
+            pytest.skip("finite-difference check in f64 only")
+        x = self._point(op, rng, fdtype)
+        v = self._point(op, rng, fdtype)
+        J = op.jacobian(x)
+        eps = 1e-6
+        fd = (op.apply(x + eps * v) - op.apply(x - eps * v)) / (2 * eps)
+        assert np.allclose(J.apply(v), fd, atol=1e-4, rtol=1e-4)
+
+    # ---- prox checks ----------------------------------------------------
+    def test_prox_optimality(self, op, rng, fdtype):
+        r"""tau f(p) + ||p-x||^2/2 <= tau f(y) + ||y-x||^2/2
+        (reference: test_math_prox :810)."""
+        if not op.has(Property.PROXIMABLE):
+            pytest.skip("not proximable")
+        tau = 0.7
+        x = self._point(op, rng, fdtype)
+        p = op.prox(x, tau)
+
+        def F(v):
+            return float(tau * op.apply(v) + 0.5 * jnp.sum((v - x) ** 2))
+
+        fp = F(p)
+        if not np.isfinite(fp):
+            pytest.skip("prox left the domain (indicator)")
+        for _ in range(5):
+            y = p + 0.1 * self._point(op, rng, fdtype)
+            assert fp <= F(y) + atol_for(fdtype) * 100
+
+    def test_fenchel_prox_moreau(self, op, rng, fdtype):
+        """Moreau decomposition: x = prox_{tau f}(x) + tau prox_{f*/tau}(x/tau)."""
+        if not op.has(Property.PROXIMABLE):
+            pytest.skip("not proximable")
+        x = self._point(op, rng, fdtype)
+        sigma = 1.3
+        lhs = op.fenchel_prox(x, sigma)
+        want = x - sigma * op.prox(x / sigma, 1.0 / sigma)
+        assert np.allclose(lhs, want, atol=atol_for(fdtype) * 100)

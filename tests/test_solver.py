@@ -1,0 +1,135 @@
+"""Solver engine tests (reference: src/pyxu_tests/opt/solver/conftest.py:92-499
+checks solution correctness vs ground truth + mode equivalence)."""
+
+import datetime as dt
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyxu_tpu import CG, PGD, Mode
+from pyxu_tpu.math.cg import cg_solve
+from pyxu_tpu.operator.func import L1Norm, SquaredL2Norm
+from pyxu_tpu.operator.linop import ExplicitLinOp
+from pyxu_tpu.opt.stop import AbsError, MaxDuration, MaxIter, RelError
+
+rng0 = np.random.default_rng(23)
+_A = rng0.standard_normal((12, 8))
+_y = rng0.standard_normal(12)
+_LAM = 0.5
+
+
+def _lasso_ops():
+    A = ExplicitLinOp(jnp.asarray(_A))
+    f = SquaredL2Norm((12,)).asloss(jnp.asarray(_y)) * A  # ||Ax - y||^2
+    g = _LAM * L1Norm((8,))
+    return f, g
+
+
+def _lasso_obj(x):
+    return float(np.sum((_A @ x - _y) ** 2) + _LAM * np.abs(x).sum())
+
+
+def _ref_lasso(n_iter=20000):
+    """High-accuracy ISTA reference solution (float64 numpy)."""
+    L = 2 * np.linalg.norm(_A, 2) ** 2
+    tau = 1.0 / L
+    x = np.zeros(8)
+    for _ in range(n_iter):
+        grad = 2 * _A.T @ (_A @ x - _y)
+        z = x - tau * grad
+        x = np.sign(z) * np.maximum(np.abs(z) - tau * _LAM, 0)
+    return x
+
+
+REF_X = _ref_lasso()
+
+
+class TestPGD:
+    def test_lasso_block(self):
+        f, g = _lasso_ops()
+        slv = PGD(f=f, g=g)
+        slv.fit(x0=jnp.zeros(8), stop_crit=RelError(eps=1e-8) | MaxIter(20000))
+        x = np.asarray(slv.solution())
+        assert abs(_lasso_obj(x) - _lasso_obj(REF_X)) <= 1e-5 * max(1, _lasso_obj(REF_X))
+
+    def test_mode_equivalence(self):
+        f, g = _lasso_ops()
+        crit = MaxIter(50)
+        s1 = PGD(f=f, g=g)
+        s1.fit(x0=jnp.zeros(8), stop_crit=crit, max_iter=50)
+        s2 = PGD(f=f, g=g)
+        gen = s2.fit(x0=jnp.zeros(8), stop_crit=MaxIter(50), max_iter=50, mode=Mode.MANUAL)
+        for _ in gen:
+            pass
+        assert np.allclose(s1.solution(), s2.solution(), atol=1e-6)
+
+    def test_async_mode(self):
+        f, g = _lasso_ops()
+        slv = PGD(f=f, g=g)
+        slv.fit(x0=jnp.zeros(8), stop_crit=MaxIter(200), max_iter=200, mode=Mode.ASYNC)
+        import time
+        while slv.busy():
+            time.sleep(0.01)
+        assert slv.solution() is not None
+
+    def test_history_tracked(self):
+        f, g = _lasso_ops()
+        slv = PGD(f=f, g=g)
+        slv.fit(x0=jnp.zeros(8), stop_crit=MaxIter(30), max_iter=30, track_objective=True)
+        _, hist = slv.stats()
+        assert hist is not None and "objective" in hist.dtype.names
+        assert hist["objective"][-1] <= hist["objective"][0]
+
+    def test_batched_start_points(self):
+        f, g = _lasso_ops()
+        slv = PGD(f=f, g=g)
+        x0 = jnp.zeros((3, 8)).at[1].set(1.0)
+        slv.fit(x0=x0, stop_crit=MaxIter(2000), max_iter=2000)
+        x = np.asarray(slv.solution())
+        assert x.shape == (3, 8)
+        for i in range(3):
+            assert abs(_lasso_obj(x[i]) - _lasso_obj(REF_X)) <= 1e-3
+
+
+class TestCG:
+    def test_solves_posdef(self):
+        Q = _A.T @ _A + 0.5 * np.eye(8)
+        op = ExplicitLinOp(jnp.asarray(Q))
+        b = rng0.standard_normal(8)
+        slv = CG(op)
+        slv.fit(b=jnp.asarray(b), stop_crit=AbsError(eps=1e-10, var="r", rank=1) | MaxIter(200))
+        assert np.allclose(slv.solution(), np.linalg.solve(Q, b), atol=1e-5)
+
+    def test_batched_rhs(self):
+        Q = _A.T @ _A + 0.5 * np.eye(8)
+        op = ExplicitLinOp(jnp.asarray(Q))
+        B = rng0.standard_normal((4, 8))
+        slv = CG(op)
+        slv.fit(b=jnp.asarray(B), stop_crit=AbsError(eps=1e-10, var="r", rank=1) | MaxIter(200))
+        assert np.allclose(slv.solution(), np.linalg.solve(Q, B.T).T, atol=1e-5)
+
+
+def test_cg_solve_function():
+    Q = _A.T @ _A + np.eye(8)
+    b = rng0.standard_normal(8)
+    x = cg_solve(lambda v: jnp.asarray(Q) @ v, jnp.asarray(b), rtol=1e-12, maxiter=100)
+    assert np.allclose(x, np.linalg.solve(Q, b), atol=1e-6)
+
+
+def test_max_duration_stops():
+    f, g = _lasso_ops()
+    slv = PGD(f=f, g=g)
+    slv.fit(x0=jnp.zeros(8), stop_crit=MaxDuration(dt.timedelta(seconds=0.5)) | MaxIter(10**6),
+            max_iter=10**6, segment_size=500)
+    _, hist = slv.stats()
+    assert hist["iteration"][-1] < 10**6
+
+
+def test_writeback(tmp_path):
+    f, g = _lasso_ops()
+    slv = PGD(f=f, g=g, folder=tmp_path / "wb", writeback_rate=20)
+    slv.fit(x0=jnp.zeros(8), stop_crit=MaxIter(60), max_iter=60)
+    data = np.load(tmp_path / "wb" / "data.npz")
+    assert "mstate_x" in data
+    assert np.allclose(data["mstate_x"], slv.solution(), atol=1e-6)
