@@ -55,6 +55,12 @@ def make_data():
 # --------------------------------------------------------------------------
 def run_tpu(y, k1, n_iters):
     import jax
+
+    # Persistent compile cache: first-ever bench run pays the loop+conv
+    # compile (minutes on remote-compile backends); later runs are warm.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from pyxu_tpu.operator.func import L21Norm, SquaredL2Norm
@@ -68,17 +74,21 @@ def run_tpu(y, k1, n_iters):
     D = Gradient((H, W), mode="symmetric")
     h = LAM * L21Norm((2, H, W), l2_axis=0)
 
+    # ONE solver + ONE stop-criterion instance: the second fit() reuses the
+    # compiled while-loop segment (Solver._seg_cache), so the timed run
+    # measures pure iteration throughput.
     slv = CondatVu(f=f, h=h, K=D, stop_rate=n_iters)
-    # warm-up segment compiles everything (excluded from timing)
-    slv.fit(x0=jnp.asarray(y), stop_crit=MaxIter(2), max_iter=2,
-            tau=None, sigma=None)
-    # timed run
+    crit = MaxIter(n_iters)
+    x0 = jnp.asarray(y)
+    import sys; print("# compile+warmup start", file=sys.stderr, flush=True)
+    slv.fit(x0=x0, stop_crit=crit, max_iter=n_iters)
+    jax.block_until_ready(slv.solution())
+    print("# warmup done", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    slv2 = CondatVu(f=f, h=h, K=D, stop_rate=n_iters)
-    slv2.fit(x0=jnp.asarray(y), stop_crit=MaxIter(n_iters), max_iter=n_iters)
-    jax.block_until_ready(slv2.solution())
+    slv.fit(x0=x0, stop_crit=crit, max_iter=n_iters)
+    jax.block_until_ready(slv.solution())
     dt = time.perf_counter() - t0
-    return n_iters / dt, np.asarray(slv2.solution())
+    return n_iters / dt, np.asarray(slv.solution())
 
 
 # --------------------------------------------------------------------------

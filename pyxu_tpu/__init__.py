@@ -37,4 +37,8 @@ from pyxu_tpu.abc import (  # noqa: F401
 )
 from pyxu_tpu import operator  # noqa: F401
 from pyxu_tpu.opt import stop  # noqa: F401
+from pyxu_tpu.opt import solver  # noqa: F401
 from pyxu_tpu.opt.solver import CG, PGD  # noqa: F401
+from pyxu_tpu import parallel  # noqa: F401
+from pyxu_tpu import sampler  # noqa: F401
+from pyxu_tpu.operator import interop  # noqa: F401

@@ -188,7 +188,16 @@ class Solver:
         logger = self._astate["logger"]
         stop.host_init()
         cstate = stop.init_state(self._mstate)
-        seg_fn, make_hist = self._build_segment(cstate)
+        # Re-fitting with identical (stop_crit, cadence, cap) reuses the
+        # compiled segment — loop+MXU programs can take minutes to compile on
+        # some backends, so never rebuild the jitted closure needlessly.
+        key = (id(stop), self._stop_rate, self._max_iter, self._track_objective)
+        cached = getattr(self, "_seg_cache", None)
+        if cached is not None and cached[0] == key:
+            seg_fn, make_hist = cached[1], cached[2]
+        else:
+            seg_fn, make_hist = self._build_segment(cstate)
+            self._seg_cache = (key, seg_fn, make_hist)
         hist = make_hist()
         mstate, k, stopped, hist_n = self._mstate, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)
         while True:

@@ -11,3 +11,5 @@ from pyxu_tpu.operator.blocks import (  # noqa: F401
 )
 from pyxu_tpu.operator.func import *  # noqa: F401,F403
 from pyxu_tpu.operator.linop import *  # noqa: F401,F403
+from pyxu_tpu.operator.map import *  # noqa: F401,F403
+from pyxu_tpu.operator.map import ConstantValued  # noqa: F401

@@ -1,0 +1,147 @@
+"""Build operators from plain callables.
+
+Reference: src/pyxu/operator/interop/source.py:15-262 (`from_source`) — the
+backbone used by the reference to synthesize most of its operator library.
+The reference binds callables with ``types.MethodType`` onto a bare instance;
+here a composite class ``Source[<cls>]`` holds the callables as static aux
+attributes so the resulting operator is still a well-formed pytree (callables
+that close over jnp arrays keep working under jit — the closed-over arrays
+become trace constants).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+from pyxu_tpu.abc.operator import Operator
+from pyxu_tpu.utils.misc import as_canonical_shape
+
+__all__ = ["from_source"]
+
+_FORWARDABLE = (
+    "apply", "adjoint", "grad", "prox", "jacobian", "_quad_spec",
+    "estimate_lipschitz", "estimate_diff_lipschitz", "pinv", "trace",
+    "svdvals", "asarray",
+)
+
+
+class SourceMixin:
+    """Delegates arithmetic methods to user callables stored on the instance.
+
+    Callables live in ``_method_items`` — a sorted tuple of (name, fn) pairs,
+    hashable so Source operators remain valid jit arguments (pytree aux must
+    be hashable)."""
+
+    @property
+    def _methods(self):
+        return dict(self._method_items)
+
+    def _src(self, name):
+        fn = self._methods.get(name)
+        if fn is None:
+            raise NotImplementedError(f"{self._name}.{name} not provided")
+        return fn
+
+    def apply(self, arr):
+        return self._src("apply")(jnp.asarray(arr))
+
+    def adjoint(self, arr):
+        fn = self._methods.get("adjoint")
+        if fn is None:  # exact default via linear transpose (LinOp classes)
+            return super().adjoint(arr)
+        return fn(jnp.asarray(arr))
+
+    def grad(self, arr):
+        fn = self._methods.get("grad")
+        if fn is None:
+            return super().grad(arr)
+        return fn(jnp.asarray(arr))
+
+    def prox(self, arr, tau):
+        return self._src("prox")(jnp.asarray(arr), tau)
+
+    def jacobian(self, arr):
+        fn = self._methods.get("jacobian")
+        if fn is None:
+            return super().jacobian(arr)
+        return fn(jnp.asarray(arr))
+
+    def _quad_spec(self):
+        fn = self._methods.get("_quad_spec")
+        if fn is None:
+            return super()._quad_spec()
+        return fn()
+
+    def estimate_lipschitz(self, **kw):
+        fn = self._methods.get("estimate_lipschitz")
+        if fn is None:
+            return super().estimate_lipschitz(**kw)
+        L = fn(**kw)
+        self._lipschitz = L
+        return L
+
+    def estimate_diff_lipschitz(self, **kw):
+        fn = self._methods.get("estimate_diff_lipschitz")
+        if fn is None:
+            return super().estimate_diff_lipschitz(**kw)
+        dL = fn(**kw)
+        self._diff_lipschitz = dL
+        return dL
+
+    def _expr(self):
+        return (self._name,)
+
+
+@functools.cache
+def _source_class(klass: type) -> type:
+    return type(f"Source[{klass.__name__}]", (SourceMixin, klass), {})
+
+
+def from_source(cls, dim_shape, codim_shape=None, vectorize=(), **kwargs) -> Operator:
+    """Create an operator of class ``cls`` from plain callables.
+
+    Parameters (reference: source.py:15-148)
+    ----------
+    cls: target operator class (Map ... LinOp ... ProxFunc ...).
+    dim_shape / codim_shape: operator shapes (codim () for functionals).
+    vectorize: names of provided callables written for single (unbatched)
+        inputs — they are auto-vectorized over leading batch axes with vmap
+        (the reference's `vectorize` kwarg, source.py:60-96).
+    kwargs: ``apply=..., adjoint=..., grad=..., prox=..., jacobian=...,
+        _quad_spec=..., estimate_lipschitz=...`` plus optional constants
+        ``lipschitz=float, diff_lipschitz=float``.
+    """
+    from pyxu_tpu.abc.operator import Property
+    from pyxu_tpu.utils.vectorize import batched_over
+
+    dim_shape = as_canonical_shape(dim_shape)
+    lipschitz = kwargs.pop("lipschitz", None)
+    diff_lipschitz = kwargs.pop("diff_lipschitz", None)
+    methods = {k: v for k, v in kwargs.items() if k in _FORWARDABLE}
+    unknown = set(kwargs) - set(methods)
+    assert not unknown, f"unknown from_source kwargs: {unknown}"
+
+    out_cls = _source_class(cls)
+    op = object.__new__(out_cls)
+    if Property.FUNCTIONAL in cls.properties():
+        codim_shape = ()
+    assert codim_shape is not None, "codim_shape required for non-functionals"
+    Operator.__init__(op, dim_shape, codim_shape)
+
+    vecset = {vectorize} if isinstance(vectorize, str) else set(vectorize)
+    assert vecset <= {"apply", "grad", "adjoint"}, \
+        "vectorize supports single-array methods only"
+    for name in vecset & set(methods):
+        in_rank = len(dim_shape) if name in ("apply", "grad") else \
+            len(as_canonical_shape(codim_shape))
+        methods[name] = batched_over(methods[name], in_rank)
+
+    op._method_items = tuple(sorted(methods.items()))
+    op._name = f"Source[{cls.__name__}]"
+    if lipschitz is not None:
+        op._lipschitz = float(lipschitz)
+    if diff_lipschitz is not None:
+        op._diff_lipschitz = float(diff_lipschitz)
+    return op

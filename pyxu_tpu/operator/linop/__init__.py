@@ -20,6 +20,16 @@ from pyxu_tpu.operator.linop.diff import (  # noqa: F401
     PartialDerivative,
 )
 from pyxu_tpu.operator.linop.fft import FFT  # noqa: F401
+from pyxu_tpu.operator.linop.filter import (  # noqa: F401
+    DifferenceOfGaussians,
+    Gaussian,
+    Laplace,
+    MovingAverage,
+    Prewitt,
+    Scharr,
+    Sobel,
+    StructureTensor,
+)
 from pyxu_tpu.operator.linop.kron import khatri_rao, kron  # noqa: F401
 from pyxu_tpu.operator.linop.pad import Pad  # noqa: F401
 from pyxu_tpu.operator.linop.reduce import Sum  # noqa: F401

@@ -1,0 +1,44 @@
+"""Device-mesh helpers.
+
+TPU-native replacement for the reference's Dask-cluster scaling story
+(reference: SURVEY §2.4; Dask chunking in src/pyxu/util/array_module.py:52-82
+and stencil `map_overlap`, stencil/stencil.py:578-607): arrays are sharded
+``jax.Array``s over a `jax.sharding.Mesh`; collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = ["auto_mesh", "shard", "replicate", "P"]
+
+P = PartitionSpec
+
+
+def auto_mesh(*axis_sizes, axis_names=None, devices=None) -> Mesh:
+    """Build a mesh from the available devices.
+
+    ``auto_mesh()`` -> 1-D mesh ("s",) over all devices;
+    ``auto_mesh(2, 4, axis_names=("dp", "sp"))`` -> 2x4 mesh.
+    """
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    if not axis_sizes:
+        axis_sizes = (devs.size,)
+    axis_names = axis_names or tuple(f"ax{i}" for i in range(len(axis_sizes)))
+    if len(axis_sizes) == 1 and axis_names == ("ax0",):
+        axis_names = ("s",)
+    n = int(np.prod(axis_sizes))
+    assert n <= devs.size, f"need {n} devices, have {devs.size}"
+    return Mesh(devs[:n].reshape(axis_sizes), axis_names=axis_names)
+
+
+def shard(arr, mesh: Mesh, spec: PartitionSpec):
+    """device_put with a NamedSharding."""
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicate(arr, mesh: Mesh):
+    return jax.device_put(arr, NamedSharding(mesh, PartitionSpec()))

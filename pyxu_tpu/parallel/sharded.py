@@ -1,0 +1,91 @@
+"""GSPMD sharding wrappers for operators + sharded block evaluation.
+
+TPU-native replacement of the reference's Dask-chunked execution
+(reference: SURVEY §2.4; `coo_block(..., parallel=True)` dask tasks,
+src/pyxu/operator/blocks.py:474-511): wrap any operator so its apply/adjoint
+run with input/output sharding constraints — XLA GSPMD inserts the
+collectives (halo exchanges for convs, psums for reductions) automatically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyxu_tpu.abc.operator import LinOp, Operator, Property
+
+__all__ = ["with_sharding", "sharded_block_diag"]
+
+
+class _ShardedOp(LinOp):
+    """op with sharding constraints on inputs/outputs (GSPMD partitioning)."""
+
+    _data_fields = ("_op",)
+
+    def __init__(self, op: Operator, mesh: Mesh, in_spec, out_spec):
+        super().__init__(op.dim_shape, op.codim_shape)
+        self._op = op
+        self._mesh = mesh
+        self._in_spec = in_spec
+        self._out_spec = out_spec
+        self._lipschitz = op._lipschitz
+        self._diff_lipschitz = op._diff_lipschitz
+        self._name = f"Sharded[{op.name}]"
+
+    def _shardings(self, spec, extra_batch):
+        full = P(*([None] * extra_batch + list(spec)))
+        return NamedSharding(self._mesh, full)
+
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+        b = arr.ndim - self.dim_rank
+        arr = jax.lax.with_sharding_constraint(arr, self._shardings(self._in_spec, b))
+        out = self._op.apply(arr)
+        return jax.lax.with_sharding_constraint(out, self._shardings(self._out_spec, b))
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+        b = arr.ndim - self.codim_rank
+        arr = jax.lax.with_sharding_constraint(arr, self._shardings(self._out_spec, b))
+        out = self._op.adjoint(arr)
+        return jax.lax.with_sharding_constraint(out, self._shardings(self._in_spec, b))
+
+    def grad(self, arr):
+        return self._op.grad(arr)
+
+    def prox(self, arr, tau):
+        return self._op.prox(arr, tau)
+
+    def estimate_lipschitz(self, **kw):
+        L = self._op.estimate_lipschitz(**kw)
+        self._lipschitz = L
+        return L
+
+    def _expr(self):
+        return (f"sharded[{self._in_spec}->{self._out_spec}]", self._op)
+
+
+def with_sharding(op: Operator, mesh: Mesh, in_spec, out_spec=None) -> Operator:
+    """Annotate an operator with input/output PartitionSpecs.
+
+    ``in_spec``/``out_spec`` are sequences over the operator's dim/codim axes
+    (PartitionSpec entries).  ``out_spec=None`` re-uses ``in_spec`` when
+    shapes are compatible, else replicates.
+    """
+    in_spec = tuple(in_spec)
+    if out_spec is None:
+        out_spec = in_spec if len(in_spec) == op.codim_rank else (None,) * op.codim_rank
+    return _ShardedOp(op, mesh, in_spec, tuple(out_spec))
+
+
+def sharded_block_diag(ops, mesh: Mesh, mesh_axis: str = None) -> Operator:
+    """block_diag with the block axis sharded over a mesh axis — each device
+    evaluates its blocks locally, no communication (the TPU analog of
+    coo_block(parallel=True); reference blocks.py:474-511)."""
+    from pyxu_tpu.operator.blocks import block_diag
+    op = block_diag(ops)
+    mesh_axis = mesh_axis or mesh.axis_names[0]
+    rank = op.dim_rank
+    spec = (mesh_axis,) + (None,) * (rank - 1)
+    return _ShardedOp(op, mesh, spec, spec)
