@@ -31,6 +31,7 @@ from pyxu_tpu.operator.linop.filter import (  # noqa: F401
     StructureTensor,
 )
 from pyxu_tpu.operator.linop.kron import khatri_rao, kron  # noqa: F401
+from pyxu_tpu.operator.linop.nufft import NUFFT  # noqa: F401
 from pyxu_tpu.operator.linop.pad import Pad  # noqa: F401
 from pyxu_tpu.operator.linop.reduce import Sum  # noqa: F401
 from pyxu_tpu.operator.linop.select import SubSample, Trim  # noqa: F401

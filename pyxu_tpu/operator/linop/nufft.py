@@ -1,0 +1,490 @@
+r"""Non-Uniform FFT, types 1 / 2 / 3 in d = 1, 2, 3.
+
+Reference: src/pyxu/operator/linop/fft/nufft.py:84-2932 — the reference wraps
+the FINUFFT / cuFINUFFT C++/CUDA libraries (type1/type2/type3 factories
+:337,438,550; ES kernel :45; direct `_nudft` evaluators :2821-2932).
+
+TPU-native re-implementation of the same algorithm (Barnett-Magland-af
+Klinteberg, the FINUFFT paper):
+
+* "exp-sqrt" (ES) spreading kernel  φ(z) = exp(β(√(1−z²) − 1)), |z| ≤ 1,
+  with width w = ⌈log10(1/ε)⌉ + 1 and β = 2.30·w (reference nufft.py:45-83);
+* upsampled fine grid  n_f ≥ σ·N  (σ = 2) per dimension;
+* type 2 = deconvolve → FFT → **interpolate** (gather, w^d taps/point);
+* type 1 = **spread** (scatter-add) → FFT → deconvolve — exact adjoint of
+  type 2 with opposite isign;
+* type 3 = spread(x) → FFT → interpolate(s) with double deconvolution and
+  pre/post-phasing (reference `_NUFFT3` :1696-2026).
+* kernel Fourier factors φ̂(k) by Gauss-Legendre quadrature (host-side,
+  like FINUFFT's `onedim_fseries_kernel`).
+
+Gather/scatter are XLA ops today (a Pallas bin-sort spreader is the planned
+fast path); the FFT is the native XLA FFT.  Public API is real-valued with a
+trailing size-2 axis (see pyxu_tpu.utils.complex), like the reference's
+view_as_real convention.
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyxu_tpu.abc.operator import LinOp
+from pyxu_tpu.utils.complex import complex_dtype, view_as_complex, view_as_real
+from pyxu_tpu.utils.misc import next_fast_len
+
+__all__ = ["NUFFT", "nudft1", "nudft2", "nudft3"]
+
+
+# ----------------------------------------------------------- ES kernel -----
+
+def _es_params(eps: float):
+    """Kernel width + shape from target accuracy (reference nufft.py:45-83
+    / FINUFFT defaults, sigma = 2)."""
+    w = max(2, min(16, int(_math.ceil(_math.log10(1.0 / eps))) + 1))
+    beta = 2.30 * w
+    return w, beta
+
+
+def _es_kernel(z, beta):
+    """phi(z) on |z|<=1, 0 outside (vectorized, jit-safe)."""
+    t = jnp.clip(1.0 - z * z, 0.0, None)
+    val = jnp.exp(beta * (jnp.sqrt(t) - 1.0))
+    return jnp.where(jnp.abs(z) <= 1.0, val, 0.0)
+
+
+def _phi_hat(n_modes: int, n_f: int, w: int, beta: float):
+    """Fourier factors phihat(k), k = -N//2 .. (N-1)//2, of the h-scaled ES
+    kernel, via Gauss-Legendre quadrature of
+    (w h / 2) * int_{-1}^{1} phi(z) cos(k (w h / 2) z) dz,  h = 2 pi / n_f.
+    Host-side float64 (like FINUFFT's fseries precompute)."""
+    h = 2 * np.pi / n_f
+    alpha = w * h / 2.0
+    q = max(2 * w, 24)
+    zq, wq = np.polynomial.legendre.leggauss(q)
+    phi = np.exp(beta * (np.sqrt(np.clip(1 - zq**2, 0, None)) - 1.0))
+    ks = np.arange(-(n_modes // 2), (n_modes + 1) // 2)
+    # (K, Q) cosine table; the trailing 1/h is the Poisson-summation factor
+    # of the trapezoid periodization  sum_m psi(x - mh) e^{-ikmh}
+    #   ~ psihat(k)/h . e^{-ikx}
+    c = np.cos(np.outer(ks * alpha, zq))
+    fhat = alpha * (c * (phi * wq)).sum(axis=1) / h
+    return ks, fhat  # float64
+
+
+# ------------------------------------------------- spread / interp (XLA) ---
+
+def _grid_coords(x, n_f: int, w: int):
+    """Per-point tap indices + ES arguments along one dimension.
+
+    x: (M,) angles in R (folded mod 2pi).  Returns (idx (M, w) int32 in
+    [0, n_f), z (M, w) kernel arguments in [-1, 1])."""
+    h = 2 * jnp.pi / n_f
+    xs = x / h  # grid units
+    i0 = jnp.ceil(xs - w / 2.0).astype(jnp.int32)  # first tap
+    t = jnp.arange(w, dtype=jnp.int32)  # taps i0..i0+w-1: centered support
+    idx = i0[:, None] + t[None, :]  # (M, w)
+    z = (idx.astype(xs.dtype) - xs[:, None]) * (2.0 / w)
+    return jnp.mod(idx, n_f), z
+
+
+def _tap_weights(x_nd, n_fs, w, beta):
+    """Per-dim (idx, weight) lists for a (M, d) point set."""
+    d = x_nd.shape[1]
+    idxs, wts = [], []
+    for ax in range(d):
+        idx, z = _grid_coords(x_nd[:, ax], n_fs[ax], w)
+        idxs.append(idx)
+        wts.append(_es_kernel(z, beta))
+    return idxs, wts
+
+
+def _interp(g, idxs, wts):
+    """Gather from fine grid g (complex, shape n_fs) at tap products.
+    Returns (M,) complex."""
+    d = len(idxs)
+    M, w = idxs[0].shape
+    wts = [w_.astype(g.real.dtype) for w_ in wts]  # keep caller's precision
+    if d == 1:
+        vals = g[idxs[0]]                        # (M, w)
+        return jnp.sum(vals * wts[0], axis=-1)
+    if d == 2:
+        vals = g[idxs[0][:, :, None], idxs[1][:, None, :]]     # (M, w, w)
+        wt = wts[0][:, :, None] * wts[1][:, None, :]
+        return jnp.sum(vals * wt, axis=(-2, -1))
+    if d == 3:
+        vals = g[idxs[0][:, :, None, None],
+                 idxs[1][:, None, :, None],
+                 idxs[2][:, None, None, :]]
+        wt = (wts[0][:, :, None, None] * wts[1][:, None, :, None]
+              * wts[2][:, None, None, :])
+        return jnp.sum(vals * wt, axis=(-3, -2, -1))
+    raise ValueError("d must be 1, 2 or 3")
+
+
+def _spread(c, idxs, wts, n_fs):
+    """Scatter-add point strengths c (M,) complex onto the fine grid."""
+    d = len(idxs)
+    wts = [w_.astype(c.real.dtype) for w_ in wts]  # keep caller's precision
+    g = jnp.zeros(tuple(n_fs), dtype=c.dtype)
+    if d == 1:
+        return g.at[idxs[0]].add(c[:, None] * wts[0])
+    if d == 2:
+        wt = wts[0][:, :, None] * wts[1][:, None, :]
+        return g.at[idxs[0][:, :, None], idxs[1][:, None, :]].add(
+            c[:, None, None] * wt)
+    if d == 3:
+        wt = (wts[0][:, :, None, None] * wts[1][:, None, :, None]
+              * wts[2][:, None, None, :])
+        return g.at[idxs[0][:, :, None, None],
+                    idxs[1][:, None, :, None],
+                    idxs[2][:, None, None, :]].add(c[:, None, None, None] * wt)
+    raise ValueError("d must be 1, 2 or 3")
+
+
+# ------------------------------------------------------------ type 1 / 2 ---
+
+class _NUFFT12(LinOp):
+    r"""Type-1 operator (nonuniform -> uniform modes); type 2 is its
+    transpose-conjugate (reference `_NUFFT1` pairing, nufft.py:1409-1695).
+
+    type1, isign s:  f_k = sum_j c_j exp(s i <k, x_j>),  k in modes(N)
+    type2 (= adjoint, isign -s): c_j = sum_k f_k exp(-s i <k, x_j>)
+
+    Real view: dim (M, 2), codim (*N, 2).
+    """
+
+    _data_fields = ("_x", "_phihat", "_idxs", "_wts")
+
+    def __init__(self, x, N, isign: int = +1, eps: float = 1e-6,
+                 real_in: bool = False):
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[:, None]
+        M, d = x.shape
+        N = (N,) * d if isinstance(N, int) else tuple(N)
+        assert len(N) == d <= 3
+        w, beta = _es_params(eps)
+        self._M, self._d, self._N = M, d, N
+        self._isign = int(np.sign(isign)) or 1
+        self._w, self._beta, self._eps = w, beta, float(eps)
+        self._real_in = bool(real_in)
+        self._nf = tuple(max(next_fast_len(int(2 * n)), 2 * w + 1) for n in N)
+        # fold points into [0, 2pi)
+        x = jnp.mod(x, 2 * jnp.pi)
+        self._x = x
+        # deconvolution factors: outer product of per-dim phihat
+        ph = 1.0
+        for ax in range(d):
+            _, f = _phi_hat(N[ax], self._nf[ax], w, beta)
+            shape = [1] * d
+            shape[ax] = N[ax]
+            ph = ph * f.reshape(shape)
+        self._phihat = jnp.asarray(1.0 / ph)  # (*N,) float64->default
+        idxs, wts = _tap_weights(x, self._nf, w, beta)
+        self._idxs = tuple(idxs)
+        self._wts = tuple(wts)
+        dim = (M,) if real_in else (M, 2)
+        super().__init__(dim, N + (2,))
+        self._lipschitz = float(np.sqrt(np.prod(N) * M))
+        self._name = f"NUFFT1[d={d}]"
+
+    # -- helpers ------------------------------------------------------------
+    def _k_slices(self):
+        """Slices embedding mode grid (centered) into the fine grid (DFT
+        order): mode k lives at fine-grid frequency k (mod n_f)."""
+        return tuple(
+            (np.arange(-(n // 2), (n + 1) // 2) % nf)
+            for n, nf in zip(self._N, self._nf)
+        )
+
+    def _extract(self, ghat):
+        """Pick centered modes out of the fine DFT array."""
+        sl = self._k_slices()
+        out = ghat
+        for ax, idx in enumerate(sl):
+            out = jnp.take(out, jnp.asarray(idx), axis=ax)
+        return out
+
+    def _embed(self, f):
+        """Place centered modes into a zero fine DFT array."""
+        sl = self._k_slices()
+        g = jnp.zeros(self._nf, dtype=f.dtype)
+        if self._d == 1:
+            return g.at[jnp.asarray(sl[0])].set(f)
+        if self._d == 2:
+            return g.at[jnp.asarray(sl[0])[:, None],
+                        jnp.asarray(sl[1])[None, :]].set(f)
+        return g.at[jnp.asarray(sl[0])[:, None, None],
+                    jnp.asarray(sl[1])[None, :, None],
+                    jnp.asarray(sl[2])[None, None, :]].set(f)
+
+    def _t1(self, c):
+        """c: (M,) complex -> (*N,) complex modes."""
+        g = _spread(c, self._idxs, self._wts, self._nf)
+        # f_k = sum_m g_m e^{s i k m h};  fft computes sum e^{-i...}:
+        if self._isign > 0:
+            ghat = jnp.fft.ifftn(g) * float(np.prod(self._nf))
+        else:
+            ghat = jnp.fft.fftn(g)
+        return self._extract(ghat) * self._phihat.astype(g.real.dtype)
+
+    def _t2(self, f):
+        """f: (*N,) complex modes -> (M,) complex values, isign -s."""
+        fd = f * self._phihat.astype(f.real.dtype)
+        g = self._embed(fd)
+        if self._isign > 0:
+            gr = jnp.fft.fftn(g)   # adjoint of scaled ifft: e^{-i k m h}
+        else:
+            gr = jnp.fft.ifftn(g) * float(np.prod(self._nf))
+        return _interp(gr, self._idxs, self._wts)
+
+    # -- LinOp interface (real views) ---------------------------------------
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+        rank = 1 if self._real_in else 2
+
+        def single(a):
+            c = a.astype(complex_dtype(a.dtype)) if self._real_in \
+                else view_as_complex(a)
+            return view_as_real(self._t1(c))
+
+        return self._map_batched(single, arr, rank, self.codim_shape)
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+
+        def single(a):
+            f = view_as_complex(a)
+            c = self._t2(f)
+            if self._real_in:
+                return c.real
+            return view_as_real(c)
+
+        return self._map_batched(single, arr, self._d + 1, self.dim_shape)
+
+    def _expr(self):
+        return (f"NUFFT1[d={self._d}, M={self._M}, N={self._N}, "
+                f"isign={self._isign}, eps={self._eps}]",)
+
+
+class _NUFFT2(LinOp):
+    """Type-2 as a first-class operator: transpose-conj of a _NUFFT12 with
+    flipped isign (reference type2 = adjoint machinery, nufft.py:438-549)."""
+
+    _data_fields = ("_t1op",)
+
+    def __init__(self, x, N, isign: int = -1, eps: float = 1e-6):
+        self._t1op = _NUFFT12(x, N, isign=-isign, eps=eps)
+        N_ = self._t1op._N
+        super().__init__(N_ + (2,), (self._t1op._M, 2))
+        self._lipschitz = self._t1op._lipschitz
+        self._name = f"NUFFT2[d={self._t1op._d}]"
+
+    def apply(self, arr):
+        return self._t1op.adjoint(arr)
+
+    def adjoint(self, arr):
+        return self._t1op.apply(arr)
+
+    def _expr(self):
+        return (f"NUFFT2[{self._t1op._expr()[0]}]",)
+
+
+# ----------------------------------------------------------------- type 3 --
+
+class _NUFFT3(LinOp):
+    r"""f_k = sum_j c_j exp(s i <z_k, x_j>) for arbitrary x_j, z_k in R^d
+    (reference `_NUFFT3`, nufft.py:1696-2026).
+
+    FINUFFT-style 3-step plan (Barnett et al. 2019, sec 3.3):
+
+    1. rescale  x' = x / gamma  with gamma = 2 max|x| / pi, so x' fills half
+       the circle [-pi/2, pi/2] (spatial 2x oversampling); the scaled targets
+       are  s' = gamma . z;
+    2. spread c at x' with kernel psi1 onto an n-ring; divide pointwise by
+       psihat2(x'_m) (spatial pre-deconvolution of the *frequency* kernel);
+       FFT;
+    3. ES-interpolate the ring spectrum at the non-integer frequencies s'
+       with kernel psi2 and divide by psihat1(s').
+
+    The adjoint runs the same pipeline in reverse (spread at s', FFT,
+    interpolate at x'), exactly transposing every step.
+    """
+
+    _data_fields = ("_x", "_z", "_idxs_x", "_wts_x", "_idxs_s", "_wts_s",
+                    "_dx", "_ds")
+
+    def __init__(self, x, z, isign: int = +1, eps: float = 1e-6):
+        x = jnp.asarray(x)
+        z = jnp.asarray(z)
+        if x.ndim == 1:
+            x = x[:, None]
+        if z.ndim == 1:
+            z = z[:, None]
+        M, d = x.shape
+        K, d2 = z.shape
+        assert d == d2 <= 3
+        self._M, self._K, self._d = M, K, d
+        self._isign = int(np.sign(isign)) or 1
+        w, beta = _es_params(eps)
+        self._w, self._beta, self._eps = w, beta, float(eps)
+
+        xh = np.asarray(jax.device_get(x), np.float64)
+        zh = np.asarray(jax.device_get(z), np.float64) * self._isign
+        X = np.maximum(np.abs(xh).max(axis=0), 1e-9)
+        gamma = 2.0 * X / np.pi                 # x' = x/gamma in [-pi/2, pi/2]
+        xp = xh / gamma
+        sp = zh * gamma                          # s' = gamma z  (grid units 1)
+        Smax = np.abs(sp).max(axis=0)
+        nf = tuple(max(next_fast_len(int(4 * (sm + w + 2))), 4 * w + 8)
+                   for sm in Smax)
+        self._nf = nf
+        self._gamma = gamma
+
+        # taps/weights: x' on the angle ring (spacing h), s' on the freq ring
+        # (spacing 1; DFT bin = index mod n)
+        idxs_x, wts_x = _tap_weights(jnp.asarray(np.mod(xp, 2 * np.pi)), nf, w, beta)
+        self._idxs_x = tuple(idxs_x)
+        self._wts_x = tuple(wts_x)
+        idxs_s, wts_s = [], []
+        for ax in range(d):
+            s1 = sp[:, ax]
+            i0 = np.ceil(s1 - w / 2.0).astype(np.int64)
+            t = np.arange(w)
+            idx = i0[:, None] + t[None, :]
+            zarg = (idx - s1[:, None]) * (2.0 / w)
+            idxs_s.append(jnp.asarray(np.mod(idx, nf[ax]), jnp.int32))
+            wts_s.append(_es_kernel(jnp.asarray(zarg), beta))
+        self._idxs_s = tuple(idxs_s)
+        self._wts_s = tuple(wts_s)
+
+        # spatial pre-deconvolution grid: 1/psihat2(x'_m) per dim (psi2 is
+        # the unit-spacing freq kernel; Poisson factor 1 -> no /h)
+        q = max(2 * w, 24)
+        zq, wq = np.polynomial.legendre.leggauss(q)
+        phi = np.exp(beta * (np.sqrt(np.clip(1 - zq**2, 0, None)) - 1.0))
+        dx = 1.0
+        for ax in range(d):
+            n = nf[ax]
+            m = np.arange(n)
+            xm = np.mod(m * (2 * np.pi / n) + np.pi, 2 * np.pi) - np.pi  # centered
+            c = np.cos(np.outer(xm * (w / 2.0), zq))
+            psihat2 = (w / 2.0) * (c * (phi * wq)).sum(axis=1)
+            shape = [1] * d
+            shape[ax] = n
+            dx = dx * (1.0 / psihat2).reshape(shape)
+        self._dx = jnp.asarray(dx)  # (*nf,)
+
+        # frequency post-deconvolution: 1/psihat1(s') per dim (h-scaled
+        # spatial kernel, includes the 1/h Poisson factor)
+        ds = np.ones(K)
+        for ax in range(d):
+            h = 2 * np.pi / nf[ax]
+            alpha = w * h / 2.0
+            c = np.cos(np.outer(sp[:, ax] * alpha, zq))
+            psihat1 = alpha * (c * (phi * wq)).sum(axis=1) / h
+            ds = ds * (1.0 / psihat1)
+        self._ds = jnp.asarray(ds)  # (K,)
+
+        self._x = x
+        self._z = z
+        super().__init__((M, 2), (K, 2))
+        self._lipschitz = float(np.sqrt(M * K))
+        self._name = f"NUFFT3[d={d}]"
+
+    def _fw(self, c):
+        g = _spread(c, self._idxs_x, self._wts_x, self._nf)
+        g = g * self._dx.astype(g.real.dtype)
+        # ring spectrum with e^{+i q m h} phases: scaled ifft (isign folded
+        # into s' at plan time)
+        ghat = jnp.fft.ifftn(g) * float(np.prod(self._nf))
+        vals = _interp(ghat, self._idxs_s, self._wts_s)
+        return vals * self._ds.astype(vals.real.dtype)
+
+    def _bw(self, f):
+        fw = f * self._ds.astype(f.real.dtype)
+        ghat = _spread(fw, self._idxs_s, self._wts_s, self._nf)
+        g = jnp.fft.fftn(ghat)  # adjoint of scaled ifftn
+        g = g * self._dx.astype(g.real.dtype)
+        return _interp(g, self._idxs_x, self._wts_x)
+
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+
+        def single(a):
+            return view_as_real(self._fw(view_as_complex(a)))
+
+        return self._map_batched(single, arr, 2, self.codim_shape)
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+
+        def single(a):
+            return view_as_real(self._bw(view_as_complex(a)))
+
+        return self._map_batched(single, arr, 2, self.dim_shape)
+
+    def _expr(self):
+        return (f"NUFFT3[d={self._d}, M={self._M}, K={self._K}]",)
+
+
+# ----------------------------------------------------------- public API ----
+
+class NUFFT:
+    """Factory namespace mirroring the reference (nufft.py:337-663)."""
+
+    @staticmethod
+    def type1(x, N, isign: int = +1, eps: float = 1e-6, real: bool = False):
+        return _NUFFT12(x, N, isign=isign, eps=eps, real_in=real)
+
+    @staticmethod
+    def type2(x, N, isign: int = -1, eps: float = 1e-6):
+        return _NUFFT2(x, N, isign=isign, eps=eps)
+
+    @staticmethod
+    def type3(x, z, isign: int = +1, eps: float = 1e-6):
+        return _NUFFT3(x, z, isign=isign, eps=eps)
+
+
+# ------------------------------------------------- direct (test) evaluators -
+
+def nudft1(c, x, N, isign=+1):
+    """Direct type-1 (reference `_nudft`, nufft.py:2821-2932): O(MN)."""
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    N = (N,) * x.shape[1] if isinstance(N, int) else tuple(N)
+    grids = np.meshgrid(*[np.arange(-(n // 2), (n + 1) // 2) for n in N],
+                        indexing="ij")
+    K = np.stack([g.ravel() for g in grids], axis=1)  # (prodN, d)
+    E = np.exp(1j * isign * (K @ x.T))  # (prodN, M)
+    return (E @ np.asarray(c)).reshape(N)
+
+
+def nudft2(f, x, N, isign=-1):
+    """Direct type-2: c_j = sum_k f_k e^{isign i k x_j}."""
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    N = (N,) * x.shape[1] if isinstance(N, int) else tuple(N)
+    grids = np.meshgrid(*[np.arange(-(n // 2), (n + 1) // 2) for n in N],
+                        indexing="ij")
+    K = np.stack([g.ravel() for g in grids], axis=1)
+    E = np.exp(1j * isign * (x @ K.T))  # (M, prodN)
+    return E @ np.asarray(f).ravel()
+
+
+def nudft3(c, x, z, isign=+1):
+    """Direct type-3: f_k = sum_j c_j e^{isign i <z_k, x_j>}."""
+    x = np.asarray(x, np.float64)
+    z = np.asarray(z, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if z.ndim == 1:
+        z = z[:, None]
+    E = np.exp(1j * isign * (z @ x.T))
+    return E @ np.asarray(c)

@@ -115,7 +115,13 @@ class ConformanceSuite:
         y = self._copoint(op, rng, fdtype)
         got = op.adjoint(y)
         prim = jax.ShapeDtypeStruct(op.dim_shape, fdtype)
-        (want,) = jax.linear_transpose(op.apply, prim)(y)
+        try:
+            (want,) = jax.linear_transpose(op.apply, prim)(y)
+        except NotImplementedError:
+            # e.g. scatter-add with (possibly) duplicate indices has no
+            # registered transpose; the numeric adjoint-dot test still
+            # verifies adjointness for these operators.
+            pytest.skip("apply not linear-transposable by jax")
         assert np.allclose(got, want, atol=atol_for(fdtype) * 100)
 
     def test_asarray_consistency(self, op, rng, fdtype):

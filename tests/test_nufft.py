@@ -1,0 +1,114 @@
+"""NUFFT types 1/2/3 vs direct NUDFT evaluators (reference:
+src/pyxu_tests/operator/linop/fft/test_nufft*.py validates against `_nudft`
+the same way)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conformance import ConformanceSuite
+from pyxu_tpu.operator.linop.nufft import NUFFT, nudft1, nudft2, nudft3
+from pyxu_tpu.utils.complex import view_as_complex, view_as_real
+
+rng0 = np.random.default_rng(83)
+
+
+def _pts(M, d):
+    return rng0.uniform(-np.pi, np.pi, (M, d))
+
+
+def _rel(a, b):
+    return np.linalg.norm(np.asarray(a).ravel() - np.asarray(b).ravel()) / \
+        max(np.linalg.norm(np.asarray(b).ravel()), 1e-30)
+
+
+@pytest.mark.parametrize("d,N", [(1, 16), (2, (8, 12)), (3, (6, 8, 5))])
+@pytest.mark.parametrize("isign", [+1, -1])
+def test_type1_accuracy(d, N, isign):
+    M = 37
+    x = _pts(M, d)
+    c = rng0.standard_normal(M) + 1j * rng0.standard_normal(M)
+    op = NUFFT.type1(jnp.asarray(x), N, isign=isign, eps=1e-7)
+    got = view_as_complex(op.apply(view_as_real(jnp.asarray(c))))
+    want = nudft1(c, x, N, isign=isign)
+    assert _rel(got, want) < 1e-5
+
+
+@pytest.mark.parametrize("d,N", [(1, 16), (2, (8, 12))])
+def test_type2_accuracy(d, N):
+    M = 29
+    x = _pts(M, d)
+    Nt = (N,) * d if isinstance(N, int) else N
+    f = rng0.standard_normal(Nt) + 1j * rng0.standard_normal(Nt)
+    op = NUFFT.type2(jnp.asarray(x), N, isign=-1, eps=1e-7)
+    got = view_as_complex(op.apply(view_as_real(jnp.asarray(f))))
+    want = nudft2(f, x, N, isign=-1)
+    assert _rel(got, want) < 1e-5
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_type3_accuracy(d):
+    M, K = 23, 19
+    x = rng0.uniform(-2.0, 2.0, (M, d))
+    z = rng0.uniform(-8.0, 8.0, (K, d))
+    c = rng0.standard_normal(M) + 1j * rng0.standard_normal(M)
+    op = NUFFT.type3(jnp.asarray(x), jnp.asarray(z), isign=+1, eps=1e-7)
+    got = view_as_complex(op.apply(view_as_real(jnp.asarray(c))))
+    want = nudft3(c, x, z, isign=+1)
+    assert _rel(got, want) < 1e-4
+
+
+def test_eps_controls_error():
+    M, N = 41, 32
+    x = _pts(M, 1)
+    c = rng0.standard_normal(M) + 1j * rng0.standard_normal(M)
+    want = nudft1(c, x, N)
+    errs = []
+    for eps in (1e-3, 1e-6, 1e-9):
+        op = NUFFT.type1(jnp.asarray(x), N, eps=eps)
+        got = view_as_complex(op.apply(view_as_real(jnp.asarray(c))))
+        errs.append(_rel(got, want))
+    assert errs[0] > errs[2]
+    assert errs[2] < 1e-7
+
+
+class TestNUFFT1Conformance(ConformanceSuite):
+    @pytest.fixture
+    def op(self):
+        return NUFFT.type1(jnp.asarray(_pts(15, 2)), (6, 8), eps=1e-6)
+
+
+class TestNUFFT2Conformance(ConformanceSuite):
+    @pytest.fixture
+    def op(self):
+        return NUFFT.type2(jnp.asarray(_pts(15, 2)), (6, 8), eps=1e-6)
+
+
+class TestNUFFT3Conformance(ConformanceSuite):
+    @pytest.fixture
+    def op(self):
+        x = rng0.uniform(-1, 1, (10, 1))
+        z = rng0.uniform(-5, 5, (8, 1))
+        return NUFFT.type3(jnp.asarray(x), jnp.asarray(z), eps=1e-6)
+
+
+def test_type1_real_input():
+    M, N = 19, 12
+    x = _pts(M, 1)
+    c = rng0.standard_normal(M)
+    op = NUFFT.type1(jnp.asarray(x), N, eps=1e-7, real=True)
+    got = view_as_complex(op.apply(jnp.asarray(c)))
+    want = nudft1(c.astype(complex), x, N)
+    assert _rel(got, want) < 1e-5
+
+
+def test_type1_batch():
+    M, N = 17, 10
+    x = _pts(M, 1)
+    c = rng0.standard_normal((3, M)) + 1j * rng0.standard_normal((3, M))
+    op = NUFFT.type1(jnp.asarray(x), N, eps=1e-6)
+    got = op.apply(view_as_real(jnp.asarray(c)))
+    assert got.shape == (3, N, 2)
+    for b in range(3):
+        want = nudft1(c[b], x, N)
+        assert _rel(view_as_complex(got[b]), want) < 1e-4
