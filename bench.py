@@ -76,16 +76,20 @@ def run_tpu(y, k1, n_iters):
 
     # ONE solver + ONE stop-criterion instance: the second fit() reuses the
     # compiled while-loop segment (Solver._seg_cache), so the timed run
-    # measures pure iteration throughput.
-    slv = CondatVu(f=f, h=h, K=D, stop_rate=n_iters)
+    # measures pure iteration throughput.  Segments of 20 iterations keep
+    # each device program execution short (long single executions can trip
+    # the tunnel's worker watchdog in this environment).
+    seg = 20
+    slv = CondatVu(f=f, h=h, K=D, stop_rate=seg)
     crit = MaxIter(n_iters)
     x0 = jnp.asarray(y)
-    import sys; print("# compile+warmup start", file=sys.stderr, flush=True)
-    slv.fit(x0=x0, stop_crit=crit, max_iter=n_iters)
+    import sys
+    print("# compile+warmup start", file=sys.stderr, flush=True)
+    slv.fit(x0=x0, stop_crit=crit, max_iter=n_iters, segment_size=seg)
     jax.block_until_ready(slv.solution())
     print("# warmup done", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    slv.fit(x0=x0, stop_crit=crit, max_iter=n_iters)
+    slv.fit(x0=x0, stop_crit=crit, max_iter=n_iters, segment_size=seg)
     jax.block_until_ready(slv.solution())
     dt = time.perf_counter() - t0
     return n_iters / dt, np.asarray(slv.solution())

@@ -619,6 +619,31 @@ class LinOp(DiffMap):
         from pyxu_tpu.operator.linop.base import ExplicitLinOp
         return ExplicitLinOp(A, dim_rank=dim_rank)
 
+    def to_sciop(self, dtype=None):
+        """Export as a scipy.sparse.linalg.LinearOperator on flattened
+        vectors (reference: abc/operator.py:1392-1438) — for interop with
+        scipy's iterative solvers / eigensolvers."""
+        import scipy.sparse.linalg as spl
+        dtype = np.dtype(dtype) if dtype is not None else default_fdtype()
+
+        def mv(v):
+            x = jnp.asarray(np.asarray(v, dtype).reshape(self.dim_shape))
+            return np.asarray(jax.device_get(self.apply(x))).ravel()
+
+        def rmv(v):
+            y = jnp.asarray(np.asarray(v, dtype).reshape(self.codim_shape))
+            return np.asarray(jax.device_get(self.adjoint(y))).ravel()
+
+        def mm(V):
+            X = jnp.asarray(np.asarray(V, dtype).T.reshape(
+                (-1,) + tuple(self.dim_shape)))
+            Y = self.apply(X)
+            return np.asarray(jax.device_get(Y)).reshape(V.shape[1], -1).T
+
+        return spl.LinearOperator(
+            shape=(self.codim_size, self.dim_size), dtype=dtype,
+            matvec=mv, rmatvec=rmv, matmat=mm)
+
 
 class SquareOp(LinOp):
     """Endomorphism: dim_shape == codim_shape. Reference: abc/operator.py:1833-1891."""

@@ -301,6 +301,19 @@ class Solver:
     def workdir(self):
         return self._astate["wb_dir"]
 
+    @staticmethod
+    def read_checkpoint(folder):
+        """Load a ``writeback()`` checkpoint: returns (mstate dict, history).
+
+        The reference has no load path (resume is manual, SURVEY §5); here
+        ``fit(x0=mstate["x"], ...)`` resumes from the stored iterate.
+        """
+        data = np.load(pathlib.Path(folder) / "data.npz")
+        mstate = {k[len("mstate_"):]: data[k] for k in data.files
+                  if k.startswith("mstate_")}
+        history = data["history"] if "history" in data.files else None
+        return mstate, history
+
 
 def _records_to_struct(records):
     if not records:

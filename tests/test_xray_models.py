@@ -1,0 +1,78 @@
+"""Radon transform conformance + workload-recipe smoke/convergence tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conformance import ConformanceSuite
+from pyxu_tpu.operator.linop.xray import RadonTransform
+from pyxu_tpu.opt.stop import MaxIter, RelError
+
+
+class TestRadon(ConformanceSuite):
+    @pytest.fixture
+    def op(self):
+        angles = np.linspace(0, np.pi, 7, endpoint=False)
+        return RadonTransform((12, 12), angles, n_det=16, n_samples=16)
+
+    def test_point_source_sinogram(self):
+        """A centered point source projects to a centered peak per angle."""
+        angles = np.linspace(0, np.pi, 8, endpoint=False)
+        op = RadonTransform((33, 33), angles, n_det=33, n_samples=48)
+        img = jnp.zeros((33, 33)).at[16, 16].set(1.0)
+        sino = np.asarray(op.apply(img))
+        assert sino.shape == (8, 33)
+        for a in range(8):
+            assert abs(np.argmax(sino[a]) - 16) <= 1
+
+    def test_mass_preserved(self):
+        """Each projection integrates to (approximately) the image mass."""
+        angles = np.linspace(0, np.pi, 5, endpoint=False)
+        op = RadonTransform((24, 24), angles, n_det=40, n_samples=64)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((24, 24)), jnp.float32)
+        sino = np.asarray(op.apply(img))
+        mass = float(jnp.sum(img))
+        dt = float(op._t[1] - op._t[0])
+        for a in range(5):
+            assert abs(sino[a].sum() * dt - mass) / mass < 0.05
+
+
+def test_lasso_workload_converges():
+    from pyxu_tpu.models import lasso_deconvolution
+    slv, kw, aux = lasso_deconvolution(shape=(64, 64), lam=0.005)
+    slv.fit(stop_crit=RelError(eps=1e-7, var="x", rank=2) | MaxIter(1500),
+            max_iter=1500, **kw)
+    x = np.asarray(slv.solution())
+    err = np.linalg.norm(x - aux["x_true"]) / np.linalg.norm(aux["x_true"])
+    assert err < 0.6
+
+
+def test_ct_workload_converges():
+    from pyxu_tpu.models import sparse_view_ct
+    slv, kw, aux = sparse_view_ct(shape=(48, 48), n_angles=24, lam=0.005)
+    slv.fit(stop_crit=RelError(eps=1e-6, var="x", rank=2) | MaxIter(300),
+            max_iter=300, **kw)
+    x = np.asarray(slv.solution())
+    assert np.all(x >= -1e-5)  # positivity enforced
+    err = np.linalg.norm(x - aux["x_true"]) / np.linalg.norm(aux["x_true"])
+    assert err < 0.4
+
+
+def test_ri_workload_converges():
+    from pyxu_tpu.models import radio_interferometry
+    slv, kw, aux = radio_interferometry(shape=(32, 32), n_vis=800, lam=0.02)
+    slv.fit(stop_crit=RelError(eps=1e-6, var="x", rank=3) | MaxIter(200),
+            max_iter=200, **kw)
+    x = np.asarray(slv.solution())[..., 0]
+    err = np.linalg.norm(x - aux["x_true"]) / np.linalg.norm(aux["x_true"])
+    assert err < 0.5
+
+
+def test_consensus_workload_smoke():
+    from pyxu_tpu.models import consensus_tiles
+    slv, kw, aux = consensus_tiles(tile=(16, 16), n_tiles=8)
+    slv.fit(stop_crit=RelError(eps=1e-6, var="z", rank=2) | MaxIter(300),
+            max_iter=300, **kw)
+    z = np.asarray(slv.solution())
+    assert z.shape == (16, 16) and np.isfinite(z).all()
