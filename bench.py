@@ -76,10 +76,11 @@ def run_tpu(y, k1, n_iters):
 
     # ONE solver + ONE stop-criterion instance: the second fit() reuses the
     # compiled while-loop segment (Solver._seg_cache), so the timed run
-    # measures pure iteration throughput.  Segments of 20 iterations keep
-    # each device program execution short (long single executions can trip
-    # the tunnel's worker watchdog in this environment).
-    seg = 20
+    # measures pure iteration throughput.  With ~2 ms/iteration the whole
+    # 200-iteration solve is a single short device program (long-running
+    # programs — minutes — can trip this environment's worker watchdog, but
+    # 0.4 s is far below that).
+    seg = n_iters
     slv = CondatVu(f=f, h=h, K=D, stop_rate=seg)
     crit = MaxIter(n_iters)
     x0 = jnp.asarray(y)
