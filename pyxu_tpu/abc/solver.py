@@ -137,6 +137,25 @@ class Solver:
         self._astate["logger"] = logger
 
     # ------------------------------------------------------- jitted segment --
+    def _op_operands(self) -> dict:
+        """Operator-valued attributes, passed to the jitted segment as pytree
+        ARGUMENTS rather than closure constants — large operator data
+        (NUFFT tap tables, explicit matrices) must not be baked into the
+        compiled program."""
+        from pyxu_tpu.abc.operator import Operator
+        return {k: v for k, v in self.__dict__.items()
+                if isinstance(v, Operator)}
+
+    def _with_ops(self, ops: dict, fn, *args):
+        """Run ``fn`` with self's operator attributes temporarily replaced by
+        (traced) ``ops`` — trace-time only."""
+        old = {k: self.__dict__[k] for k in ops}
+        self.__dict__.update(ops)
+        try:
+            return fn(*args)
+        finally:
+            self.__dict__.update(old)
+
     def _build_segment(self, cstate0):
         stop = self._astate["stop_crit"]
         stop_rate = self._stop_rate
@@ -163,23 +182,29 @@ class Solver:
                 for name, sd in metric_shapes.items()
             }
 
-        def seg_fn(mstate, cstate, k, stopped, hist, hist_n, k_end):
-            def cond(carry):
-                mstate, cstate, k, stopped, hist, hist_n = carry
-                return jnp.logical_and(jnp.logical_not(stopped), k < k_end)
+        def seg_fn(ops, mstate, cstate, k, stopped, hist, hist_n, k_end):
+            def run():
+                def cond(carry):
+                    mstate, cstate, k, stopped, hist, hist_n = carry
+                    return jnp.logical_and(jnp.logical_not(stopped), k < k_end)
 
-            def body(carry):
-                mstate, cstate, k, stopped, hist, hist_n = carry
-                mstate = jax.lax.fori_loop(0, stop_rate, lambda i, s: self.m_step(s), mstate)
-                k = k + stop_rate
-                cstate, stop_now, metrics = check(mstate, cstate, k)
-                hist = {
-                    name: hist[name].at[hist_n].set(metrics[name])
-                    for name in hist
-                }
-                return (mstate, cstate, k, stop_now, hist, hist_n + 1)
+                def body(carry):
+                    mstate, cstate, k, stopped, hist, hist_n = carry
+                    mstate = jax.lax.fori_loop(
+                        0, stop_rate, lambda i, s: self.m_step(s), mstate)
+                    k = k + stop_rate
+                    cstate, stop_now, metrics = check(mstate, cstate, k)
+                    hist = {
+                        name: hist[name].at[hist_n].set(metrics[name])
+                        for name in hist
+                    }
+                    return (mstate, cstate, k, stop_now, hist, hist_n + 1)
 
-            return jax.lax.while_loop(cond, body, (mstate, cstate, k, stopped, hist, hist_n))
+                return jax.lax.while_loop(
+                    cond, body, (mstate, cstate, k, stopped, hist, hist_n))
+
+            # operator data rides as traced arguments (see _op_operands)
+            return self._with_ops(ops, run)
 
         return jax.jit(seg_fn), make_hist
 
@@ -199,11 +224,12 @@ class Solver:
             seg_fn, make_hist = self._build_segment(cstate)
             self._seg_cache = (key, seg_fn, make_hist)
         hist = make_hist()
+        ops = self._op_operands()
         mstate, k, stopped, hist_n = self._mstate, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)
         while True:
             k_end = min(int(k) + self._segment, self._max_iter)
             mstate, cstate, k, stopped, hist, hist_n = seg_fn(
-                mstate, cstate, k, stopped, hist, hist_n, jnp.asarray(k_end)
+                ops, mstate, cstate, k, stopped, hist, hist_n, jnp.asarray(k_end)
             )
             # --- host round-trip: one sync per segment ---
             k_host = int(k)
@@ -246,15 +272,18 @@ class Solver:
         cstate = stop.init_state(self._mstate)
 
         @jax.jit
-        def one(mstate, cstate, k):
-            mstate = self.m_step(mstate)
-            cstate, stop_now, metrics = stop.update(cstate, mstate, k + 1)
-            return mstate, cstate, stop_now, metrics
+        def one(ops, mstate, cstate, k):
+            def run():
+                m = self.m_step(mstate)
+                cs, stop_now, metrics = stop.update(cstate, m, k + 1)
+                return m, cs, stop_now, metrics
+            return self._with_ops(ops, run)
 
+        ops = self._op_operands()
         k = 0
         records = []
         while (n is None or k < n) and k < self._max_iter:
-            self._mstate, cstate, stop_now, metrics = one(self._mstate, cstate, jnp.asarray(k))
+            self._mstate, cstate, stop_now, metrics = one(ops, self._mstate, cstate, jnp.asarray(k))
             k += 1
             records.append({m: np.asarray(jax.device_get(v)) for m, v in
                             {"iteration": jnp.asarray(k), **metrics}.items()})

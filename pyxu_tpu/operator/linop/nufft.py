@@ -102,6 +102,28 @@ def _tap_weights(x_nd, n_fs, w, beta):
     return idxs, wts
 
 
+def _tap_weights_np(x_nd, n_fs, w, beta):
+    """Host-side (numpy) tap precompute — plan construction must not issue
+    eager device ops (each costs an RPC on remote backends)."""
+    x_nd = np.asarray(x_nd, np.float64)
+    d = x_nd.shape[1]
+    idxs, wts = [], []
+    t = np.arange(w)
+    for ax in range(d):
+        n_f = n_fs[ax]
+        h = 2 * np.pi / n_f
+        xs = x_nd[:, ax] / h
+        i0 = np.ceil(xs - w / 2.0).astype(np.int64)
+        idx = i0[:, None] + t[None, :]
+        z = (idx - xs[:, None]) * (2.0 / w)
+        phi = np.where(np.abs(z) <= 1.0,
+                       np.exp(beta * (np.sqrt(np.clip(1 - z * z, 0, None)) - 1.0)),
+                       0.0)
+        idxs.append(jnp.asarray(np.mod(idx, n_f), jnp.int32))
+        wts.append(jnp.asarray(phi, jnp.float32))
+    return idxs, wts
+
+
 def _interp(g, idxs, wts):
     """Gather from fine grid g (complex, shape n_fs) at tap products.
     Returns (M,) complex."""
@@ -173,9 +195,9 @@ class _NUFFT12(LinOp):
         self._w, self._beta, self._eps = w, beta, float(eps)
         self._real_in = bool(real_in)
         self._nf = tuple(max(next_fast_len(int(2 * n)), 2 * w + 1) for n in N)
-        # fold points into [0, 2pi)
-        x = jnp.mod(x, 2 * jnp.pi)
-        self._x = x
+        # fold points into [0, 2pi) — host-side (plan must not touch device)
+        xh = np.mod(np.asarray(jax.device_get(x), np.float64), 2 * np.pi)
+        self._x = jnp.asarray(xh, jnp.float32)
         # deconvolution factors: outer product of per-dim phihat
         ph = 1.0
         for ax in range(d):
@@ -184,7 +206,7 @@ class _NUFFT12(LinOp):
             shape[ax] = N[ax]
             ph = ph * f.reshape(shape)
         self._phihat = jnp.asarray(1.0 / ph)  # (*N,) float64->default
-        idxs, wts = _tap_weights(x, self._nf, w, beta)
+        idxs, wts = _tap_weights_np(xh, self._nf, w, beta)
         self._idxs = tuple(idxs)
         self._wts = tuple(wts)
         dim = (M,) if real_in else (M, 2)
@@ -347,7 +369,7 @@ class _NUFFT3(LinOp):
 
         # taps/weights: x' on the angle ring (spacing h), s' on the freq ring
         # (spacing 1; DFT bin = index mod n)
-        idxs_x, wts_x = _tap_weights(jnp.asarray(np.mod(xp, 2 * np.pi)), nf, w, beta)
+        idxs_x, wts_x = _tap_weights_np(np.mod(xp, 2 * np.pi), nf, w, beta)
         self._idxs_x = tuple(idxs_x)
         self._wts_x = tuple(wts_x)
         idxs_s, wts_s = [], []
