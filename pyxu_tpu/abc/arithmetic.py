@@ -477,6 +477,10 @@ class ChainMixin:
         if self._lhs.has(P.PROXIMABLE) and self._rhs.has(P.LINEAR_UNITARY):
             arr = jnp.asarray(arr)
             return self._rhs.adjoint(self._lhs.prox(self._rhs.apply(arr), tau))
+        if self.has(P.LINEAR, P.FUNCTIONAL):
+            # linear functional <w, x>: prox = x - tau w
+            from pyxu_tpu.abc.operator import LinFunc
+            return LinFunc.prox(self, arr, tau)
         raise NotImplementedError
 
     def jacobian(self, arr):
