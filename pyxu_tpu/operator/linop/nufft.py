@@ -129,6 +129,8 @@ def _interp(g, idxs, wts):
     Returns (M,) complex."""
     d = len(idxs)
     M, w = idxs[0].shape
+    if d == 2 and _use_mm():
+        return _interp_mm2(g, idxs, wts)
     wts = [w_.astype(g.real.dtype) for w_ in wts]  # keep caller's precision
     if d == 1:
         vals = g[idxs[0]]                        # (M, w)
@@ -147,9 +149,102 @@ def _interp(g, idxs, wts):
     raise ValueError("d must be 1, 2 or 3")
 
 
+def _use_mm() -> bool:
+    """MXU spreading: on TPU, scatter/gather are slow; the one-hot-matmul
+    formulation below runs on the systolic array instead (~2 orders of
+    magnitude faster at radio-interferometry scale).  Auto-enabled on TPU,
+    overridable with PYXU_TPU_NUFFT_MM=0/1."""
+    import os
+    v = os.environ.get("PYXU_TPU_NUFFT_MM")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+_MM_CHUNK = 16384
+
+
+def _onehot_w(idx, wt, n, dtype):
+    """U[j, a] = sum_s wt[j, s] . (a == idx[j, s]) — (Mc, n) tap matrix built
+    with w VPU passes (no scatter)."""
+    M, w = idx.shape
+    a = jnp.arange(n, dtype=idx.dtype)
+    U = jnp.zeros((M, n), dtype)
+    for s in range(w):
+        U = U + wt[:, s:s + 1].astype(dtype) * (idx[:, s:s + 1] == a[None, :]).astype(dtype)
+    return U
+
+
+def _spread_mm2(c, idxs, wts, n_fs):
+    r"""2-D spreading as chunked dense matmuls:
+    g = sum_chunks (U . c)^T V with U (Mc, n1), V (Mc, n2) tap matrices.
+    FLOPs 2 M n1 n2 on the MXU — the TPU-native replacement for the
+    scatter-add (cf. FINUFFT's binned spreader)."""
+    n1, n2 = n_fs
+    M = c.shape[0]
+    dtype = c.real.dtype
+    pad = (-M) % _MM_CHUNK
+    cp = jnp.pad(c, (0, pad))
+    i0 = jnp.pad(idxs[0], ((0, pad), (0, 0)))
+    i1 = jnp.pad(idxs[1], ((0, pad), (0, 0)), constant_values=0)
+    w0 = jnp.pad(wts[0], ((0, pad), (0, 0)))
+    w1 = jnp.pad(wts[1], ((0, pad), (0, 0)))
+    n_chunks = cp.shape[0] // _MM_CHUNK
+
+    def body(carry, args):
+        g_re, g_im = carry
+        cc, ia, ib, wa, wb = args
+        U = _onehot_w(ia, wa, n1, dtype)            # (Mc, n1)
+        V = _onehot_w(ib, wb, n2, dtype)            # (Mc, n2)
+        Ur = U * cc.real[:, None]
+        Ui = U * cc.imag[:, None]
+        g_re = g_re + jax.lax.dot_general(
+            Ur, V, (((0,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
+        g_im = g_im + jax.lax.dot_general(
+            Ui, V, (((0,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
+        return (g_re, g_im), None
+
+    args = tuple(a.reshape((n_chunks, _MM_CHUNK) + a.shape[1:])
+                 for a in (cp, i0, i1, w0, w1))
+    (g_re, g_im), _ = jax.lax.scan(
+        body, (jnp.zeros((n1, n2), dtype), jnp.zeros((n1, n2), dtype)), args)
+    return g_re + 1j * g_im
+
+
+def _interp_mm2(g, idxs, wts):
+    r"""2-D interpolation as chunked matmuls: c_j = row_j(U G) . V_j."""
+    n1, n2 = g.shape
+    M = idxs[0].shape[0]
+    dtype = g.real.dtype
+    pad = (-M) % _MM_CHUNK
+    i0 = jnp.pad(idxs[0], ((0, pad), (0, 0)))
+    i1 = jnp.pad(idxs[1], ((0, pad), (0, 0)))
+    w0 = jnp.pad(wts[0], ((0, pad), (0, 0)))
+    w1 = jnp.pad(wts[1], ((0, pad), (0, 0)))
+    n_chunks = i0.shape[0] // _MM_CHUNK
+
+    def body(_, args):
+        ia, ib, wa, wb = args
+        U = _onehot_w(ia, wa, n1, dtype)
+        V = _onehot_w(ib, wb, n2, dtype)
+        TR = jax.lax.dot_general(U, g.real, (((1,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+        TI = jax.lax.dot_general(U, g.imag, (((1,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+        out = jnp.sum(TR * V, axis=1) + 1j * jnp.sum(TI * V, axis=1)
+        return None, out
+
+    args = tuple(a.reshape((n_chunks, _MM_CHUNK) + a.shape[1:])
+                 for a in (i0, i1, w0, w1))
+    _, outs = jax.lax.scan(body, None, args)
+    return outs.reshape(-1)[:M]
+
+
 def _spread(c, idxs, wts, n_fs):
     """Scatter-add point strengths c (M,) complex onto the fine grid."""
     d = len(idxs)
+    if d == 2 and _use_mm():
+        return _spread_mm2(c, idxs, wts, n_fs)
     wts = [w_.astype(c.real.dtype) for w_ in wts]  # keep caller's precision
     g = jnp.zeros(tuple(n_fs), dtype=c.dtype)
     if d == 1:
