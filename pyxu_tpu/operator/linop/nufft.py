@@ -549,6 +549,132 @@ class _NUFFT3(LinOp):
         return (f"NUFFT3[d={self._d}, M={self._M}, K={self._K}]",)
 
 
+class _NUFFT3Chunked(LinOp):
+    r"""Domain-partitioned type-3 (reference `_NUFFT3_chunked`,
+    nufft.py:2027-2213): the x-domain is split into P clusters and the
+    z-domain into Q clusters by recursive coordinate bisection (the
+    reference's `auto_chunk` hierarchical clustering, :1124-1235, simplified
+    to median splits); each (p, q) pair gets its own small-grid `_NUFFT3`
+    plan, and
+
+        f[q] = sum_p  A_pq c[p]        (tree-sum per z-block)
+
+    Because each sub-plan's fine grid scales with the *local*
+    space-bandwidth product, the per-block FFT memory meets the requested
+    budget — the same contract as the reference's `allocate(fft_mem)`.
+    On a mesh the independent (p, q) blocks are data-parallel (XLA
+    parallelizes the independent sub-programs; sharding the block loop over
+    devices is the multi-chip growth path, SURVEY §2.4).
+    """
+
+    _data_fields = ("_blocks",)
+
+    def __init__(self, x, z, isign: int = +1, eps: float = 1e-6,
+                 fft_mem_mb: float = 64.0, max_blocks: int = 16):
+        x = jnp.asarray(x)
+        z = jnp.asarray(z)
+        if x.ndim == 1:
+            x = x[:, None]
+        if z.ndim == 1:
+            z = z[:, None]
+        M, d = x.shape
+        K, _ = z.shape
+        super().__init__((M, 2), (K, 2))
+        xh = np.asarray(jax.device_get(x), np.float64)
+        zh = np.asarray(jax.device_get(z), np.float64)
+        w, _beta = _es_params(eps)
+
+        def grid_mb(xb, zb):
+            X = np.maximum(np.abs(xb).max(axis=0), 1e-9)
+            S = np.maximum(np.abs(zb).max(axis=0), 1e-9)
+            gamma = 2.0 * X / np.pi
+            sp = np.abs(zb * gamma).max(axis=0)
+            nf = [max(next_fast_len(int(4 * (sm + w + 2))), 4 * w + 8) for sm in sp]
+            return np.prod(nf) * 8 / 1e6  # complex64 grid
+
+        def bisect(pts, idx, budget_fn, depth=0):
+            if budget_fn(idx) or len(idx) <= 8 or depth >= 4:
+                return [idx]
+            ext = pts[idx].max(axis=0) - pts[idx].min(axis=0)
+            ax = int(np.argmax(ext))
+            med = np.median(pts[idx, ax])
+            lo = idx[pts[idx, ax] <= med]
+            hi = idx[pts[idx, ax] > med]
+            if len(lo) == 0 or len(hi) == 0:
+                return [idx]
+            return bisect(pts, lo, budget_fn, depth + 1) + \
+                bisect(pts, hi, budget_fn, depth + 1)
+
+        # alternate splitting x and z until every pair fits the budget
+        x_parts = [np.arange(M)]
+        z_parts = [np.arange(K)]
+        for _ in range(5):
+            worst = max(grid_mb(xh[ip], zh[iq])
+                        for ip in x_parts for iq in z_parts)
+            if worst <= fft_mem_mb or len(x_parts) * len(z_parts) >= max_blocks:
+                break
+            if len(x_parts) <= len(z_parts):
+                x_parts = [p for ip in x_parts
+                           for p in bisect(xh, ip, lambda i: False, depth=3)]
+            else:
+                z_parts = [p for iq in z_parts
+                           for p in bisect(zh, iq, lambda i: False, depth=3)]
+        self._x_parts = tuple(tuple(int(i) for i in p) for p in x_parts)
+        self._z_parts = tuple(tuple(int(i) for i in p) for p in z_parts)
+        self._blocks = tuple(
+            tuple(_NUFFT3(jnp.asarray(xh[list(ip)]), jnp.asarray(zh[list(iq)]),
+                          isign=isign, eps=eps)
+                  for ip in self._x_parts)
+            for iq in self._z_parts
+        )
+        self._lipschitz = float(np.sqrt(M * K))
+        self._name = f"NUFFT3Chunked[{len(self._x_parts)}x{len(self._z_parts)}]"
+
+    def stats(self) -> dict:
+        """Per-block partition info (reference: nufft.py:1270-1363)."""
+        return {
+            "n_x_blocks": len(self._x_parts),
+            "n_z_blocks": len(self._z_parts),
+            "x_block_sizes": [len(p) for p in self._x_parts],
+            "z_block_sizes": [len(p) for p in self._z_parts],
+        }
+
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+
+        def single(a):
+            out = jnp.zeros((self.codim_shape[0], 2), a.dtype)
+            for qi, iq in enumerate(self._z_parts):
+                acc = None
+                for pi, ip in enumerate(self._x_parts):
+                    cp = a[jnp.asarray(ip, jnp.int32)]
+                    t = self._blocks[qi][pi].apply(cp)
+                    acc = t if acc is None else acc + t
+                out = out.at[jnp.asarray(iq, jnp.int32)].set(acc)
+            return out
+
+        return self._map_batched(single, arr, 2, self.codim_shape)
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+
+        def single(a):
+            out = jnp.zeros((self.dim_shape[0], 2), a.dtype)
+            for pi, ip in enumerate(self._x_parts):
+                acc = None
+                for qi, iq in enumerate(self._z_parts):
+                    fq = a[jnp.asarray(iq, jnp.int32)]
+                    t = self._blocks[qi][pi].adjoint(fq)
+                    acc = t if acc is None else acc + t
+                out = out.at[jnp.asarray(ip, jnp.int32)].set(acc)
+            return out
+
+        return self._map_batched(single, arr, 2, self.dim_shape)
+
+    def _expr(self):
+        return (self._name,)
+
+
 # ----------------------------------------------------------- public API ----
 
 class NUFFT:
@@ -563,7 +689,14 @@ class NUFFT:
         return _NUFFT2(x, N, isign=isign, eps=eps)
 
     @staticmethod
-    def type3(x, z, isign: int = +1, eps: float = 1e-6):
+    def type3(x, z, isign: int = +1, eps: float = 1e-6, chunked: bool = False,
+              fft_mem_mb: float = 64.0, max_blocks: int = 16):
+        """chunked=True: domain-partitioned plan with per-block FFT-memory
+        budget (reference `_NUFFT3_chunked` + `auto_chunk`/`allocate`,
+        nufft.py:1124-1269, 2027-2213)."""
+        if chunked:
+            return _NUFFT3Chunked(x, z, isign=isign, eps=eps,
+                                  fft_mem_mb=fft_mem_mb, max_blocks=max_blocks)
         return _NUFFT3(x, z, isign=isign, eps=eps)
 
 

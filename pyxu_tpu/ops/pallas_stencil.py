@@ -61,9 +61,10 @@ def _kernel(x_hbm, out_ref, scratch, sems, *, TH, H, W, Wp, kh, kw, ch, cw):
     x = scratch[slot]  # (win, Wp) f32, already zero-padded in both axes
 
     # vertical pass: out_v[r, :] = sum_t kh[t] * x[r + t, :], r in [0, TH)
+    # (static slices: Mosaic has no dynamic_slice lowering)
     acc = jnp.zeros((TH, Wp), jnp.float32)
     for t in range(len(kh)):
-        acc = acc + kh[t] * jax.lax.dynamic_slice(x, (t, 0), (TH, Wp))
+        acc = acc + kh[t] * x[t:t + TH, :]
     # horizontal pass via lateral rolls (kw taps); input cols pre-padded by cw
     out = jnp.zeros((TH, Wp), jnp.float32)
     for t in range(len(kw)):

@@ -1,0 +1,60 @@
+"""Chunked (domain-partitioned) type-3 NUFFT (reference `_NUFFT3_chunked`,
+src/pyxu/operator/linop/fft/nufft.py:2027-2213)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyxu_tpu.operator.linop.nufft import NUFFT, nudft3
+from pyxu_tpu.utils.complex import view_as_complex, view_as_real
+
+rng0 = np.random.default_rng(113)
+
+
+def _rel(a, b):
+    return np.linalg.norm(np.asarray(a).ravel() - np.asarray(b).ravel()) / \
+        np.linalg.norm(np.asarray(b).ravel())
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_chunked_matches_direct(d):
+    M, K = 300, 200
+    x = rng0.uniform(-3, 3, (M, d))
+    z = rng0.uniform(-25, 25, (K, d))
+    c = rng0.standard_normal(M) + 1j * rng0.standard_normal(M)
+    budget = {1: 0.0005, 2: 0.02}[d]  # force splits at these tiny sizes
+    op = NUFFT.type3(jnp.asarray(x), jnp.asarray(z), eps=1e-7,
+                     chunked=True, fft_mem_mb=budget)
+    st = op.stats()
+    assert st["n_x_blocks"] * st["n_z_blocks"] > 1  # budget forces a split
+    got = view_as_complex(op.apply(view_as_real(jnp.asarray(c))))
+    want = nudft3(c, x, z)
+    assert _rel(got, want) < 1e-4
+
+
+def test_chunked_adjoint_dot():
+    M, K = 120, 90
+    x = rng0.uniform(-2, 2, (M, 2))
+    z = rng0.uniform(-15, 15, (K, 2))
+    op = NUFFT.type3(jnp.asarray(x), jnp.asarray(z), eps=1e-6,
+                     chunked=True, fft_mem_mb=0.02)
+    c = view_as_real(jnp.asarray(
+        rng0.standard_normal(M) + 1j * rng0.standard_normal(M)))
+    f = view_as_real(jnp.asarray(
+        rng0.standard_normal(K) + 1j * rng0.standard_normal(K)))
+    d1 = float(jnp.vdot(op.apply(c).ravel(), f.ravel()))
+    d2 = float(jnp.vdot(c.ravel(), op.adjoint(f).ravel()))
+    assert abs(d1 - d2) <= 1e-6 * max(abs(d1), 1.0)
+
+
+def test_chunked_matches_monolithic():
+    M, K = 150, 100
+    x = rng0.uniform(-2, 2, (M, 1))
+    z = rng0.uniform(-30, 30, (K, 1))
+    c = jnp.asarray(rng0.standard_normal(M) + 1j * rng0.standard_normal(M))
+    mono = NUFFT.type3(jnp.asarray(x), jnp.asarray(z), eps=1e-7)
+    chnk = NUFFT.type3(jnp.asarray(x), jnp.asarray(z), eps=1e-7,
+                       chunked=True, fft_mem_mb=0.01)
+    a = mono.apply(view_as_real(c))
+    b = chnk.apply(view_as_real(c))
+    assert np.allclose(a, b, atol=1e-5)
