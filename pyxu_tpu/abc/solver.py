@@ -228,9 +228,19 @@ class Solver:
         mstate, k, stopped, hist_n = self._mstate, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)
         while True:
             k_end = min(int(k) + self._segment, self._max_iter)
-            mstate, cstate, k, stopped, hist, hist_n = seg_fn(
-                ops, mstate, cstate, k, stopped, hist, hist_n, jnp.asarray(k_end)
-            )
+            try:
+                mstate, cstate, k, stopped, hist, hist_n = seg_fn(
+                    ops, mstate, cstate, k, stopped, hist, hist_n, jnp.asarray(k_end)
+                )
+            except Exception:
+                # crash-proof iterations (reference: abc/solver.py:653-663):
+                # log the traceback, keep the last good state, end the fit
+                # gracefully so partial results/checkpoints survive.
+                import traceback
+                if logger is not None:
+                    logger.error("solver segment raised; stopping fit:\n%s",
+                                 traceback.format_exc())
+                break
             # --- host round-trip: one sync per segment ---
             k_host = int(k)
             stopped_host = bool(stopped)
