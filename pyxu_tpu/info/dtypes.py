@@ -39,6 +39,8 @@ __all__ = [
     "set_default_width",
     "enable_x64",
     "lowered_matmul_precision",
+    "coerce",
+    "enforce_precision",
     "atol_for",
 ]
 
@@ -124,6 +126,47 @@ def lowered_matmul_precision(precision: str = "default"):
     """Locally relax matmul precision (e.g. bf16 MXU passes) for speed."""
     with jax.default_matmul_precision(precision):
         yield
+
+
+def coerce(arr):
+    """Cast an array to the current default width (reference
+    `coerce`, runtime/_runtime.py:213-245): floats -> default_fdtype,
+    complex -> default_cdtype, integers/bools promoted to the real width."""
+    arr = jnp.asarray(arr)
+    if jnp.issubdtype(arr.dtype, jnp.complexfloating):
+        return arr.astype(default_cdtype())
+    return arr.astype(default_fdtype())
+
+
+def enforce_precision(i=(), o: bool = True):
+    """Decorator coercing chosen arguments (by name) and the output to the
+    active precision (reference `@enforce_precision`,
+    runtime/_runtime.py:139-200).  Inside jit the casts trace to no-ops when
+    dtypes already match.
+
+    >>> @enforce_precision(i="arr")
+    ... def apply(self, arr): ...
+    """
+    import functools
+    import inspect as _inspect
+
+    names = (i,) if isinstance(i, str) else tuple(i)
+
+    def deco(fn):
+        sig = _inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            ba = sig.bind(*args, **kwargs)
+            for n in names:
+                if n in ba.arguments and ba.arguments[n] is not None:
+                    ba.arguments[n] = coerce(ba.arguments[n])
+            out = fn(*ba.args, **ba.kwargs)
+            return coerce(out) if o else out
+
+        return wrapped
+
+    return deco
 
 
 def atol_for(dtype) -> float:
