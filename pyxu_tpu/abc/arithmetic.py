@@ -299,7 +299,9 @@ def argshift(op: Operator, shift) -> Operator:
         Qs = Q.apply(shift)
         c_vec_shift = ExplicitLinFunc(Qs)
         c_new = add(c, c_vec_shift)
-        t_new = float(0.5 * jnp.sum(shift * Qs) + c.apply(shift) + t)
+        # keep t traced (a jnp scalar): float() here would break under jit
+        # (asloss(data) with traced data) and force a device sync
+        t_new = 0.5 * jnp.sum(shift * Qs) + c.apply(shift) + t
         return QuadraticFunc(op.dim_shape, Q=Q, c=c_new, t=t_new)
     return _make(ArgShiftMixin, _argshift_properties(op), op, shift)
 
@@ -499,6 +501,26 @@ class ChainMixin:
                 self._lhs.estimate_lipschitz(**kw) * self._rhs.estimate_lipschitz(**kw)
             )
         return self._lipschitz
+
+    def estimate_diff_lipschitz(self, **kw):
+        """dL bounds through composition (reference ChainRule semantics):
+        linear chain -> 0; f o K with K linear -> dL_f . ||K||^2;
+        K o g with K linear -> ||K|| . dL_g; general case has no clean
+        bound -> product heuristic of the operands' estimates."""
+        if self.has(P.LINEAR):
+            self._diff_lipschitz = 0.0
+        elif self._rhs.has(P.LINEAR):
+            Lr = self._rhs.estimate_lipschitz(**kw)
+            self._diff_lipschitz = self._lhs.estimate_diff_lipschitz(**kw) * Lr**2
+        elif self._lhs.has(P.LINEAR):
+            Ll = self._lhs.estimate_lipschitz(**kw)
+            self._diff_lipschitz = Ll * self._rhs.estimate_diff_lipschitz(**kw)
+        else:
+            self._diff_lipschitz = (
+                self._lhs.estimate_diff_lipschitz(**kw)
+                * self._rhs.estimate_diff_lipschitz(**kw)
+            )
+        return self._diff_lipschitz
 
     def asarray(self, dtype=None):
         L = self._lhs.asarray(dtype=dtype).reshape(self._lhs.codim_size, self._lhs.dim_size)

@@ -364,6 +364,8 @@ class Map(Operator):
         self._lipschitz = float(L)
 
     def estimate_lipschitz(self, **kwargs) -> float:
+        if _math.isfinite(self._lipschitz):
+            return self._lipschitz  # a declared constant IS an estimate
         raise NotImplementedError(
             f"{self._name}: no generic Lipschitz estimator for non-linear maps"
         )
@@ -408,6 +410,8 @@ class DiffMap(Map):
         self._diff_lipschitz = float(dL)
 
     def estimate_diff_lipschitz(self, **kwargs) -> float:
+        if _math.isfinite(self._diff_lipschitz):
+            return self._diff_lipschitz  # a declared constant IS an estimate
         raise NotImplementedError(
             f"{self._name}: no generic diff-Lipschitz estimator for non-linear maps"
         )
@@ -475,18 +479,20 @@ class QuadraticFunc(ProxDiffFunc):
     loop (the reference nests its CG solver: abc/operator.py:1273-1291).
     """
 
-    _data_fields = ("_Q", "_c")
+    _data_fields = ("_Q", "_c", "_t")
 
     @classmethod
     def properties(cls) -> frozenset:
         return ProxDiffFunc.properties() | {Property.QUADRATIC}
 
-    def __init__(self, dim_shape, codim_shape=(), Q: "PosDefOp" = None, c: "LinFunc" = None, t: float = 0.0):
+    def __init__(self, dim_shape, codim_shape=(), Q: "PosDefOp" = None, c: "LinFunc" = None, t=0.0):
         super().__init__(dim_shape, codim_shape)
         from pyxu_tpu.operator.linop.base import IdentityOp, NullFunc
         self._Q = IdentityOp(dim_shape) if Q is None else Q
         self._c = NullFunc(dim_shape) if c is None else c
-        self._t = float(t)
+        # t is a data leaf (may be traced, e.g. argshift with traced data)
+        self._t = jnp.asarray(t, default_fdtype()) if not hasattr(t, "dtype") \
+            else t
         self._lipschitz = _math.inf
         self._diff_lipschitz = self._Q.lipschitz
 
@@ -547,6 +553,12 @@ class LinOp(DiffMap):
 
     def jacobian(self, arr) -> "LinOp":
         return self
+
+    def estimate_diff_lipschitz(self, **kwargs) -> float:
+        """Linear maps have constant Jacobians: diff-Lipschitz is exactly 0
+        (composite estimators recurse into linear operands)."""
+        self._diff_lipschitz = 0.0
+        return 0.0
 
     @property
     def T(self) -> "LinOp":

@@ -93,6 +93,10 @@ class Solver:
         (default: writeback/verbosity cadence, else the whole solve).
         """
         self._astate["mode"] = mode
+        # stale ASYNC state (a cleared Event from a stop()) must not truncate
+        # a later BLOCK/MANUAL fit
+        self._astate["active"] = None
+        self._astate["worker"] = None
         self._fit_init(stop_crit, max_iter, segment_size, track_objective)
         self._mstate = self.m_init(**m_init_kwargs)
         if mode is Mode.BLOCK:
@@ -116,8 +120,6 @@ class Solver:
         self._track_objective = bool(track_objective)
         cadence = [s for s in (self._writeback_rate, self._verbosity) if s]
         self._segment = int(segment_size or (min(cadence) if cadence else self._max_iter))
-        logger = logging.getLogger(f"pyxu_tpu.{type(self).__name__}.{id(self):x}")
-        logger.setLevel(logging.DEBUG)
         if self._folder is not None:
             wb = pathlib.Path(self._folder).expanduser().resolve()
             wb.mkdir(parents=True, exist_ok=self._exist_ok)
@@ -126,6 +128,11 @@ class Solver:
         else:
             wb = None
         self._astate["wb_dir"] = wb
+        # logger identity includes the workdir so a re-fit with a new folder
+        # gets its own solver.log (not appended to the first run's)
+        logger = logging.getLogger(
+            f"pyxu_tpu.{type(self).__name__}.{id(self):x}.{wb or 'nolog'}")
+        logger.setLevel(logging.DEBUG)
         if wb is not None and not logger.handlers:
             fh = logging.FileHandler(wb / "solver.log")
             fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
@@ -229,21 +236,23 @@ class Solver:
         while True:
             k_end = min(int(k) + self._segment, self._max_iter)
             try:
-                mstate, cstate, k, stopped, hist, hist_n = seg_fn(
+                # dispatch is async: a runtime failure inside the segment
+                # surfaces at the first blocking host read below, so the
+                # sync must be INSIDE the guard for the last good state to
+                # survive (reference crash-proofing: abc/solver.py:653-663).
+                new_state = seg_fn(
                     ops, mstate, cstate, k, stopped, hist, hist_n, jnp.asarray(k_end)
                 )
+                # --- host round-trip: one sync per segment ---
+                k_host = int(new_state[2])
+                stopped_host = bool(new_state[3])
             except Exception:
-                # crash-proof iterations (reference: abc/solver.py:653-663):
-                # log the traceback, keep the last good state, end the fit
-                # gracefully so partial results/checkpoints survive.
                 import traceback
                 if logger is not None:
                     logger.error("solver segment raised; stopping fit:\n%s",
                                  traceback.format_exc())
                 break
-            # --- host round-trip: one sync per segment ---
-            k_host = int(k)
-            stopped_host = bool(stopped)
+            mstate, cstate, k, stopped, hist, hist_n = new_state
             if logger is not None and (self._verbosity or self._show_progress):
                 idx = max(int(hist_n) - 1, 0)
                 msg = ", ".join(
@@ -254,15 +263,25 @@ class Solver:
             if self._writeback_rate is not None:
                 self._mstate = mstate
                 self.writeback()
+            # latch host-side firing into the device carry so composed
+            # criteria (& / |) see it on the next segment
+            cstate = stop.refresh_host(cstate)
             host_stop = stop.host_check()
             if stopped_host or host_stop or k_host >= self._max_iter:
                 break
             if self._astate["active"] is not None and not self._astate["active"].is_set():
                 break
         self._mstate = mstate
-        self._history = self._assemble_history(hist, int(hist_n))
-        if self._astate["wb_dir"] is not None:
-            self.writeback()
+        try:
+            self._history = self._assemble_history(hist, int(hist_n))
+            if self._astate["wb_dir"] is not None:
+                self.writeback()
+        except Exception:
+            import traceback
+            if logger is not None:
+                logger.error("history/writeback failed:\n%s",
+                             traceback.format_exc())
+            self._history = None
 
     def _assemble_history(self, hist, n):
         names = list(self._metric_keys)

@@ -52,11 +52,28 @@ def _homogeneous(ops) -> bool:
     return len(l0) > 0
 
 
+_STACK_CACHE = {}  # id(ops tuple) -> (treedef, stacked leaves); weak-purged
+
+
 def _stack_ops(ops):
-    """Stack leaves of homogeneous ops: returns (treedef, stacked leaves)."""
+    """Stack leaves of homogeneous ops: returns (treedef, stacked leaves).
+
+    Cached per ops-tuple identity so the eager path does not re-stack every
+    plan/kernel table on every apply (tracers are never cached: under jit
+    the ops tuple is rebuilt per trace with fresh identity)."""
+    import weakref
+    key = id(ops)
+    hit = _STACK_CACHE.get(key)
+    if hit is not None and hit[0]() is ops:
+        return hit[1], hit[2]
     leaves_list = [jax.tree_util.tree_flatten(op)[0] for op in ops]
     treedef = jax.tree_util.tree_flatten(ops[0])[1]
     stacked = [jnp.stack(ls) for ls in zip(*leaves_list)]
+    try:
+        ref = weakref.ref(ops)
+        _STACK_CACHE[key] = (ref, treedef, stacked)
+    except TypeError:
+        pass
     return treedef, stacked
 
 
@@ -234,17 +251,20 @@ class _BlockDiag(LinOp):
         return ("block_diag", *self._ops)
 
 
-class _SeparableSum(ProxFunc):
+class _SeparableSumMixin:
     """block_diag of functionals = separable sum over the leading axis:
-    F(x) = sum_i f_i(x[i]); prox = per-slice proxes (reference: _COOBlock
-    prox/grad for block_diag-of-functionals)."""
+    F(x) = sum_i f_i(x[i]); prox/grad are per-slice when every member has
+    them (reference: _COOBlock prox/grad for block_diag-of-functionals).
 
-    _data_fields = ("_funcs",)
+    The concrete class is inferred from the INTERSECTION of the members'
+    property sets, so a sum of grad-only DiffFuncs does not advertise a prox
+    it cannot compute (and vice versa)."""
 
-    def __init__(self, funcs):
+    def _init_sum(self, funcs):
+        from pyxu_tpu.abc.operator import Operator
         d0 = funcs[0].dim_shape
         assert all(f.dim_shape == d0 for f in funcs)
-        super().__init__((len(funcs),) + tuple(d0))
+        Operator.__init__(self, (len(funcs),) + tuple(d0), ())
         self._funcs = tuple(funcs)
         self._vmap = _homogeneous(funcs)
         self._name = "SeparableSum"
@@ -286,10 +306,32 @@ class _SeparableSum(ProxFunc):
         return ("separable_sum", *self._funcs)
 
 
+import functools as _functools
+
+
+@_functools.cache
+def _separable_sum_class(base: type) -> type:
+    cls = type(f"SeparableSum[{base.__name__}]", (_SeparableSumMixin, base), {
+        "_data_fields": ("_funcs",),
+    })
+    return cls
+
+
+def _separable_sum(funcs):
+    common = frozenset.intersection(*[f.properties() for f in funcs])
+    # QUADRATIC would require synthesizing a block-diag _quad_spec; drop it
+    # (conservative: loses a specialization, never advertises a missing one)
+    common = common - {Property.QUADRATIC}
+    base = infer_operator_class(common)
+    op = object.__new__(_separable_sum_class(base))
+    op._init_sum(funcs)
+    return op
+
+
 def block_diag(ops):
     ops = list(ops)
     if all(op.has(Property.FUNCTIONAL) for op in ops):
-        return _SeparableSum(ops)
+        return _separable_sum(ops)
     return _BlockDiag(ops)
 
 

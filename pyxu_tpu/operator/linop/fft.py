@@ -20,7 +20,7 @@ import math as _math
 import jax.numpy as jnp
 import numpy as np
 
-from pyxu_tpu.abc.operator import LinOp, NormalOp
+from pyxu_tpu.abc.operator import LinOp
 from pyxu_tpu.utils.complex import view_as_complex, view_as_real
 from pyxu_tpu.utils.misc import as_canonical_shape
 
@@ -38,7 +38,10 @@ class FFT(LinOp):
         D = len(sp)
         if axes is None:
             axes = tuple(range(D))
-        axes = tuple(sorted(a % D for a in (axes if isinstance(axes, (tuple, list)) else (axes,))))
+        raw = axes if isinstance(axes, (tuple, list)) else (axes,)
+        axes = tuple(sorted({a % D for a in raw}))
+        assert len(axes) == len(raw), "duplicate/aliased FFT axes"
+
         self._sp = sp
         self._axes = axes
         self._real = bool(real)
@@ -73,10 +76,9 @@ class FFT(LinOp):
         return jnp.full(k, _math.sqrt(self._N), dtype=default_fdtype())
 
     def gram(self):
-        """A* A = N I on C^sp (reference: fft.py:216-256)."""
+        """A* A = N I — same closed form for real and complex domains
+        (reference: fft.py:216-256); only the COgram differs for real=True."""
         from pyxu_tpu.operator.linop.base import HomothetyOp
-        if self._real:
-            return HomothetyOp(self.dim_shape, float(self._N))
         return HomothetyOp(self.dim_shape, float(self._N))
 
     def pinv(self, arr, damp: float = 0.0, **kw):

@@ -77,31 +77,6 @@ def _phi_hat(n_modes: int, n_f: int, w: int, beta: float):
 
 # ------------------------------------------------- spread / interp (XLA) ---
 
-def _grid_coords(x, n_f: int, w: int):
-    """Per-point tap indices + ES arguments along one dimension.
-
-    x: (M,) angles in R (folded mod 2pi).  Returns (idx (M, w) int32 in
-    [0, n_f), z (M, w) kernel arguments in [-1, 1])."""
-    h = 2 * jnp.pi / n_f
-    xs = x / h  # grid units
-    i0 = jnp.ceil(xs - w / 2.0).astype(jnp.int32)  # first tap
-    t = jnp.arange(w, dtype=jnp.int32)  # taps i0..i0+w-1: centered support
-    idx = i0[:, None] + t[None, :]  # (M, w)
-    z = (idx.astype(xs.dtype) - xs[:, None]) * (2.0 / w)
-    return jnp.mod(idx, n_f), z
-
-
-def _tap_weights(x_nd, n_fs, w, beta):
-    """Per-dim (idx, weight) lists for a (M, d) point set."""
-    d = x_nd.shape[1]
-    idxs, wts = [], []
-    for ax in range(d):
-        idx, z = _grid_coords(x_nd[:, ax], n_fs[ax], w)
-        idxs.append(idx)
-        wts.append(_es_kernel(z, beta))
-    return idxs, wts
-
-
 def _tap_weights_np(x_nd, n_fs, w, beta):
     """Host-side (numpy) tap precompute — plan construction must not issue
     eager device ops (each costs an RPC on remote backends)."""
@@ -120,7 +95,8 @@ def _tap_weights_np(x_nd, n_fs, w, beta):
                        np.exp(beta * (np.sqrt(np.clip(1 - z * z, 0, None)) - 1.0)),
                        0.0)
         idxs.append(jnp.asarray(np.mod(idx, n_f), jnp.int32))
-        wts.append(jnp.asarray(phi, jnp.float32))
+        # no explicit dtype: float64 under x64 (high-eps plans), else f32
+        wts.append(jnp.asarray(phi))
     return idxs, wts
 
 
@@ -278,7 +254,8 @@ class _NUFFT12(LinOp):
 
     def __init__(self, x, N, isign: int = +1, eps: float = 1e-6,
                  real_in: bool = False):
-        x = jnp.asarray(x)
+        # plan geometry is host-side numpy end-to-end (no eager device RPCs)
+        x = np.asarray(jax.device_get(x), np.float64)
         if x.ndim == 1:
             x = x[:, None]
         M, d = x.shape
@@ -291,7 +268,7 @@ class _NUFFT12(LinOp):
         self._real_in = bool(real_in)
         self._nf = tuple(max(next_fast_len(int(2 * n)), 2 * w + 1) for n in N)
         # fold points into [0, 2pi) — host-side (plan must not touch device)
-        xh = np.mod(np.asarray(jax.device_get(x), np.float64), 2 * np.pi)
+        xh = np.mod(x, 2 * np.pi)
         self._x = jnp.asarray(xh, jnp.float32)
         # deconvolution factors: outer product of per-dim phihat
         ph = 1.0
@@ -436,8 +413,9 @@ class _NUFFT3(LinOp):
                     "_dx", "_ds")
 
     def __init__(self, x, z, isign: int = +1, eps: float = 1e-6):
-        x = jnp.asarray(x)
-        z = jnp.asarray(z)
+        # host-side plan (no eager device RPCs; see _tap_weights_np)
+        x = np.asarray(jax.device_get(x), np.float64)
+        z = np.asarray(jax.device_get(z), np.float64)
         if x.ndim == 1:
             x = x[:, None]
         if z.ndim == 1:
@@ -450,8 +428,8 @@ class _NUFFT3(LinOp):
         w, beta = _es_params(eps)
         self._w, self._beta, self._eps = w, beta, float(eps)
 
-        xh = np.asarray(jax.device_get(x), np.float64)
-        zh = np.asarray(jax.device_get(z), np.float64) * self._isign
+        xh = x
+        zh = z * self._isign
         X = np.maximum(np.abs(xh).max(axis=0), 1e-9)
         gamma = 2.0 * X / np.pi                 # x' = x/gamma in [-pi/2, pi/2]
         xp = xh / gamma
@@ -474,8 +452,11 @@ class _NUFFT3(LinOp):
             t = np.arange(w)
             idx = i0[:, None] + t[None, :]
             zarg = (idx - s1[:, None]) * (2.0 / w)
+            phi = np.where(np.abs(zarg) <= 1.0,
+                           np.exp(beta * (np.sqrt(np.clip(1 - zarg * zarg, 0, None)) - 1.0)),
+                           0.0)
             idxs_s.append(jnp.asarray(np.mod(idx, nf[ax]), jnp.int32))
-            wts_s.append(_es_kernel(jnp.asarray(zarg), beta))
+            wts_s.append(jnp.asarray(phi))
         self._idxs_s = tuple(idxs_s)
         self._wts_s = tuple(wts_s)
 
@@ -507,8 +488,8 @@ class _NUFFT3(LinOp):
             ds = ds * (1.0 / psihat1)
         self._ds = jnp.asarray(ds)  # (K,)
 
-        self._x = x
-        self._z = z
+        self._x = jnp.asarray(x, jnp.float32)
+        self._z = jnp.asarray(z, jnp.float32)
         super().__init__((M, 2), (K, 2))
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3[d={d}]"
@@ -571,8 +552,8 @@ class _NUFFT3Chunked(LinOp):
 
     def __init__(self, x, z, isign: int = +1, eps: float = 1e-6,
                  fft_mem_mb: float = 64.0, max_blocks: int = 16):
-        x = jnp.asarray(x)
-        z = jnp.asarray(z)
+        x = np.asarray(jax.device_get(x), np.float64)
+        z = np.asarray(jax.device_get(z), np.float64)
         if x.ndim == 1:
             x = x[:, None]
         if z.ndim == 1:
@@ -580,17 +561,17 @@ class _NUFFT3Chunked(LinOp):
         M, d = x.shape
         K, _ = z.shape
         super().__init__((M, 2), (K, 2))
-        xh = np.asarray(jax.device_get(x), np.float64)
-        zh = np.asarray(jax.device_get(z), np.float64)
+        xh, zh = x, z
         w, _beta = _es_params(eps)
+
+        itemsize = 16 if jax.config.jax_enable_x64 else 8  # complex grid
 
         def grid_mb(xb, zb):
             X = np.maximum(np.abs(xb).max(axis=0), 1e-9)
-            S = np.maximum(np.abs(zb).max(axis=0), 1e-9)
             gamma = 2.0 * X / np.pi
             sp = np.abs(zb * gamma).max(axis=0)
             nf = [max(next_fast_len(int(4 * (sm + w + 2))), 4 * w + 8) for sm in sp]
-            return np.prod(nf) * 8 / 1e6  # complex64 grid
+            return np.prod(nf) * itemsize / 1e6
 
         def bisect(pts, idx, budget_fn, depth=0):
             if budget_fn(idx) or len(idx) <= 8 or depth >= 4:
@@ -622,7 +603,7 @@ class _NUFFT3Chunked(LinOp):
         self._x_parts = tuple(tuple(int(i) for i in p) for p in x_parts)
         self._z_parts = tuple(tuple(int(i) for i in p) for p in z_parts)
         self._blocks = tuple(
-            tuple(_NUFFT3(jnp.asarray(xh[list(ip)]), jnp.asarray(zh[list(iq)]),
+            tuple(_NUFFT3(xh[list(ip)], zh[list(iq)],
                           isign=isign, eps=eps)
                   for ip in self._x_parts)
             for iq in self._z_parts

@@ -13,9 +13,6 @@ time by one apply/adjoint probe on ones (cheap, eager).
 
 from __future__ import annotations
 
-import math as _math
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,15 +51,25 @@ class Pad(LinOp):
         mode = mode.lower()
         assert mode in _MODES, f"mode {mode} not in {_MODES}"
         for n, (lo, hi) in zip(dim_shape, pw):
-            assert max(lo, hi) <= n, "pad width exceeds axis length (ghost overlap)"
+            lim = n - 1 if mode == "reflect" else n  # reflect: width <= n-1
+            assert max(lo, hi) <= lim, "pad width exceeds axis length (ghost overlap)"
         self._pw = pw
         self._mode = mode
         self._name = f"Pad[{mode}]"
         if mode == "constant":
             self._lipschitz = 1.0
         else:
-            probe = self.adjoint(self.apply(jnp.ones(dim_shape, jnp.float32)))
-            self._lipschitz = float(jnp.sqrt(jnp.max(probe)))
+            # A^T A is diagonal with per-element copy multiplicity, and the
+            # fold-back is separable: max multiplicity factorizes per axis.
+            # O(sum n) host-side 1-D probes (a full-size device probe at
+            # build time would OOM/stall on large volumes).
+            m = 1.0
+            for n, (lo, hi) in zip(dim_shape, pw):
+                if lo == 0 and hi == 0:
+                    continue
+                src = np.pad(np.arange(n), (lo, hi), mode=mode)
+                m *= float(np.bincount(src, minlength=n).max())
+            self._lipschitz = float(np.sqrt(m))
 
     def apply(self, arr):
         arr = jnp.asarray(arr)

@@ -24,7 +24,7 @@ class Sum(LinOp):
         if axis is None:
             axis = tuple(range(rank))
         axis = (axis,) if isinstance(axis, (int, np.integer)) else tuple(axis)
-        axis = tuple(sorted(a % rank for a in axis))
+        axis = tuple(sorted({a % rank for a in axis}))
         codim_shape = tuple(n for i, n in enumerate(dim_shape) if i not in axis)
         super().__init__(dim_shape, codim_shape)
         self._axis = axis

@@ -8,7 +8,6 @@ projection onto the kept entries when indices are unique).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -17,6 +16,37 @@ from pyxu_tpu.operator.linop.pad import _as_pad_width
 from pyxu_tpu.utils.misc import as_canonical_shape
 
 __all__ = ["SubSample", "Trim"]
+
+
+class _StaticIndex:
+    """Static (trace-constant) index array with content-based hash/equality —
+    large index sets must not become million-element python tuples in the
+    pytree aux (hashing/equality cost, host memory)."""
+
+    __slots__ = ("arr", "_hash")
+
+    def __init__(self, arr):
+        self.arr = np.ascontiguousarray(np.asarray(arr, np.int64))
+        self._hash = hash((self.arr.shape, self.arr.tobytes()))
+
+    def __len__(self):
+        return len(self.arr)
+
+    def __iter__(self):
+        return iter(self.arr.tolist())
+
+    def __getitem__(self, i):
+        return int(self.arr[i])
+
+    def __eq__(self, other):
+        return (isinstance(other, _StaticIndex)
+                and np.array_equal(self.arr, other.arr))
+
+    def __hash__(self):
+        return self._hash
+
+    def __repr__(self):
+        return f"_StaticIndex({self.arr!r})"
 
 
 class SubSample(LinOp):
@@ -31,7 +61,7 @@ class SubSample(LinOp):
             else:
                 spec = slice(None)
             if isinstance(spec, (int, np.integer)):
-                idx = np.asarray([int(spec) % n])
+                idx = np.asarray([int(spec)])
             elif isinstance(spec, slice):
                 idx = np.arange(n)[spec]
             else:
@@ -40,12 +70,18 @@ class SubSample(LinOp):
                     assert spec.shape == (n,)
                     idx = np.flatnonzero(spec)
                 else:
-                    idx = spec.astype(np.int64) % n
+                    idx = spec.astype(np.int64)
+            # negative indices in [-n, 0) allowed; anything else is an error
+            # (silent mod-n wrapping would return plausible wrong data)
+            if idx.size and (idx.min() < -n or idx.max() >= n):
+                raise IndexError(
+                    f"axis {ax}: indices out of range for length {n}")
+            idx = np.where(idx < 0, idx + n, idx)
             specs.append(np.asarray(idx, np.int64))
             codim.append(len(idx))
         super().__init__(dim_shape, tuple(codim))
-        # static index arrays (host-side numpy; baked into the trace)
-        self._idx = tuple(tuple(int(i) for i in s) for s in specs)
+        # static index arrays (host-side; baked into the trace as constants)
+        self._idx = tuple(_StaticIndex(s) for s in specs)
         # L = prod_axis sqrt(max index multiplicity); 1.0 for unique specs
         L = 1.0
         for s in specs:
@@ -54,18 +90,19 @@ class SubSample(LinOp):
         self._lipschitz = L
         self._name = "SubSample"
 
-    def _index_arrays(self):
-        return [jnp.asarray(s, jnp.int32) for s in self._idx]
+    def _is_identity_axis(self, ax_core: int) -> bool:
+        idx = self._idx[ax_core].arr
+        n = self.dim_shape[ax_core]
+        return len(idx) == n and np.array_equal(idx, np.arange(n))
 
     def apply(self, arr):
         arr = jnp.asarray(arr)
         nb = arr.ndim - self.dim_rank
         out = arr
         for ax_core, idx in enumerate(self._idx):
-            n = self.dim_shape[ax_core]
-            if len(idx) == n and idx == tuple(range(n)):
+            if self._is_identity_axis(ax_core):
                 continue
-            out = jnp.take(out, jnp.asarray(idx, jnp.int32), axis=nb + ax_core)
+            out = jnp.take(out, jnp.asarray(idx.arr, jnp.int32), axis=nb + ax_core)
         return out
 
     def adjoint(self, arr):
@@ -73,14 +110,14 @@ class SubSample(LinOp):
         nb = arr.ndim - self.codim_rank
         out = arr
         for ax_core in reversed(range(self.dim_rank)):
+            if self._is_identity_axis(ax_core):
+                continue
             idx = self._idx[ax_core]
             n = self.dim_shape[ax_core]
-            if len(idx) == n and idx == tuple(range(n)):
-                continue
             ax = nb + ax_core
             shape = out.shape[:ax] + (n,) + out.shape[ax + 1:]
             z = jnp.zeros(shape, dtype=arr.dtype)
-            out = z.at[(slice(None),) * ax + (jnp.asarray(idx, jnp.int32),)].add(out)
+            out = z.at[(slice(None),) * ax + (jnp.asarray(idx.arr, jnp.int32),)].add(out)
         return out
 
     def estimate_lipschitz(self, **kw):

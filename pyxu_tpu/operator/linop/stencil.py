@@ -24,8 +24,6 @@ automatically for small kernels when beneficial.
 
 from __future__ import annotations
 
-import math as _math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,7 +118,7 @@ def _canonical_kernels(kernel, center, dim_rank: int):
 class Stencil(SquareOp):
     """Correlation with boundary handling (reference: stencil.py:26-790)."""
 
-    _data_fields = ("_kernels_arr",)
+    _data_fields = ("_kernels_arr", "_pad")
 
     def __init__(self, dim_shape, kernel, center, mode: str = "constant"):
         dim_shape = as_canonical_shape(dim_shape)

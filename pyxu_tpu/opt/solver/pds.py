@@ -199,7 +199,9 @@ class PD3O(_PrimalDualSplitting):
         # stop criterion fires immediately (reference: pds.py:743-746)
         x0 = mst["x"]
         if self._h is None and type(self._g).__name__ == "NullFunc":
-            mst["u"] = x0 * 1.01
+            # additive term too: x0 = 0 would make a multiplicative nudge a
+            # no-op and the first RelError check would fire at x0
+            mst["u"] = x0 * 1.01 + 0.01
         else:
             mst["u"] = x0
         return mst
@@ -325,8 +327,8 @@ class ADMM(_PrimalDualSplitting):
         self._g = NullFunc(self._dim_shape)
         self._solver_kwargs = dict(solver_kwargs or {})
         if K is not None:
-            assert f.has(Property.PROXIMABLE) or f.has(Property.DIFFERENTIABLE), \
-                "with K, f must be proximable-quadratic or differentiable"
+            assert f.has(Property.QUADRATIC) or f.has(Property.DIFFERENTIABLE), \
+                "with K, the x-update needs f quadratic (CG) or differentiable (GD)"
 
     def m_init(self, x0, z0=None, u0=None, tau: float = None, **kw):
         x0 = jnp.asarray(x0)
@@ -361,6 +363,8 @@ class ADMM(_PrimalDualSplitting):
         # F(x) = f(x) + ‖Kx − v‖²/(2τ)
         n_steps = self._solver_kwargs.get("maxiter", 20)
         beta = self._f.diff_lipschitz
+        if not _math.isfinite(beta):
+            beta = self._f.estimate_diff_lipschitz()  # inf would zero the step
         LK = self._norm_K()
         step = 1.0 / (max(beta, 1e-12) + LK**2 / tau)
         for _ in range(n_steps):

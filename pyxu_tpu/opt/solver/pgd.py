@@ -46,12 +46,14 @@ class PGD(Solver):
         self._tau = float(tau)
         self._accel = bool(acceleration)
         self._d = float(d)
-        return {"x": x0, "x_prev": x0, "k": jnp.asarray(0.0, x0.dtype)}
+        # counter in f32 regardless of iterate dtype (bf16 would
+        # freeze at k=256 and stall the momentum schedule)
+        return {"x": x0, "x_prev": x0, "k": jnp.asarray(0.0, jnp.float32)}
 
     def m_step(self, mstate):
         x, x_prev, k = mstate["x"], mstate["x_prev"], mstate["k"]
         if self._accel:
-            a = k / (k + 1.0 + self._d)
+            a = (k / (k + 1.0 + self._d)).astype(x.dtype)
         else:
             a = 0.0
         y = x + a * (x - x_prev)

@@ -30,7 +30,7 @@ class ProxAdam(Solver):
         self._g = g
 
     def m_init(self, x0, variant: str = "adam", a: float = None,
-               b1: float = 0.9, b2: float = 0.999, p: float = 0.25,
+               b1: float = 0.9, b2: float = 0.999, p: float = 0.5,
                eps_var: float = 1e-6, inner_iter: int = 10):
         x0 = jnp.asarray(x0)
         assert variant in ("adam", "amsgrad", "padam")
@@ -44,8 +44,9 @@ class ProxAdam(Solver):
         self._eps = float(eps_var)
         self._inner = int(inner_iter)
         z = jnp.zeros_like(x0)
+        # t in f32: bf16 counters freeze at 256 and wreck bias correction
         return {"x": x0, "m": z, "v": z, "v_hat": z,
-                "t": jnp.asarray(0.0, x0.dtype)}
+                "t": jnp.asarray(0.0, jnp.float32)}
 
     def _phi_psi(self, mst, g):
         b1, b2 = self._b1, self._b2
@@ -53,16 +54,17 @@ class ProxAdam(Solver):
         m = b1 * mst["m"] + (1 - b1) * g
         v = b2 * mst["v"] + (1 - b2) * g * g
         if self._variant == "adam":
-            mh = m / (1 - b1**t)
-            vh = v / (1 - b2**t)
+            mh = m / (1 - b1**t).astype(m.dtype)
+            vh = v / (1 - b2**t).astype(v.dtype)
             phi, psi = mh, jnp.sqrt(vh) + self._eps
             v_hat = mst["v_hat"]
         elif self._variant == "amsgrad":
             v_hat = jnp.maximum(mst["v_hat"], v)
             phi, psi = m, jnp.sqrt(v_hat) + self._eps
-        else:  # padam
+        else:  # padam: denominator v_hat**p (reference prox_adam.py:471;
+            # p=0.5 recovers AMSGrad)
             v_hat = jnp.maximum(mst["v_hat"], v)
-            phi, psi = m, v_hat ** (2 * self._p) + self._eps
+            phi, psi = m, v_hat ** self._p + self._eps
         return phi, psi, m, v, v_hat, t
 
     def m_step(self, mst):

@@ -55,6 +55,13 @@ class StoppingCriterion:
     def host_check(self) -> bool:
         return False
 
+    def refresh_host(self, cstate):
+        """Latch host-side firing into the device carry at segment
+        boundaries (used by composed criteria so e.g.
+        ``MaxDuration(...) & AbsError(...)`` combines a host-only with a
+        device-only condition correctly)."""
+        return cstate
+
     def host_metrics(self) -> dict:
         return {}
 
@@ -69,18 +76,28 @@ typ_any = object  # typing alias kept local
 
 
 class _Combined(StoppingCriterion):
+    """A leaf "fires" when its device stop OR its (latched) host check is
+    true; `&`/`|` combine per-leaf firing.  Host firing is folded into the
+    device carry once per segment via :meth:`refresh_host`, so mixed
+    host-only / device-only compositions evaluate in one place (the
+    reference evaluates everything host-side, abc/solver.py:95-116)."""
+
     def __init__(self, lhs, rhs, all_of: bool):
         self._lhs, self._rhs, self._all = lhs, rhs, all_of
 
     def init_state(self, mstate):
-        return (self._lhs.init_state(mstate), self._rhs.init_state(mstate))
+        return (self._lhs.init_state(mstate), self._rhs.init_state(mstate),
+                jnp.zeros(2, dtype=bool))
 
     def update(self, cstate, mstate, k):
         cl, sl, ml = self._lhs.update(cstate[0], mstate, k)
         cr, sr, mr = self._rhs.update(cstate[1], mstate, k)
-        stop = jnp.logical_and(sl, sr) if self._all else jnp.logical_or(sl, sr)
+        host_flags = cstate[2]
+        fl = jnp.logical_or(sl, host_flags[0])
+        fr = jnp.logical_or(sr, host_flags[1])
+        stop = jnp.logical_and(fl, fr) if self._all else jnp.logical_or(fl, fr)
         metrics = {**ml, **mr}
-        return (cl, cr), stop, metrics
+        return (cl, cr, host_flags), stop, metrics
 
     def host_init(self):
         self._lhs.host_init()
@@ -89,6 +106,13 @@ class _Combined(StoppingCriterion):
     def host_check(self) -> bool:
         hl, hr = self._lhs.host_check(), self._rhs.host_check()
         return (hl and hr) if self._all else (hl or hr)
+
+    def refresh_host(self, cstate):
+        cl = self._lhs.refresh_host(cstate[0])
+        cr = self._rhs.refresh_host(cstate[1])
+        flags = jnp.asarray([bool(self._lhs.host_check()),
+                             bool(self._rhs.host_check())])
+        return (cl, cr, flags)
 
     def host_metrics(self) -> dict:
         return {**self._lhs.host_metrics(), **self._rhs.host_metrics()}

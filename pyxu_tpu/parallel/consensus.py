@@ -29,9 +29,9 @@ __all__ = ["ConsensusADMM"]
 class ConsensusADMM(Solver):
     def __init__(self, fs, g=None, mesh: Mesh = None, mesh_axis: str = None,
                  **kwargs):
-        """``fs``: list of per-block proximable functionals (same dim_shape),
-        or a single functional whose prox/apply broadcast over a leading
-        block axis.  ``g``: global proximable regularizer (optional).
+        """``fs``: list of per-block proximable functionals (same dim_shape;
+        homogeneous families evaluate via the vmapped separable-sum fast
+        path).  ``g``: global proximable regularizer (optional).
         """
         kwargs.setdefault("log_var", ("z",))
         super().__init__(**kwargs)

@@ -91,10 +91,16 @@ class ShardedStencil(SquareOp):
         self._mode = mode
         n_dev = mesh.shape[self._mname]
         assert dim_shape[self._ax] % n_dev == 0, "axis must divide evenly"
+        local = dim_shape[self._ax] // n_dev
+        for k, c in kc:
+            lo, hi = c[self._ax], k.shape[self._ax] - 1 - c[self._ax]
+            assert max(lo, hi) <= local, (
+                f"kernel halo ({lo},{hi}) exceeds the local shard ({local} "
+                f"rows) — use fewer devices or the GSPMD Stencil")
         l1 = 1.0
         for k in self._kernels:
             l1 *= float(jnp.sum(jnp.abs(k)))
-        self._lipschitz = l1 * (1.0 if mode == "wrap" else 1.0)
+        self._lipschitz = l1
         self._name = f"ShardedStencil[{mode}]"
 
     # -- local compute ------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyxu_tpu import Mode, PGD
+from pyxu_tpu.abc.operator import DiffFunc
+from pyxu_tpu.operator.func import L1Norm, SquaredL2Norm
+from pyxu_tpu.operator.interop import from_source
+from pyxu_tpu.operator.linop import ExplicitLinFunc, ExplicitLinOp
+from pyxu_tpu.opt.stop import MaxIter
+
+rng0 = np.random.default_rng(151)
+
+
+def test_chain_estimate_diff_lipschitz():
+    """(f o K).estimate_diff_lipschitz works with cold caches: dL_f ||K||^2."""
+    A = rng0.standard_normal((8, 5))
+    K = ExplicitLinOp(jnp.asarray(A))
+    f = from_source(DiffFunc, (8,), apply=lambda x: jnp.sum(x**2, axis=-1),
+                    diff_lipschitz=2.0)
+    comp = f * K
+    dL = comp.estimate_diff_lipschitz()
+    want = 2.0 * np.linalg.norm(A, 2) ** 2
+    assert np.isclose(dL, want, rtol=1e-3)
+
+
+def test_linear_estimate_diff_lipschitz_zero():
+    """Linear operands report dL = 0 so Add/Scale estimators recurse fine."""
+    w = jnp.asarray(rng0.standard_normal(5))
+    assert ExplicitLinFunc(w).estimate_diff_lipschitz() == 0.0
+    f = from_source(DiffFunc, (5,), apply=lambda x: jnp.sum(jnp.cos(x), axis=-1),
+                    diff_lipschitz=1.0)
+    h = f + ExplicitLinFunc(w)
+    assert np.isclose(h.estimate_diff_lipschitz(), 1.0)
+
+
+def test_quadratic_asloss_traced():
+    """argshift of a QuadraticFunc works on traced data (inside jit)."""
+    def build_and_eval(y, x):
+        f = SquaredL2Norm((6,)).asloss(y)
+        return f.apply(x)
+
+    y = jnp.asarray(rng0.standard_normal(6))
+    x = jnp.asarray(rng0.standard_normal(6))
+    got = jax.jit(build_and_eval)(y, x)
+    want = np.sum((np.asarray(x) - np.asarray(y)) ** 2)
+    assert np.isclose(float(got), want, atol=1e-5)
+
+
+def test_block_fit_after_async_stop():
+    """A stopped ASYNC fit must not truncate a later BLOCK fit."""
+    import time
+    y = jnp.asarray(rng0.standard_normal(8), jnp.float32)
+    slv = PGD(f=0.5 * SquaredL2Norm((8,)).asloss(y), g=0.05 * L1Norm((8,)))
+    slv.fit(x0=jnp.zeros(8), stop_crit=MaxIter(10**6), max_iter=10**6,
+            segment_size=100, mode=Mode.ASYNC)
+    time.sleep(0.2)
+    slv.stop()
+    slv.fit(x0=jnp.zeros(8), stop_crit=MaxIter(500), max_iter=500)
+    _, hist = slv.stats()
+    assert hist["iteration"][-1] == 500  # ran to the criterion, not 1 segment
+
+
+def test_refit_new_folder_gets_own_log(tmp_path):
+    y = jnp.asarray(rng0.standard_normal(8), jnp.float32)
+    slv = PGD(f=0.5 * SquaredL2Norm((8,)).asloss(y), g=0.05 * L1Norm((8,)),
+              folder=tmp_path / "runA", writeback_rate=10, verbosity=10)
+    slv.fit(x0=jnp.zeros(8), stop_crit=MaxIter(20), max_iter=20)
+    slv._folder = tmp_path / "runB"
+    slv.fit(x0=jnp.zeros(8), stop_crit=MaxIter(20), max_iter=20)
+    assert (tmp_path / "runA" / "solver.log").exists()
+    assert (tmp_path / "runB" / "solver.log").exists()
+    assert (tmp_path / "runB" / "solver.log").stat().st_size > 0
+
+
+def test_combined_host_device_and():
+    """MaxDuration & AbsError (host-only & device-only) fires once both do."""
+    import datetime as dt
+    from pyxu_tpu.opt.stop import AbsError, MaxDuration
+    y = jnp.asarray(rng0.standard_normal(8), jnp.float32)
+    slv = PGD(f=0.5 * SquaredL2Norm((8,)).asloss(y), g=0.05 * L1Norm((8,)))
+    crit = MaxDuration(dt.timedelta(seconds=0.2)) & \
+        AbsError(eps=1e30, var="x", rank=1)  # device side trivially true
+    slv.fit(x0=jnp.zeros(8), stop_crit=crit, max_iter=10**6, segment_size=50)
+    _, hist = slv.stats()
+    assert hist["iteration"][-1] < 10**6  # fired via latched host flag
+
+
+def test_pd3o_zero_x0_does_not_stop_immediately():
+    from pyxu_tpu.opt.solver import PD3O
+    from pyxu_tpu.abc.operator import DiffFunc
+    f = from_source(DiffFunc, (6,),
+                    apply=lambda x: jnp.sum((x - 1.0) ** 2, axis=-1),
+                    diff_lipschitz=2.0)
+    slv = PD3O(f=f)
+    slv.fit(x0=jnp.zeros(6), max_iter=2000)
+    assert np.allclose(slv.solution(), 1.0, atol=1e-3)
+
+
+def test_padam_exponent_matches_reference():
+    """padam with p=0.5 must equal amsgrad (denominator v_hat**0.5)."""
+    from pyxu_tpu.opt.solver import ProxAdam
+    y = jnp.asarray(rng0.standard_normal(6), jnp.float32)
+    f = 0.5 * SquaredL2Norm((6,)).asloss(y)
+    outs = {}
+    for variant in ("padam", "amsgrad"):
+        slv = ProxAdam(f=f)
+        slv.fit(x0=jnp.zeros(6), variant=variant, stop_crit=MaxIter(50),
+                max_iter=50)
+        outs[variant] = np.asarray(slv.solution())
+    assert np.allclose(outs["padam"], outs["amsgrad"], atol=1e-6)
+
+
+def test_pgd_bf16_momentum_counter():
+    """bf16 iterates must not freeze the f32 momentum counter at 256."""
+    y = jnp.asarray(rng0.standard_normal(8), jnp.bfloat16)
+    slv = PGD(f=0.5 * SquaredL2Norm((8,)).asloss(y), g=0.01 * L1Norm((8,)))
+    slv.fit(x0=jnp.zeros(8, jnp.bfloat16), stop_crit=MaxIter(300), max_iter=300)
+    assert slv._mstate["k"].dtype == jnp.float32
+    assert float(slv._mstate["k"]) == 300.0
+
+
+def test_admm_rejects_nonquadratic_prox_f_with_K():
+    from pyxu_tpu.opt.solver import ADMM
+    from pyxu_tpu.operator.linop import ExplicitLinOp
+    K = ExplicitLinOp(jnp.asarray(rng0.standard_normal((5, 5))))
+    try:
+        ADMM(f=L1Norm((5,)), h=L1Norm((5,)), K=K)
+        assert False, "should reject non-quadratic non-differentiable f"
+    except AssertionError as e:
+        assert "quadratic" in str(e).lower() or "differentiable" in str(e).lower()
+
+
+def test_subsample_rejects_out_of_range():
+    from pyxu_tpu.operator.linop import SubSample
+    try:
+        SubSample((4,), np.array([0, 10]))
+        assert False, "should raise IndexError"
+    except IndexError:
+        pass
+    # negative indices still work
+    op = SubSample((4,), np.array([-1, 0]))
+    got = op.apply(jnp.asarray([1.0, 2.0, 3.0, 4.0]))
+    assert np.allclose(got, [4.0, 1.0])
