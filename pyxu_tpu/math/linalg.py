@@ -96,19 +96,29 @@ def svdvals(op, k: int = 1, key=None, maxiter: int = 96, dtype=None):
     return run(key)
 
 
-def trace(op, dtype=None):
-    """Exact trace by basis probing (reference: math/linalg.py:25-59)."""
+def trace(op, dtype=None, block: int = 2048):
+    """Exact trace by basis probing in fixed-size blocks (reference:
+    math/linalg.py:25-59; blocked so image-scale operators never
+    materialise an n x n identity)."""
     dtype = _op_dtype(op, dtype)
     n = op.dim_size
     flat = _flat_apply(op, op.dim_shape)
+    c = min(block, n)
 
     @jax.jit
-    def run():
-        E = jnp.eye(n, dtype=dtype)
-        Y = flat(E)  # (n, n): row i = A e_i flattened
-        return jnp.trace(Y)
+    def run_block(i0):
+        rows = jnp.arange(c)
+        E = jnp.zeros((c, n), dtype).at[rows, i0 + rows].set(1.0)
+        Y = flat(E)  # (c, n): row j = A e_{i0+j}
+        # only in-range rows contribute (the tail block may overhang)
+        diag = Y[rows, i0 + rows]
+        valid = (i0 + rows) < n
+        return jnp.sum(jnp.where(valid, diag, 0.0))
 
-    return run()
+    total = 0.0
+    for i0 in range(0, n, c):
+        total += float(run_block(jnp.asarray(i0)))
+    return jnp.asarray(total, dtype)
 
 
 def hutchpp(op, m: int = 126, key=None, dtype=None):

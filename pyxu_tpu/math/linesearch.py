@@ -37,20 +37,21 @@ def backtracking_linesearch(f, x, direction, gradient=None, a0: float = 1.0,
     slope = c * jnp.sum(g * d, axis=axes)
 
     a_init = jnp.full_like(f0, a0)
+    fa_init = f.apply(x + _bc(a_init, core_ndim) * d)
 
     def cond(carry):
-        a, k = carry
-        fa = f.apply(x + _bc(a, core_ndim) * d)
+        a, fa, k = carry
         bad = fa > f0 + a * slope
         return jnp.logical_and(jnp.any(bad), k < maxiter)
 
     def body(carry):
-        a, k = carry
-        fa = f.apply(x + _bc(a, core_ndim) * d)
+        a, fa, k = carry
         bad = fa > f0 + a * slope
-        return jnp.where(bad, r * a, a), k + 1
+        a = jnp.where(bad, r * a, a)
+        fa = f.apply(x + _bc(a, core_ndim) * d)  # one eval per shrink
+        return a, fa, k + 1
 
-    a, _ = jax.lax.while_loop(cond, body, (a_init, 0))
+    a, _, _ = jax.lax.while_loop(cond, body, (a_init, fa_init, 0))
     return a
 
 

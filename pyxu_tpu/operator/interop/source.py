@@ -74,6 +74,30 @@ class SourceMixin:
             return super()._quad_spec()
         return fn()
 
+    def pinv(self, arr, damp: float = 0.0, **kw):
+        fn = self._methods.get("pinv")
+        if fn is None:
+            return super().pinv(arr, damp=damp, **kw)
+        return fn(arr, damp=damp, **kw)
+
+    def trace(self, **kw):
+        fn = self._methods.get("trace")
+        if fn is None:
+            return super().trace(**kw)
+        return fn(**kw)
+
+    def svdvals(self, k: int = 1, **kw):
+        fn = self._methods.get("svdvals")
+        if fn is None:
+            return super().svdvals(k=k, **kw)
+        return fn(k=k, **kw)
+
+    def asarray(self, dtype=None):
+        fn = self._methods.get("asarray")
+        if fn is None:
+            return super().asarray(dtype=dtype)
+        return fn(dtype=dtype)
+
     def estimate_lipschitz(self, **kw):
         fn = self._methods.get("estimate_lipschitz")
         if fn is None:

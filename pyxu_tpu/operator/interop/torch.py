@@ -31,21 +31,33 @@ def _require_torch():
         raise ImportError("from_torch requires PyTorch") from e
 
 
-def _callback(torch_fn, out_shape, out_dtype_of):
-    """Host-callback wrapper: jnp array(s) -> numpy -> torch -> numpy."""
+def _callback(torch_fn, out_shape, in_rank, batched: bool):
+    """Host-callback wrapper: jnp array(s) -> numpy -> torch -> numpy.
+
+    ``batched=False`` callables are lifted over arbitrary leading batch axes
+    with ``torch.func.vmap`` on a flattened batch axis (the reference's
+    `_auto_vectorize`, torch.py:151-185)."""
     import jax
     import jax.numpy as jnp
     torch = _require_torch()
 
     def host(arr):
-        t = torch.from_numpy(np.ascontiguousarray(arr))
+        a = np.ascontiguousarray(arr)
+        lead = a.shape[: a.ndim - in_rank]
+        t = torch.from_numpy(a)
         with torch.no_grad():
-            out = torch_fn(t)
+            if batched or not lead:
+                out = torch_fn(t)
+            else:
+                # single-sample callable: vmap over the flattened batch
+                flat = t.reshape((-1,) + a.shape[a.ndim - in_rank:])
+                out = torch.func.vmap(torch_fn)(flat)
+                out = out.reshape(lead + tuple(out.shape[1:]))
         return np.asarray(out.detach().cpu().numpy())
 
-    def fn(arr):
+    def fn(arr, *extra):
         arr = jnp.asarray(arr)
-        batch = arr.shape[: arr.ndim - fn._in_rank]
+        batch = arr.shape[: arr.ndim - in_rank]
         res = jax.ShapeDtypeStruct(tuple(batch) + tuple(out_shape), arr.dtype)
         return jax.pure_callback(host, res, arr, vmap_method="sequential")
 
@@ -85,25 +97,40 @@ def from_torch(cls, dim_shape, codim_shape=None, vectorize=(),
                 return vjp_fn(y)[0]
             kwargs["adjoint"] = t_adjoint
 
-    # --- wrap every torch callable as a host callback
-    ap = _callback(t_apply, codim, None)
-    ap._in_rank = len(dim_shape)
-    methods["apply"] = ap
+    # --- wrap every torch callable as a host callback.  ``apply`` is batched
+    # by contract unless listed in ``vectorize`` (then it is a single-sample
+    # callable, vmap-lifted like the reference's `_auto_vectorize`,
+    # torch.py:151-185); grad/adjoint callables are single-sample (the
+    # torch.func transforms that derive them are).
+    vecset = {vectorize} if isinstance(vectorize, str) else set(vectorize)
+    methods["apply"] = _callback(t_apply, codim, len(dim_shape),
+                                 batched="apply" not in vecset)
     if "grad" in kwargs:
-        g = _callback(kwargs["grad"], dim_shape, None)
-        g._in_rank = len(dim_shape)
-        methods["grad"] = g
+        methods["grad"] = _callback(kwargs["grad"], dim_shape, len(dim_shape),
+                                    batched=False)
     if "adjoint" in kwargs:
-        adj = _callback(kwargs["adjoint"], dim_shape, None)
-        adj._in_rank = len(codim)
-        methods["adjoint"] = adj
+        methods["adjoint"] = _callback(kwargs["adjoint"], dim_shape, len(codim),
+                                       batched=False)
     if "prox" in kwargs:
         t_prox = kwargs["prox"]
+        import jax
+        import jax.numpy as jnp_
 
         def prox(arr, tau):
-            p = _callback(lambda t: t_prox(t, float(tau)), dim_shape, None)
-            p._in_rank = len(dim_shape)
-            return p(arr)
+            arr = jnp_.asarray(arr)
+            tau_arr = jnp_.asarray(tau, arr.dtype)
+
+            def host(a, tv):
+                t = torch.from_numpy(np.ascontiguousarray(a))
+                with torch.no_grad():
+                    out = t_prox(t, float(tv))
+                return np.asarray(out.detach().cpu().numpy())
+
+            res = jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+            # tau rides as a callback ARGUMENT (float() on a tracer would
+            # fail at trace time)
+            return jax.pure_callback(host, res, arr, tau_arr,
+                                     vmap_method="sequential")
 
         methods["prox"] = prox
 

@@ -80,6 +80,10 @@ def _gauss_deriv_kernel(deriv: int, sigma: float, truncate: float = 3.0):
     for _ in range(deriv):
         p = p.deriv() + p * dgauss
     kernel = p(x) * g
+    # Stencil applies CORRELATION (no flip); the derivative-of-Gaussian taps
+    # are a convolution kernel, so flip them here (odd orders change sign —
+    # the reference flips for the same reason, diff.py:264-350)
+    kernel = kernel[::-1]
     offsets = x.astype(np.int64)
     return offsets, kernel
 
@@ -271,9 +275,17 @@ class Divergence(LinOp):
         rank = len(spatial)
         directions = tuple(range(rank)) if directions is None else tuple(directions)
         assert len(directions) == D, "leading axis must match #directions"
+        # scheme flip (forward<->backward): the divergence must be the
+        # negative adjoint of the same-scheme gradient so that div(grad)
+        # reproduces the centered Laplacian (reference: diff.py:1551-1560)
+        kw = dict(diff_kwargs)
+        if diff_method == "fd":
+            flip = {"forward": "backward", "backward": "forward"}
+            kw["scheme"] = flip.get(kw.get("scheme", "forward"),
+                                    kw.get("scheme", "forward"))
         self._ops = tuple(
             _pd_factory(diff_method, spatial, _one_hot(rank, ax), mode, sampling,
-                        **diff_kwargs)
+                        **kw)
             for ax in directions
         )
         super().__init__(dim_shape, spatial)

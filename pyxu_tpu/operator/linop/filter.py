@@ -100,16 +100,14 @@ def Laplace(dim_shape, mode="constant"):
     (reference: filter.py:443-535)."""
     dim_shape = as_canonical_shape(dim_shape)
     D = len(dim_shape)
-    op = None
+    k = np.zeros((3,) * D)
     for ax in range(D):
-        k = np.zeros((3,) * D)
         idx = [1] * D
         for v, val in ((0, 1.0), (1, -2.0), (2, 1.0)):
             j = list(idx)
             j[ax] = v
-            k[tuple(j)] = val
-        t = Stencil(dim_shape, jnp.asarray(k), (1,) * D, mode=mode)
-        op = t if op is None else op + t
+            k[tuple(j)] += val
+    op = Stencil(dim_shape, jnp.asarray(k), (1,) * D, mode=mode)
     op._name = "Laplace"
     return op
 

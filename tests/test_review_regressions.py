@@ -144,3 +144,93 @@ def test_subsample_rejects_out_of_range():
     op = SubSample((4,), np.array([-1, 0]))
     got = op.apply(jnp.asarray([1.0, 2.0, 3.0, 4.0]))
     assert np.allclose(got, [4.0, 1.0])
+
+
+def test_gaussian_derivative_sign():
+    """Order-1 gd of a ramp must be +1 (correlation needs the flipped
+    convolution kernel)."""
+    from pyxu_tpu.operator.linop.diff import PartialDerivative
+    n = 32
+    ramp = jnp.asarray(np.arange(n, dtype=np.float64))
+    D1 = PartialDerivative.gaussian_derivative((n,), 1, sigma=2.0)
+    got = np.asarray(D1.apply(ramp))[8:-8]
+    assert np.all(got > 0.9)
+
+
+def test_divergence_is_negative_gradient_adjoint():
+    from pyxu_tpu.operator.linop.diff import Divergence, Gradient, Laplacian
+    G = Gradient((8, 9))
+    V = Divergence((2, 8, 9))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 9)))
+    y = jnp.asarray(rng.standard_normal((2, 8, 9)))
+    d1 = float(jnp.vdot(G.apply(x).ravel(), y.ravel()))
+    d2 = float(jnp.vdot(x.ravel(), V.apply(y).ravel()))
+    assert np.isclose(d1, -d2, rtol=1e-10)  # div = -grad^T
+    L = Laplacian((8, 9))
+    interior = (slice(1, -1), slice(1, -1))
+    diff = (V.apply(G.apply(x)) - L.apply(x))[interior]
+    assert float(jnp.abs(diff).max()) < 1e-10  # div(grad) = centered Laplacian
+
+
+def test_from_torch_prox_traced_tau():
+    import pytest
+    torch = pytest.importorskip("torch")
+    from pyxu_tpu.abc.operator import ProxFunc
+    from pyxu_tpu.operator.interop import from_torch
+
+    def t_apply(x):
+        return x.abs().sum(dim=-1)
+
+    def t_prox(x, tau):
+        return x.sign() * (x.abs() - tau).clamp(min=0)
+
+    op = from_torch(ProxFunc, (4,), apply=t_apply, prox=t_prox)
+    x = jnp.asarray([3.0, -0.2, 1.0, 0.0], jnp.float32)
+
+    @jax.jit
+    def run(v, tau):  # tau is traced here
+        return op.prox(v, tau)
+
+    got = run(x, jnp.asarray(1.0, jnp.float32))
+    assert np.allclose(got, [2.0, 0.0, 0.0, 0.0])
+
+
+def test_from_torch_batched_adjoint():
+    import pytest
+    torch = pytest.importorskip("torch")
+    from pyxu_tpu.abc.operator import LinOp as LO
+    from pyxu_tpu.operator.interop import from_torch
+    A = rng0.standard_normal((4, 3)).astype(np.float32)
+
+    def t_apply(x):
+        return torch.einsum("...j,ij->...i", x, torch.from_numpy(A))
+
+    op = from_torch(LO, (3,), (4,), apply=t_apply)
+    Y = jnp.asarray(rng0.standard_normal((5, 4)), jnp.float32)  # batched
+    got = np.asarray(op.adjoint(Y))
+    want = np.asarray(Y) @ A
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_from_source_forwards_pinv():
+    from pyxu_tpu.abc.operator import LinOp as LO
+    from pyxu_tpu.operator.interop import from_source
+    called = {}
+
+    def my_pinv(arr, damp=0.0, **kw):
+        called["yes"] = True
+        return jnp.zeros(3)
+
+    op = from_source(LO, (3,), (3,), apply=lambda x: 2 * x, pinv=my_pinv)
+    op.pinv(jnp.ones(3))
+    assert called.get("yes")
+
+
+def test_trace_blocked_matches_dense():
+    from pyxu_tpu.math.linalg import trace
+    from pyxu_tpu.operator.linop import ExplicitLinOp
+    Q = rng0.standard_normal((30, 30))
+    op = ExplicitLinOp(jnp.asarray(Q))
+    got = float(trace(op, block=7))  # forces multiple ragged blocks
+    assert np.isclose(got, np.trace(Q), rtol=1e-6)
