@@ -96,8 +96,9 @@ def radio_interferometry(shape=(256, 256), n_vis=5000, lam=0.02, seed=0):
 
     rng = np.random.default_rng(seed)
     x_true = np.zeros(shape, np.float32)
-    idx = rng.integers(0, shape[0], (30, 2))
-    x_true[idx[:, 0], idx[:, 1]] = rng.random(30).astype(np.float32)
+    rows = rng.integers(0, shape[0], 30)
+    cols = rng.integers(0, shape[1], 30)
+    x_true[rows, cols] = rng.random(30).astype(np.float32)
     # uv coverage: Gaussian-ish radial density
     uv = rng.normal(0, np.pi / 3, (n_vis, 2)).clip(-np.pi, np.pi)
     A = NUFFT.type2(jnp.asarray(uv.astype(np.float32)), shape, eps=1e-6)

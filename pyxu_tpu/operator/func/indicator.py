@@ -161,7 +161,7 @@ class RangeSet(_IndicatorFunc):
         p = self._project(arr)
         err = jnp.sqrt(jnp.sum((arr - p) ** 2, axis=self._axes))
         ref = jnp.sqrt(jnp.sum(arr * arr, axis=self._axes))
-        return err <= 1e-4 * jnp.maximum(ref, 1.0)
+        return err <= self._tol(arr) * jnp.maximum(ref, 1.0)
 
     def _project(self, arr):
         from pyxu_tpu.math.cg import cg_solve
@@ -195,7 +195,8 @@ class AffineSet(_IndicatorFunc):
         r = self._A.apply(arr) - self._b
         axes = tuple(range(-self._A.codim_rank, 0))
         err = jnp.sqrt(jnp.sum(r * r, axis=axes))
-        return err <= 1e-4 * jnp.maximum(jnp.linalg.norm(self._b.ravel()), 1.0)
+        return err <= self._tol(arr) * jnp.maximum(
+            jnp.linalg.norm(self._b.ravel()), 1.0)
 
     def prox(self, arr, tau):
         from pyxu_tpu.math.cg import cg_solve

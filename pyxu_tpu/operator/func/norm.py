@@ -40,13 +40,6 @@ class _NormFunc(ProxFunc):
     def _axes(self):
         return tuple(range(-self.dim_rank, 0))
 
-    def _bshape(self, arr):
-        """Reshape a per-batch scalar for broadcasting against arr's core dims."""
-        def f(s):
-            return s.reshape(s.shape + (1,) * self.dim_rank)
-        return f
-
-
 class L1Norm(_NormFunc):
     """f(x) = ||x||_1; prox = soft threshold (reference: norm.py:33-54)."""
 

@@ -29,7 +29,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _kernel(x_hbm, out_ref, scratch, sems, *, TH, H, W, Wp, kh, kw, ch, cw):
+def _kernel(x_hbm, out_ref, scratch, sems, *, TH, Wp, kh, kw):
     """Grid over row tiles.  x_hbm is the (H + kh - 1, Wp) zero-padded input
     (rows padded by the kernel's vertical footprint, cols by horizontal);
     each step DMAs a (TH + kh - 1, Wp) window, computes, writes (TH, Wp)."""
@@ -91,10 +91,9 @@ def separable_correlate2d(x, kh, kw, ch: int, cw: int, tile_rows: int = 256,
 
     grid = (Hp // TH,)
     kernel = functools.partial(
-        _kernel, TH=TH, H=H, W=W, Wp=Wp,
+        _kernel, TH=TH, Wp=Wp,
         kh=tuple(float(v) for v in kh),  # python floats: baked as immediates
         kw=tuple(float(v) for v in kw),
-        ch=ch, cw=cw,
     )
     out = pl.pallas_call(
         kernel,

@@ -16,3 +16,12 @@ from pyxu_tpu.utils.vectorize import (  # noqa: F401
     flatten_batch,
     unflatten_batch,
 )
+from pyxu_tpu.utils.array_module import (  # noqa: F401
+    compute,
+    copy_if_unsafe,
+    get_array_module,
+    read_only,
+    redirect,
+    to_numpy,
+)
+from pyxu_tpu.utils.profiler import timed, trace  # noqa: F401

@@ -23,10 +23,16 @@ def real_dtype(cdtype) -> np.dtype:
 
 
 def complex_dtype(fdtype) -> np.dtype:
-    return np.dtype({
+    table = {
         np.dtype(np.float32): np.complex64,
         np.dtype(np.float64): np.complex128,
-    }[np.dtype(fdtype)])
+        np.dtype(jnp.bfloat16): np.complex64,  # promote: no complex-bf16
+        np.dtype(np.float16): np.complex64,
+    }
+    fdtype = np.dtype(fdtype)
+    if fdtype not in table:
+        raise ValueError(f"no complex counterpart for dtype {fdtype}")
+    return np.dtype(table[fdtype])
 
 
 def view_as_real(z):

@@ -38,6 +38,9 @@ def batched_over(fn, core_ndim: int):
 
     def wrapped(arr, *args, **kwargs):
         arr = jnp.asarray(arr)
+        if arr.ndim < core_ndim:
+            raise ValueError(
+                f"input rank {arr.ndim} < core rank {core_ndim}")
         n_batch = arr.ndim - core_ndim
         if n_batch == 0:
             return fn(arr, *args, **kwargs)
