@@ -36,3 +36,4 @@ from pyxu_tpu.operator.linop.pad import Pad  # noqa: F401
 from pyxu_tpu.operator.linop.reduce import Sum  # noqa: F401
 from pyxu_tpu.operator.linop.select import SubSample, Trim  # noqa: F401
 from pyxu_tpu.operator.linop.stencil import Convolve, Correlate, Stencil  # noqa: F401
+from pyxu_tpu.operator.linop.xray import FourierRadon, RadonTransform  # noqa: F401

@@ -23,7 +23,7 @@ import numpy as np
 from pyxu_tpu.abc.operator import LinOp
 from pyxu_tpu.utils.misc import as_canonical_shape
 
-__all__ = ["RadonTransform"]
+__all__ = ["RadonTransform", "FourierRadon"]
 
 
 class RadonTransform(LinOp):
@@ -86,3 +86,86 @@ class RadonTransform(LinOp):
 
     def _expr(self):
         return (f"Radon[{self._n_angles} angles x {self._n_det} det]",)
+
+
+class FourierRadon(LinOp):
+    r"""Parallel-beam Radon transform via the Fourier-slice theorem.
+
+    p_theta(t) = (1 / (n_det dt)) sum_q  phat_theta(w_q) e^{i w_q t},
+    phat_theta(w) = F2[f](w . (cos theta, sin theta)),
+
+    evaluated with one 2-D NUFFT type-2 at the polar frequency samples
+    (n_angles x n_det points) followed by a per-angle inverse DFT — the
+    NUFFT-powered fast path (MXU spreading) for CT at scale; the
+    gather-based :class:`RadonTransform` remains the quadrature reference.
+    Exactly linear with an exact adjoint (conjugate pipeline).
+
+    Discretization: image pixels are centered modes (array center = origin);
+    detector grid t_m = (m - (n_det-1)/2) dt with dt = 1 pixel.
+    """
+
+    _data_fields = ("_nufft", "_phase")
+
+    def __init__(self, dim_shape, angles, n_det: int = None, eps: float = 1e-6):
+        import jax.numpy as jnp
+        from pyxu_tpu.operator.linop.nufft import NUFFT
+
+        dim_shape = as_canonical_shape(dim_shape)
+        H, W = dim_shape
+        angles = np.atleast_1d(np.asarray(angles, np.float64))
+        n_det = n_det or int(2 ** _math.ceil(_math.log2(max(H, W) * 1.5)))
+        super().__init__(dim_shape, (len(angles), n_det))
+        self._n_angles = len(angles)
+        self._n_det = n_det
+        # polar frequency samples w_q theta_hat, q centered; dt = 1
+        q = np.fft.fftfreq(n_det) * 2 * np.pi  # w_q in DFT bin order
+        dirs = np.stack([np.cos(angles), np.sin(angles)], axis=1)  # (A, 2)
+        pts = (q[None, :, None] * dirs[:, None, :]).reshape(-1, 2)  # (A*nd, 2)
+        # F2[f](w) = sum_k f_k e^{-i w k}  ->  type-2 with isign = -1
+        self._nufft = NUFFT.type2(pts, (H, W), isign=-1, eps=eps)
+        # detector-center phase: t_m = (m - c_t);  p[m] = IFFT_q[phat_q e^{-i w_q c_t}]
+        ct = (n_det - 1) / 2.0
+        self._phase = jnp.asarray(np.exp(-1j * q * ct).astype(np.complex64))
+        self._lipschitz = float(_math.sqrt(self._n_angles) * _math.sqrt(H * W))
+        self._name = "FourierRadon"
+
+    def _fw(self, img):
+        import jax.numpy as jnp
+        from pyxu_tpu.utils.complex import view_as_complex, view_as_real
+
+        from pyxu_tpu.utils.complex import complex_dtype
+        cdt = complex_dtype(img.dtype) if not jnp.iscomplexobj(img) else img.dtype
+        z = img.astype(cdt)
+        vr = view_as_real(z)
+        vis = view_as_complex(self._nufft.apply(vr))  # (A*nd,) complex
+        phat = (vis.reshape(self._n_angles, self._n_det)
+                * self._phase[None, :].astype(cdt))
+        p = jnp.fft.ifft(phat, axis=-1) * (1.0)  # (1/(nd dt)) * nd = 1
+        return p.real
+
+    def _bw(self, sino):
+        import jax.numpy as jnp
+        from pyxu_tpu.utils.complex import view_as_complex, view_as_real
+
+        from pyxu_tpu.utils.complex import complex_dtype
+        cdt = complex_dtype(sino.dtype)
+        s = sino.astype(cdt)
+        # adjoint of (real o ifft o phase o reshape o nufft):
+        phat = jnp.fft.fft(s, axis=-1) / self._n_det  # ifft^H = fft / nd
+        phat = phat * jnp.conj(self._phase)[None, :].astype(cdt)
+        vr = view_as_real(phat.reshape(-1))
+        img = view_as_complex(self._nufft.adjoint(vr))
+        return img.real
+
+    def apply(self, arr):
+        import jax.numpy as jnp
+        return self._map_batched(self._fw, jnp.asarray(arr), self.dim_rank,
+                                 self.codim_shape)
+
+    def adjoint(self, arr):
+        import jax.numpy as jnp
+        return self._map_batched(self._bw, jnp.asarray(arr), self.codim_rank,
+                                 self.dim_shape)
+
+    def _expr(self):
+        return (f"FourierRadon[{self._n_angles} angles x {self._n_det} det]",)
