@@ -55,7 +55,10 @@ class Solver:
 
     def __init__(self, *, log_var=("x",), verbosity: int = None,
                  show_progress: bool = False, folder=None, exist_ok: bool = False,
-                 stop_rate: int = 1, writeback_rate: int = None):
+                 stop_rate: int = 1, writeback_rate: int = None,
+                 checkpoint_backend: str = "npz"):
+        assert checkpoint_backend in ("npz", "orbax"), checkpoint_backend
+        self._ckpt_backend = checkpoint_backend
         self._log_var = tuple(log_var)
         self._verbosity = verbosity
         self._show_progress = bool(show_progress)
@@ -87,10 +90,17 @@ class Solver:
     # ----------------------------------------------------------------- fit --
     def fit(self, *, mode: Mode = Mode.BLOCK, stop_crit: StoppingCriterion = None,
             max_iter: int = 10_000, segment_size: int = None,
-            track_objective: bool = False, **m_init_kwargs):
+            track_objective: bool = False, warm_start: bool = False,
+            **m_init_kwargs):
         """Solve.  ``max_iter`` is a hard cap (it sizes the device-resident
         history buffer); ``segment_size`` = iterations per host round-trip
         (default: writeback/verbosity cadence, else the whole solve).
+
+        ``warm_start=True`` continues from the previous fit's math state
+        (``m_init`` is skipped; hyper-parameters such as step sizes persist).
+        Combine with :meth:`update_operands` to re-solve against new data
+        without recompiling — operator arrays ride as jit arguments, so a
+        same-structure operand swap hits the compiled segment cache.
         """
         self._astate["mode"] = mode
         # stale ASYNC state (a cleared Event from a stop()) must not truncate
@@ -98,7 +108,12 @@ class Solver:
         self._astate["active"] = None
         self._astate["worker"] = None
         self._fit_init(stop_crit, max_iter, segment_size, track_objective)
-        self._mstate = self.m_init(**m_init_kwargs)
+        if warm_start:
+            assert self._mstate, "warm_start=True requires a previous fit"
+            assert not m_init_kwargs, \
+                "warm_start=True skips m_init; m_init kwargs have no effect"
+        else:
+            self._mstate = self.m_init(**m_init_kwargs)
         if mode is Mode.BLOCK:
             self._fit_run()
             return self
@@ -152,6 +167,32 @@ class Solver:
         from pyxu_tpu.abc.operator import Operator
         return {k: v for k, v in self.__dict__.items()
                 if isinstance(v, Operator)}
+
+    def update_operands(self, **ops):
+        """Swap operator attributes with pytree-compatible replacements
+        (e.g. ``slv.update_operands(f=new_loss)`` after new data arrives).
+
+        Operators are passed to the jitted segment as *arguments* (see
+        :meth:`_op_operands`), so replacing one whose pytree structure —
+        class, static aux, array shapes — matches the old keeps the compiled
+        while-loop program and only re-feeds the new array leaves.  A
+        structure mismatch still works but triggers a recompile (warned).
+        """
+        import warnings
+
+        from pyxu_tpu.abc.operator import Operator
+        for name, new in ops.items():
+            attr = name if name in self.__dict__ else f"_{name}"
+            old = self.__dict__.get(attr)
+            assert isinstance(old, Operator), \
+                f"{type(self).__name__} has no operator operand {name!r}"
+            assert isinstance(new, Operator), new
+            if (jax.tree_util.tree_structure(new)
+                    != jax.tree_util.tree_structure(old)):
+                warnings.warn(
+                    f"update_operands({name}=...): pytree structure differs "
+                    "from the current operand — the next fit() will recompile.")
+            self.__dict__[attr] = new
 
     def _with_ops(self, ops: dict, fn, *args):
         """Run ``fn`` with self's operator attributes temporarily replaced by
@@ -344,10 +385,23 @@ class Solver:
         return self._mstate, self._history
 
     def writeback(self):
-        """Checkpoint log-variables + history to ``data.npz``
-        (reference: abc/solver.py:562-570)."""
+        """Checkpoint log-variables + history (reference: abc/solver.py:562-570).
+
+        ``checkpoint_backend="npz"``: device->host fetch + ``data.npz``.
+        ``checkpoint_backend="orbax"``: orbax PyTree checkpoint of the FULL
+        math state (sharded-array aware, no host gather of the pytree into
+        one process) + history sidecar; preferred for large / multi-chip
+        states.
+        """
         wb = self._astate["wb_dir"]
         if wb is None:
+            return
+        if self._ckpt_backend == "orbax":
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(pathlib.Path(wb) / "ckpt", self._mstate, force=True)
+            if self._history is not None:
+                np.savez(wb / "history.npz", history=self._history)
             return
         data = {f"mstate_{kk}": np.asarray(jax.device_get(vv))
                 for kk, vv in self._mstate.items() if kk in self._log_var or not self._log_var}
@@ -363,10 +417,21 @@ class Solver:
     def read_checkpoint(folder):
         """Load a ``writeback()`` checkpoint: returns (mstate dict, history).
 
+        Auto-detects the backend: an orbax ``ckpt/`` directory is restored
+        with orbax (arrays come back device-resident); otherwise ``data.npz``.
         The reference has no load path (resume is manual, SURVEY §5); here
         ``fit(x0=mstate["x"], ...)`` resumes from the stored iterate.
         """
-        data = np.load(pathlib.Path(folder) / "data.npz")
+        folder = pathlib.Path(folder)
+        if (folder / "ckpt").exists():
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ckptr:
+                mstate = ckptr.restore(folder / "ckpt")
+            history = None
+            if (folder / "history.npz").exists():
+                history = np.load(folder / "history.npz")["history"]
+            return mstate, history
+        data = np.load(folder / "data.npz")
         mstate = {k[len("mstate_"):]: data[k] for k in data.files
                   if k.startswith("mstate_")}
         history = data["history"] if "history" in data.files else None

@@ -114,11 +114,17 @@ class SquaredL1Norm(_NormFunc):
     S_k = sum_{i<=k} y_i, find the largest k with
     y_k > 2 tau S_k / (1 + 2 tau k), then soft-threshold at
     mu = 2 tau S_k / (1 + 2 tau k).  The reference offers `sort` and
-    root-finding variants (norm.py:140-240); sort is jit-friendly and exact.
+    root-finding variants (norm.py:140-240); both are provided via
+    ``prox_algo`` — `sort` (exact, O(n log n)) and `root` ([FirstOrd]
+    Lemma 6.70 as in the reference's Brent solve, re-designed as a
+    fixed-iteration device-resident bisection so it stays jit-compatible).
     """
 
-    def __init__(self, dim_shape):
+    def __init__(self, dim_shape, prox_algo: str = "sort"):
         super().__init__(dim_shape)
+        algo = prox_algo.strip().lower()
+        assert algo in ("sort", "root"), prox_algo
+        self._algo = algo
 
     def apply(self, arr):
         arr = jnp.asarray(arr)
@@ -127,6 +133,8 @@ class SquaredL1Norm(_NormFunc):
     def prox(self, arr, tau):
         arr = jnp.asarray(arr)
         tau = jnp.asarray(tau, dtype=arr.dtype)
+        if self._algo == "root":
+            return self._prox_root(arr, tau)
         batch = arr.shape[: arr.ndim - self.dim_rank]
         flat = arr.reshape(batch + (self.dim_size,))
         y = jnp.sort(jnp.abs(flat), axis=-1)[..., ::-1]
@@ -141,6 +149,37 @@ class SquaredL1Norm(_NormFunc):
         mu = jnp.where(k_star > 0, mu, 0.0)
         mu = mu.reshape(mu.shape + (1,) * self.dim_rank)
         return jnp.sign(arr) * jnp.maximum(jnp.abs(arr) - mu, 0.0)
+
+    def _prox_root(self, arr, tau):
+        """[FirstOrd] Lemma 6.70 (reference `_prox_root`, norm.py:150-196):
+        solve sum(clip(|x|*sqrt(tau/mu) - 2 tau, 0)) = 1 for mu by 64-step
+        bisection (monotone decreasing in mu), then rescale coordinates.
+        Fixed iteration count keeps the program jit-compilable; 64 halvings
+        reach float64 resolution of the bracket."""
+        batch = arr.shape[: arr.ndim - self.dim_rank]
+        flat = arr.reshape(batch + (self.dim_size,))
+        a = jnp.abs(flat)
+        t = jnp.broadcast_to(tau, batch)[..., None] if jnp.ndim(tau) else tau
+        hi = jnp.maximum(jnp.max(a, axis=-1, keepdims=True) ** 2 / (4.0 * t),
+                         2e-12) * jnp.ones_like(a[..., :1])
+        lo = jnp.full_like(hi, 1e-12)
+
+        def f(mu):
+            lam = jnp.maximum(a * jnp.sqrt(t / mu) - 2.0 * t, 0.0)
+            return jnp.sum(lam, axis=-1, keepdims=True) - 1.0
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            go_up = f(mid) > 0  # root lies above mid
+            return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 64, body, (lo, hi))
+        mu = 0.5 * (lo + hi)
+        lam = jnp.maximum(a * jnp.sqrt(t / mu) - 2.0 * t, 0.0)
+        out = flat * lam / (lam + 2.0 * t)
+        nonzero = jnp.sum(a, axis=-1, keepdims=True) > 0
+        return jnp.where(nonzero, out, flat).reshape(arr.shape)
 
 
 class LInfinityNorm(_NormFunc):

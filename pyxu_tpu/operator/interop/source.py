@@ -118,12 +118,27 @@ class SourceMixin:
         return (self._name,)
 
 
+def _coerced(fn):
+    """Wrap a user callable so array args/outputs follow the active width."""
+    from pyxu_tpu.info.dtypes import coerce
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kw):
+        args = tuple(coerce(a) if hasattr(a, "dtype") or isinstance(a, float)
+                     else a for a in args)
+        out = fn(*args, **kw)
+        return coerce(out) if hasattr(out, "dtype") else out
+
+    return wrapped
+
+
 @functools.cache
 def _source_class(klass: type) -> type:
     return type(f"Source[{klass.__name__}]", (SourceMixin, klass), {})
 
 
-def from_source(cls, dim_shape, codim_shape=None, vectorize=(), **kwargs) -> Operator:
+def from_source(cls, dim_shape, codim_shape=None, vectorize=(), embed=None,
+                enforce_precision=(), **kwargs) -> Operator:
     """Create an operator of class ``cls`` from plain callables.
 
     Parameters (reference: source.py:15-148)
@@ -133,6 +148,14 @@ def from_source(cls, dim_shape, codim_shape=None, vectorize=(), **kwargs) -> Ope
     vectorize: names of provided callables written for single (unbatched)
         inputs — they are auto-vectorized over leading batch axes with vmap
         (the reference's `vectorize` kwarg, source.py:60-96).
+    embed: optional dict of (attribute, value) pairs attached verbatim to the
+        created operator (reference's `embed`, source.py:18,33-36).  Values
+        become static pytree aux — keep them hashable if the operator will be
+        passed as a jit argument.
+    enforce_precision: names of provided callables whose array inputs and
+        output should be coerced to the active precision width (reference's
+        `enforce_precision` kwarg, source.py:19; runtime/_runtime.py:139-200).
+        Under jit the casts are no-ops when dtypes already match.
     kwargs: ``apply=..., adjoint=..., grad=..., prox=..., jacobian=...,
         _quad_spec=..., estimate_lipschitz=...`` plus optional constants
         ``lipschitz=float, diff_lipschitz=float``.
@@ -146,6 +169,13 @@ def from_source(cls, dim_shape, codim_shape=None, vectorize=(), **kwargs) -> Ope
     methods = {k: v for k, v in kwargs.items() if k in _FORWARDABLE}
     unknown = set(kwargs) - set(methods)
     assert not unknown, f"unknown from_source kwargs: {unknown}"
+
+    epset = {enforce_precision} if isinstance(enforce_precision, str) \
+        else set(enforce_precision)
+    assert epset <= set(_FORWARDABLE), \
+        f"enforce_precision names must be operator methods, got {epset}"
+    for name in epset & set(methods):
+        methods[name] = _coerced(methods[name])
 
     out_cls = _source_class(cls)
     op = object.__new__(out_cls)
@@ -168,4 +198,6 @@ def from_source(cls, dim_shape, codim_shape=None, vectorize=(), **kwargs) -> Ope
         op._lipschitz = float(lipschitz)
     if diff_lipschitz is not None:
         op._diff_lipschitz = float(diff_lipschitz)
+    for k, v in (embed or {}).items():
+        setattr(op, k, v)
     return op

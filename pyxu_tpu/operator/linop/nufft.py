@@ -620,6 +620,49 @@ class _NUFFT3Chunked(LinOp):
             "z_block_sizes": [len(p) for p in self._z_parts],
         }
 
+    def params(self) -> dict:
+        """Plan parameters of every (z-block, x-block) sub-transform
+        (reference `params`, nufft.py:1270-1304)."""
+        return {
+            (qi, pi): {
+                "n_fine": blk._nf,
+                "w": blk._w,
+                "M": len(self._x_parts[pi]),
+                "K": len(self._z_parts[qi]),
+            }
+            for qi, row in enumerate(self._blocks)
+            for pi, blk in enumerate(row)
+        }
+
+    def diagnostic_plot(self, domain: str = "x"):
+        """Scatter the chosen domain's points colored by partition block
+        (reference `diagnostic_plot`, nufft.py:1075-1123).  Returns the
+        matplotlib Figure; requires matplotlib (gated import)."""
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        assert domain in ("x", "z"), domain
+        parts = self._x_parts if domain == "x" else self._z_parts
+        # re-assemble the original point cloud from the first row/col blocks
+        d = self._blocks[0][0]._x.shape[1]
+        n_total = self.dim_shape[0] if domain == "x" else self.codim_shape[0]
+        cloud = np.zeros((n_total, d))
+        for bi, idx in enumerate(parts):
+            blk = self._blocks[0][bi] if domain == "x" else self._blocks[bi][0]
+            cloud[list(idx)] = blk._x if domain == "x" else blk._z
+        fig, ax = plt.subplots(figsize=(5, 4))
+        for bi, idx in enumerate(parts):
+            p = cloud[list(idx)]
+            if d == 1:
+                ax.scatter(p[:, 0], np.zeros(len(p)), s=4, label=f"block {bi}")
+            else:
+                ax.scatter(p[:, 0], p[:, 1], s=4, label=f"block {bi}")
+        ax.set_title(f"NUFFT3 chunked partition ({domain}-domain, "
+                     f"{len(parts)} blocks)")
+        ax.legend(fontsize=6, markerscale=2)
+        return fig
+
     def apply(self, arr):
         arr = jnp.asarray(arr)
 

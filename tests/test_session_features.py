@@ -1,0 +1,182 @@
+"""Round-1 follow-up features: solver warm-start / operand hot-swap, orbax
+checkpointing, SquaredL1Norm root-find prox variant, from_source
+embed/enforce_precision kwargs, chunked-NUFFT diagnostics.
+
+Reference parity targets: abc/solver.py:562-570 (writeback),
+operator/interop/source.py:15-148 (embed/enforce_precision),
+operator/func/norm.py:115-240 (prox_algo), nufft.py:1075-1363
+(diagnostic_plot/params/stats).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyxu_tpu.abc import LinOp
+from pyxu_tpu.operator.func import L1Norm, SquaredL1Norm, SquaredL2Norm
+from pyxu_tpu.operator.interop import from_source
+from pyxu_tpu.operator.linop import Stencil
+from pyxu_tpu.opt.solver import PGD
+from pyxu_tpu.opt.stop import MaxIter
+
+
+def _lasso(y, seed=0):
+    k = jnp.asarray(np.array([0.25, 0.5, 0.25], np.float32))
+    K = Stencil((32,), k, (1,), mode="constant")
+    f = 0.5 * SquaredL2Norm((32,)).asloss(y) * K
+    return f, 0.05 * L1Norm((32,))
+
+
+class TestWarmStart:
+    def test_warm_start_continues(self):
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+        f, g = _lasso(y)
+        slv = PGD(f=f, g=g)
+        slv.fit(x0=jnp.zeros(32), stop_crit=MaxIter(5), max_iter=5)
+        x5 = np.asarray(slv.solution())
+        slv.fit(stop_crit=MaxIter(5), max_iter=5, warm_start=True)
+        x10 = np.asarray(slv.solution())
+        # 10 cold iterations must equal 5 + 5 warm-started ones
+        slv2 = PGD(f=f, g=g)
+        slv2.fit(x0=jnp.zeros(32), stop_crit=MaxIter(10), max_iter=10)
+        np.testing.assert_allclose(x10, np.asarray(slv2.solution()), atol=1e-6)
+        assert not np.allclose(x5, x10)
+
+    def test_warm_start_requires_prior_fit(self):
+        f, g = _lasso(jnp.zeros(32))
+        slv = PGD(f=f, g=g)
+        with pytest.raises(AssertionError):
+            slv.fit(stop_crit=MaxIter(2), warm_start=True)
+
+    def test_update_operands_same_structure_no_recompile(self):
+        rng = np.random.default_rng(1)
+        y1 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+        y2 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+        f1, g = _lasso(y1)
+        f2, _ = _lasso(y2)
+        slv = PGD(f=f1, g=g)
+        crit = MaxIter(8)
+        slv.fit(x0=jnp.zeros(32), stop_crit=crit, max_iter=8)
+        seg_fn = slv._seg_cache[1]
+        n_compiles = seg_fn._cache_size()
+        slv.update_operands(f=f2)
+        slv.fit(x0=jnp.zeros(32), stop_crit=crit, max_iter=8)
+        assert seg_fn._cache_size() == n_compiles  # hot swap, no retrace
+        # and the answer matches a cold solve against y2
+        ref = PGD(f=f2, g=g)
+        ref.fit(x0=jnp.zeros(32), stop_crit=MaxIter(8), max_iter=8)
+        np.testing.assert_allclose(np.asarray(slv.solution()),
+                                   np.asarray(ref.solution()), atol=1e-6)
+
+    def test_update_operands_unknown_name(self):
+        f, g = _lasso(jnp.zeros(32))
+        slv = PGD(f=f, g=g)
+        with pytest.raises(AssertionError):
+            slv.update_operands(nope=f)
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        rng = np.random.default_rng(2)
+        y = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+        f, g = _lasso(y)
+        slv = PGD(f=f, g=g, folder=tmp_path / "run", writeback_rate=4,
+                  checkpoint_backend="orbax")
+        slv.fit(x0=jnp.zeros(32), stop_crit=MaxIter(8), max_iter=8)
+        mstate, history = PGD.read_checkpoint(tmp_path / "run")
+        np.testing.assert_allclose(np.asarray(mstate["x"]),
+                                   np.asarray(slv.solution()), atol=1e-7)
+        assert history is not None and len(history) >= 1
+
+    def test_npz_backend_unchanged(self, tmp_path):
+        y = jnp.zeros(32)
+        f, g = _lasso(y)
+        slv = PGD(f=f, g=g, folder=tmp_path / "run", writeback_rate=4)
+        slv.fit(x0=jnp.ones(32), stop_crit=MaxIter(4), max_iter=4)
+        mstate, _ = PGD.read_checkpoint(tmp_path / "run")
+        assert "x" in mstate
+
+
+class TestSquaredL1RootProx:
+    @pytest.mark.parametrize("tau", [0.1, 1.0, 3.7])
+    def test_matches_sort(self, tau):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal(64))
+        a = SquaredL1Norm(64, prox_algo="sort").prox(x, tau)
+        b = SquaredL1Norm(64, prox_algo="root").prox(x, tau)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_zero_input(self):
+        out = SquaredL1Norm(16, prox_algo="root").prox(jnp.zeros(16), 1.0)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_batched_and_jit(self):
+        rng = np.random.default_rng(3)
+        xb = jnp.asarray(rng.standard_normal((4, 32)))
+        op = SquaredL1Norm(32, prox_algo="root")
+        a = jax.jit(op.prox)(xb, 0.5)
+        b = SquaredL1Norm(32, prox_algo="sort").prox(xb, 0.5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_prox_optimality(self):
+        # tau f(p) + 1/2||p-x||^2 <= tau f(y) + 1/2||y-x||^2 for random y
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal(32))
+        op = SquaredL1Norm(32, prox_algo="root")
+        tau = 0.7
+        p = op.prox(x, tau)
+        fp = tau * op.apply(p) + 0.5 * jnp.sum((p - x) ** 2)
+        for _ in range(8):
+            ypt = jnp.asarray(rng.standard_normal(32))
+            fy = tau * op.apply(ypt) + 0.5 * jnp.sum((ypt - x) ** 2)
+            assert float(fp) <= float(fy) + 1e-6
+
+
+class TestFromSourceExtras:
+    def test_embed(self):
+        op = from_source(LinOp, 4, 4, apply=lambda a: 2 * a,
+                         adjoint=lambda a: 2 * a, embed={"_tag": 7})
+        assert op._tag == 7
+
+    def test_enforce_precision(self):
+        from pyxu_tpu.info import Width, Precision
+        op = from_source(LinOp, 4, 4, apply=lambda a: 2 * a,
+                         adjoint=lambda a: 2 * a,
+                         enforce_precision=("apply",))
+        with Precision(Width.SINGLE):
+            out = op.apply(jnp.ones(4, jnp.float64)
+                           if jax.config.jax_enable_x64 else jnp.ones(4))
+            assert out.dtype == jnp.float32
+
+    def test_enforce_precision_bad_name(self):
+        with pytest.raises(AssertionError):
+            from_source(LinOp, 4, 4, apply=lambda a: a,
+                        enforce_precision=("nope",))
+
+
+class TestNUFFTDiagnostics:
+    def test_params_and_plot(self):
+        mpl = pytest.importorskip("matplotlib")
+        mpl.use("Agg")
+        from pyxu_tpu.operator.linop.nufft import NUFFT
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-3, 3, (200, 2))
+        z = rng.uniform(-15, 15, (150, 2))
+        op = NUFFT.type3(x, z, chunked=True, fft_mem_mb=0.05, max_blocks=8)
+        st = op.stats()
+        assert st["n_x_blocks"] * st["n_z_blocks"] >= 2
+        pr = op.params()
+        assert len(pr) == st["n_x_blocks"] * st["n_z_blocks"]
+        for v in pr.values():
+            assert v["w"] >= 2 and all(n > 0 for n in v["n_fine"])
+        import matplotlib.pyplot as plt
+        for dom in ("x", "z"):
+            fig = op.diagnostic_plot(dom)
+            plt.close(fig)
+
+
+def test_math_linesearch_export():
+    from pyxu_tpu.math import backtracking_linesearch  # noqa: F401
