@@ -143,6 +143,57 @@ def run_numpy(y, k1, n_iters, tau, sigma):
     return n_iters / dt
 
 
+def run_extra_workloads():
+    """Workloads 3 (sparse-view CT, PD3O) and 4 (radio interferometry, ADMM)
+    of BASELINE.json — steady-state iter/s each, reported as extra keys on
+    the headline JSON line.  Disable with PYXU_BENCH_EXTRA=0."""
+    import os
+    import signal
+    if os.environ.get("PYXU_BENCH_EXTRA", "1") == "0":
+        return {}
+    import jax
+    from pyxu_tpu.models.workloads import radio_interferometry, sparse_view_ct
+    from pyxu_tpu.opt.stop import MaxIter
+
+    # Hard wall-clock guard: a wedged device tunnel can hang a transfer
+    # forever, and the headline JSON line must still be printed.
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(sig, frame):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+
+    out = {}
+    # segments kept short: single long device executions can trip the TPU
+    # worker watchdog (see CLAUDE.md); 25-iteration segments are ~100 ms.
+    for name, factory, iters, seg in (
+        ("ct_pd3o_256", lambda: sparse_view_ct(
+            shape=(256, 256), n_angles=60, method="fourier"), 100, 25),
+        ("ri_admm_256", lambda: radio_interferometry(
+            shape=(256, 256), n_vis=20_000), 40, 10),
+    ):
+        try:
+            signal.alarm(420)  # compile (cached across runs) + 2 solves
+            slv, fit_kw, _ = factory()
+            slv._stop_rate = seg  # one on-device stop-check per segment
+            crit = MaxIter(iters)
+            slv.fit(stop_crit=crit, max_iter=iters, segment_size=seg, **fit_kw)
+            jax.block_until_ready(slv.solution())
+            t0 = time.perf_counter()
+            slv.fit(stop_crit=crit, max_iter=iters, segment_size=seg, **fit_kw)
+            jax.block_until_ready(slv.solution())
+            out[name] = round(iters / (time.perf_counter() - t0), 2)
+        except _Timeout:
+            out[name] = "error: timeout"
+        except Exception as e:  # never let an extra workload kill the bench
+            out[name] = f"error: {type(e).__name__}"
+        finally:
+            signal.alarm(0)
+    return out
+
+
 def main():
     y, k1 = make_data()
     ours, _ = run_tpu(y, k1, N_ITERS)
@@ -150,11 +201,13 @@ def main():
     tau = 1.0 / (0.5 + np.sqrt(8.0))
     sigma = 1.0 / np.sqrt(8.0)
     base = run_numpy(y, k1, N_ITERS_BASE, tau, sigma)
+    extra = run_extra_workloads()
     print(json.dumps({
         "metric": "tv_deconv_4k_condatvu",
         "value": round(ours, 3),
         "unit": "iter/s",
         "vs_baseline": round(ours / base, 2),
+        "extra_iter_per_s": extra,
     }))
 
 

@@ -514,7 +514,20 @@ class QuadraticFunc(ProxDiffFunc):
         tau = jnp.asarray(tau, dtype=arr.dtype)
         b = arr - tau * self._c.grad(arr)
         mv = lambda p: p + tau * self._Q.apply(p)
-        return cg_solve(mv, b, x0=arr, rtol=1e-6, maxiter=max(2 * self.dim_size, 20))
+        # dtype-aware tolerance: an rtol below working precision never fires
+        # and the loop would burn its full maxiter (minutes of device time on
+        # a large Q).  Cap iterations; CG on (I + tau Q) with a warm start
+        # converges in far fewer.  Override per-instance via _prox_rtol /
+        # _prox_maxiter.
+        rtol = getattr(self, "_prox_rtol", None)
+        if rtol is None:
+            # host-side math: jnp ops stage to tracers inside jit even for
+            # constant inputs, and this must stay a static python float
+            rtol = 100.0 * float(jnp.finfo(arr.dtype).eps)
+        maxiter = getattr(self, "_prox_maxiter", None)
+        if maxiter is None:
+            maxiter = min(max(2 * self.dim_size, 20), 500)
+        return cg_solve(mv, b, x0=arr, rtol=rtol, maxiter=maxiter)
 
     def estimate_diff_lipschitz(self, **kwargs) -> float:
         dL = self._Q.estimate_lipschitz(**kwargs)
@@ -618,8 +631,15 @@ class LinOp(DiffMap):
         damp = jnp.asarray(damp, dtype=b.dtype)
         gram = self.gram()
         mv = lambda x: gram.apply(x) + damp * x
-        return cg_solve(mv, b, rtol=kwargs.get("rtol", 1e-6),
-                        maxiter=kwargs.get("maxiter", max(2 * self.dim_size, 20)))
+        # same dtype/size guard as QuadraticFunc.prox: sub-precision rtol +
+        # unbounded maxiter = a device program that runs for minutes
+        rtol = kwargs.get("rtol")
+        if rtol is None:
+            rtol = 100.0 * float(jnp.finfo(b.dtype).eps)
+        maxiter = kwargs.get("maxiter")
+        if maxiter is None:
+            maxiter = min(max(2 * self.dim_size, 20), 1000)
+        return cg_solve(mv, b, rtol=rtol, maxiter=maxiter)
 
     def dagger(self, damp: float = 0.0, **kwargs) -> "LinOp":
         """The pseudo-inverse as a LinOp (reference: abc/operator.py:1747-1800)."""

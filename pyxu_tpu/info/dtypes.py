@@ -41,6 +41,9 @@ __all__ = [
     "lowered_matmul_precision",
     "coerce",
     "enforce_precision",
+    "EnforcePrecision",
+    "getPrecision",
+    "getCoerceState",
     "atol_for",
 ]
 
@@ -128,11 +131,46 @@ def lowered_matmul_precision(precision: str = "default"):
         yield
 
 
+def getPrecision() -> Width:
+    """Current default width (reference `getPrecision`,
+    runtime/_runtime.py:248-252)."""
+    return _width()
+
+
+def getCoerceState() -> bool:
+    """Whether :func:`coerce` currently casts (reference `getCoerceState`,
+    runtime/_runtime.py:255-259)."""
+    return getattr(_state, "coerce", True)
+
+
+class EnforcePrecision(contextlib.AbstractContextManager):
+    """Scoped toggle of precision coercion (reference `EnforcePrecision`,
+    runtime/_runtime.py:102-136): inside ``EnforcePrecision(False)`` blocks,
+    :func:`coerce` and ``@enforce_precision``-wrapped methods pass arrays
+    through unchanged."""
+
+    def __init__(self, state: bool = True):
+        self._new = bool(state)
+        self._prev = None
+
+    def __enter__(self):
+        self._prev = getCoerceState()
+        _state.coerce = self._new
+        return self
+
+    def __exit__(self, *exc):
+        _state.coerce = self._prev
+        return False
+
+
 def coerce(arr):
     """Cast an array to the current default width (reference
     `coerce`, runtime/_runtime.py:213-245): floats -> default_fdtype,
-    complex -> default_cdtype, integers/bools promoted to the real width."""
+    complex -> default_cdtype, integers/bools promoted to the real width.
+    A no-op inside ``EnforcePrecision(False)`` scopes."""
     arr = jnp.asarray(arr)
+    if not getCoerceState():
+        return arr
     if jnp.issubdtype(arr.dtype, jnp.complexfloating):
         return arr.astype(default_cdtype())
     return arr.astype(default_fdtype())

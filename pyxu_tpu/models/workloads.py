@@ -62,11 +62,17 @@ def tv_deconvolution(shape=(2160, 3840), lam=0.01, seed=0):
     return slv, dict(x0=y), dict(x_true=x_true, y=y, K=K, D=D)
 
 
-def sparse_view_ct(shape=(128, 128), n_angles=30, lam=0.05, seed=0):
-    """Workload 3: sparse-view CT — Radon LinOp + PD3O with positivity + TV."""
+def sparse_view_ct(shape=(128, 128), n_angles=30, lam=0.05, seed=0,
+                   method: str = "interp"):
+    """Workload 3: sparse-view CT — Radon LinOp + PD3O with positivity + TV.
+
+    ``method="interp"``: quadrature :class:`RadonTransform` (gather program —
+    exact, but TPU gathers are slow at scale).  ``method="fourier"``:
+    :class:`FourierRadon` on the NUFFT MXU fast path (preferred on TPU).
+    """
     from pyxu_tpu.operator.func import L21Norm, PositiveOrthant, SquaredL2Norm
     from pyxu_tpu.operator.linop import Gradient
-    from pyxu_tpu.operator.linop.xray import RadonTransform
+    from pyxu_tpu.operator.linop.xray import FourierRadon, RadonTransform
     from pyxu_tpu.opt.solver import PD3O
     from pyxu_tpu.utils.misc import peaks
 
@@ -76,9 +82,13 @@ def sparse_view_ct(shape=(128, 128), n_angles=30, lam=0.05, seed=0):
     x_true = np.maximum(np.asarray(peaks(jnp.asarray(xx), jnp.asarray(yy))), 0)
     x_true = (x_true / x_true.max()).astype(np.float32)
     angles = np.linspace(0, np.pi, n_angles, endpoint=False)
-    A = RadonTransform(shape, angles)
+    A = (FourierRadon if method == "fourier" else RadonTransform)(shape, angles)
+    # the analytic bound is ~60x loose for Radon; PD3O steps scale with 1/L^2
+    # so a tight power-iteration estimate pays for itself immediately
     A.estimate_lipschitz(maxiter=32)
-    y = A.apply(jnp.asarray(x_true))
+    # jit the data-gen apply: FourierRadon's pipeline is complex-valued and
+    # eager complex ops are UNIMPLEMENTED on some TPU runtimes (axon)
+    y = jax.jit(A.apply)(jnp.asarray(x_true))
     f = 0.5 * SquaredL2Norm(A.codim_shape).asloss(y) * A
     g = PositiveOrthant(shape)
     D = Gradient(shape, mode="symmetric")
@@ -92,7 +102,6 @@ def radio_interferometry(shape=(256, 256), n_vis=5000, lam=0.02, seed=0):
     from pyxu_tpu.operator.func import L1Norm, SquaredL2Norm
     from pyxu_tpu.operator.linop.nufft import NUFFT
     from pyxu_tpu.opt.solver import ADMM
-    from pyxu_tpu.utils.complex import view_as_real
 
     rng = np.random.default_rng(seed)
     x_true = np.zeros(shape, np.float32)
@@ -101,9 +110,12 @@ def radio_interferometry(shape=(256, 256), n_vis=5000, lam=0.02, seed=0):
     x_true[rows, cols] = rng.random(30).astype(np.float32)
     # uv coverage: Gaussian-ish radial density
     uv = rng.normal(0, np.pi / 3, (n_vis, 2)).clip(-np.pi, np.pi)
-    A = NUFFT.type2(jnp.asarray(uv.astype(np.float32)), shape, eps=1e-6)
+    A = NUFFT.type2(uv.astype(np.float32), shape, eps=1e-6)
     A.estimate_lipschitz(maxiter=32)
-    y = A.apply(view_as_real(jnp.asarray(x_true + 0j)))
+    # real view built host-side + jitted apply (eager complex is
+    # UNIMPLEMENTED on some TPU runtimes)
+    xr = np.stack([x_true, np.zeros_like(x_true)], axis=-1)
+    y = jax.jit(A.apply)(jnp.asarray(xr))
     f = 0.5 * SquaredL2Norm((n_vis, 2)).asloss(y) * A
     h = lam * L1Norm(tuple(shape) + (2,))
     slv = ADMM(f=f, h=h)

@@ -19,7 +19,7 @@ import numpy as np
 from pyxu_tpu.operator.interop.source import from_source
 from pyxu_tpu.utils.misc import as_canonical_shape
 
-__all__ = ["from_torch"]
+__all__ = ["from_torch", "asarray", "astensor"]
 
 
 def _require_torch():
@@ -135,3 +135,26 @@ def from_torch(cls, dim_shape, codim_shape=None, vectorize=(),
         methods["prox"] = prox
 
     return from_source(cls, dim_shape, codim_shape, **methods)
+
+
+def asarray(tensor):
+    """torch.Tensor -> jax array, zero-copy on CPU via dlpack when possible
+    (reference `_from_torch/asarray`, torch.py:53-105)."""
+    import jax.numpy as jnp
+    torch = _require_torch()
+    t = tensor.detach()
+    try:
+        import jax.dlpack
+        return jax.dlpack.from_dlpack(t.contiguous())
+    except Exception:
+        return jnp.asarray(t.cpu().numpy())
+
+
+def astensor(arr):
+    """jax array -> torch.Tensor, zero-copy via dlpack when possible
+    (reference `astensor`, torch.py:53-105)."""
+    torch = _require_torch()
+    try:
+        return torch.from_dlpack(arr)
+    except Exception:
+        return torch.from_numpy(np.asarray(arr))

@@ -22,6 +22,7 @@ from pyxu_tpu.operator.linop.diff import (  # noqa: F401
 from pyxu_tpu.operator.linop.fft import FFT  # noqa: F401
 from pyxu_tpu.operator.linop.filter import (  # noqa: F401
     DifferenceOfGaussians,
+    DoG,
     Gaussian,
     Laplace,
     MovingAverage,

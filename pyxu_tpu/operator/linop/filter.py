@@ -24,6 +24,7 @@ __all__ = [
     "MovingAverage",
     "Gaussian",
     "DifferenceOfGaussians",
+    "DoG",
     "Laplace",
     "Sobel",
     "Prewitt",
@@ -192,3 +193,6 @@ class StructureTensor(DiffMap):
 
     def _expr(self):
         return ("StructureTensor", self._grad)
+
+
+DoG = DifferenceOfGaussians  # reference alias (filter.py:314)

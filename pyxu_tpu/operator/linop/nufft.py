@@ -100,13 +100,15 @@ def _tap_weights_np(x_nd, n_fs, w, beta):
     return idxs, wts
 
 
-def _interp(g, idxs, wts):
+def _interp(g, idxs, wts, mm3_plan=None):
     """Gather from fine grid g (complex, shape n_fs) at tap products.
     Returns (M,) complex."""
     d = len(idxs)
     M, w = idxs[0].shape
     if d == 2 and _use_mm():
         return _interp_mm2(g, idxs, wts)
+    if d == 3 and mm3_plan is not None and _use_mm():
+        return _interp_mm3(g, idxs, wts, mm3_plan)
     wts = [w_.astype(g.real.dtype) for w_ in wts]  # keep caller's precision
     if d == 1:
         vals = g[idxs[0]]                        # (M, w)
@@ -216,11 +218,188 @@ def _interp_mm2(g, idxs, wts):
     return outs.reshape(-1)[:M]
 
 
-def _spread(c, idxs, wts, n_fs):
+# ------------------------------------------------ 3-D slab MM spreading ----
+
+_MM3_CHUNK = 512  # inner point-chunk: A-matrix is (_MM3_CHUNK, 2w*n2) — VMEM-friendly
+
+
+class _Mm3Plan:
+    """Host-built slab partition for 3-D MXU spreading.
+
+    Points are binned by their axis-0 fine-grid base cell into slabs of
+    thickness T = w.  A slab's points touch only rows [start, start+2w) of an
+    unwrapped extended grid, so per-slab spreading is a dense
+    (points x (2w*n2)) x (points x n3) matmul pair — the MXU replacement for
+    scatter-add, with FLOPs 2*M*2w*n2*n3 instead of the naive one-hot
+    formulation's 2*M*n1*n2*n3 (cf. FINUFFT's binned subgrid spreader,
+    reference nufft.py:275-277).
+
+    Pytree: (perm, starts, base) are traced leaves; (T, n1ext) static aux.
+    """
+
+    def __init__(self, perm, starts, base, invperm, T: int, n1ext: int):
+        self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
+        self.starts = starts    # (S,) int32 slab row offsets (p*T)
+        self.base = base        # (M,) int32 unwrapped axis-0 base cell
+        self.invperm = invperm  # (M,) int32: j's position in perm.ravel()
+        self.T = int(T)
+        self.n1ext = int(n1ext)
+
+
+jax.tree_util.register_pytree_node(
+    _Mm3Plan,
+    lambda p: ((p.perm, p.starts, p.base, p.invperm), (p.T, p.n1ext)),
+    lambda aux, ch: _Mm3Plan(*ch, *aux),
+)
+
+
+def _mm3_plan_from_base(base, n1: int, w: int):
+    """Host-side slab plan along axis 0 from unwrapped base cells
+    ``base`` (M,) in [0, n1) — taps occupy base + [0, w).  Returns None when
+    slab occupancy is too unbalanced for the padded layout to pay off
+    (fallback: scatter path)."""
+    M = base.shape[0]
+    T = w
+    S = -(-n1 // T)
+    slab = base // T
+    counts = np.bincount(slab, minlength=S)
+    Mp = int(counts.max())
+    Mp = max(_MM3_CHUNK, -(-Mp // _MM3_CHUNK) * _MM3_CHUNK)
+    if S * Mp > max(3 * M, M + S * _MM3_CHUNK):
+        return None
+    order = np.argsort(slab, kind="stable")
+    perm = np.full((S, Mp), M, np.int32)       # M = dummy point id
+    off = 0
+    for p in range(S):
+        c = counts[p]
+        perm[p, :c] = order[off:off + c]
+        off += c
+    starts = (np.arange(S, dtype=np.int32) * T)
+    flat = perm.ravel()
+    pos = np.flatnonzero(flat < M)
+    inv = np.empty(M, np.int64)
+    inv[flat[pos]] = pos
+    return _Mm3Plan(jnp.asarray(perm), jnp.asarray(starts),
+                    jnp.asarray(base, jnp.int32),
+                    jnp.asarray(inv, jnp.int32), T, S * T + w)
+
+
+def _mm3_plan(x0, n_fs, w: int):
+    """Slab plan for angle-domain points ``x0`` (M,) float64 in [0, 2pi)."""
+    n1 = n_fs[0]
+    h = 2 * np.pi / n1
+    i0 = np.ceil(np.asarray(x0, np.float64) / h - w / 2.0).astype(np.int64)
+    return _mm3_plan_from_base(np.mod(i0, n1), n1, w)
+
+
+def _pad_pt(a, fill=0):
+    """Append one dummy point row (id M) used by plan padding."""
+    pad = [(0, 1)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad, constant_values=fill)
+
+
+def _spread_mm3(c, idxs, wts, n_fs, plan):
+    n1, n2, n3 = n_fs
+    T, w = plan.T, idxs[0].shape[1]
+    win = T + w
+    dtype = c.real.dtype
+    cc = _pad_pt(c)
+    b = _pad_pt(plan.base)
+    w0 = _pad_pt(wts[0]).astype(dtype)
+    i1, w1 = _pad_pt(idxs[1]), _pad_pt(wts[1]).astype(dtype)
+    i2, w2 = _pad_pt(idxs[2]), _pad_pt(wts[2]).astype(dtype)
+    S, Mp = plan.perm.shape
+    taps = jnp.arange(w, dtype=plan.base.dtype)
+
+    def slab(g_ext, args):
+        pidx, start = args                      # (Mp,), ()
+        acc_re = jnp.zeros((win * n2, n3), dtype)
+        acc_im = jnp.zeros((win * n2, n3), dtype)
+
+        def chunk(q, acc):
+            acc_re, acc_im = acc
+            sl = jax.lax.dynamic_slice_in_dim(pidx, q * _MM3_CHUNK, _MM3_CHUNK)
+            l = (b[sl][:, None] + taps[None, :] - start)       # (MC, w) local rows
+            U0 = _onehot_w(l, w0[sl], win, dtype)              # (MC, win)
+            U1 = _onehot_w(i1[sl], w1[sl], n2, dtype)          # (MC, n2)
+            U2 = _onehot_w(i2[sl], w2[sl], n3, dtype)          # (MC, n3)
+            A = (U0[:, :, None] * U1[:, None, :]).reshape(_MM3_CHUNK, win * n2)
+            cr, ci = cc.real[sl], cc.imag[sl]
+            acc_re = acc_re + jax.lax.dot_general(
+                A * cr[:, None], U2, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            acc_im = acc_im + jax.lax.dot_general(
+                A * ci[:, None], U2, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            return acc_re, acc_im
+
+        acc_re, acc_im = jax.lax.fori_loop(0, Mp // _MM3_CHUNK, chunk,
+                                           (acc_re, acc_im))
+        g_slab = (acc_re + 1j * acc_im).reshape(win, n2, n3).astype(g_ext.dtype)
+        z = jnp.zeros((), start.dtype)
+        cur = jax.lax.dynamic_slice(g_ext, (start, z, z), (win, n2, n3))
+        return jax.lax.dynamic_update_slice(g_ext, cur + g_slab,
+                                            (start, z, z)), None
+
+    g_ext = jnp.zeros((plan.n1ext, n2, n3), c.dtype)
+    g_ext, _ = jax.lax.scan(slab, g_ext, (plan.perm, plan.starts))
+    g = g_ext[:n1]
+    wrap = plan.n1ext - n1
+    return g.at[:wrap].add(g_ext[n1:])
+
+
+def _interp_mm3(g, idxs, wts, plan):
+    n1, n2, n3 = g.shape
+    T, w = plan.T, idxs[0].shape[1]
+    win = T + w
+    dtype = g.real.dtype
+    wrap = plan.n1ext - n1
+    g_ext = jnp.concatenate([g, g[:wrap]], axis=0)
+    b = _pad_pt(plan.base)
+    w0 = _pad_pt(wts[0]).astype(dtype)
+    i1, w1 = _pad_pt(idxs[1]), _pad_pt(wts[1]).astype(dtype)
+    i2, w2 = _pad_pt(idxs[2]), _pad_pt(wts[2]).astype(dtype)
+    S, Mp = plan.perm.shape
+    taps = jnp.arange(w, dtype=plan.base.dtype)
+    M = idxs[0].shape[0]
+
+    def slab(_, args):
+        pidx, start = args
+        z = jnp.zeros((), start.dtype)
+        g_slab = jax.lax.dynamic_slice(g_ext, (start, z, z), (win, n2, n3))
+        GR = g_slab.real.reshape(win * n2, n3)
+        GI = g_slab.imag.reshape(win * n2, n3)
+
+        def chunk(q, outs):
+            sl = jax.lax.dynamic_slice_in_dim(pidx, q * _MM3_CHUNK, _MM3_CHUNK)
+            l = (b[sl][:, None] + taps[None, :] - start)
+            U0 = _onehot_w(l, w0[sl], win, dtype)
+            U1 = _onehot_w(i1[sl], w1[sl], n2, dtype)
+            U2 = _onehot_w(i2[sl], w2[sl], n3, dtype)
+            A = (U0[:, :, None] * U1[:, None, :]).reshape(_MM3_CHUNK, win * n2)
+            TR = jax.lax.dot_general(A, GR, (((1,), (0,)), ((), ())),
+                                     precision=jax.lax.Precision.HIGHEST)
+            TI = jax.lax.dot_general(A, GI, (((1,), (0,)), ((), ())),
+                                     precision=jax.lax.Precision.HIGHEST)
+            v = jnp.sum(TR * U2, axis=1) + 1j * jnp.sum(TI * U2, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(outs, v, q * _MM3_CHUNK, 0)
+
+        return None, jax.lax.fori_loop(
+            0, Mp // _MM3_CHUNK, chunk, jnp.zeros((Mp,), g.dtype))
+
+    _, outs = jax.lax.scan(slab, None, (plan.perm, plan.starts))
+    # slab layout -> original point order: gather via the plan's inverse
+    # permutation (a scatter here costs ~4x on TPU)
+    return outs.ravel()[plan.invperm]
+
+
+def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     """Scatter-add point strengths c (M,) complex onto the fine grid."""
     d = len(idxs)
     if d == 2 and _use_mm():
         return _spread_mm2(c, idxs, wts, n_fs)
+    if d == 3 and mm3_plan is not None and _use_mm():
+        return _spread_mm3(c, idxs, wts, n_fs, mm3_plan)
     wts = [w_.astype(c.real.dtype) for w_ in wts]  # keep caller's precision
     g = jnp.zeros(tuple(n_fs), dtype=c.dtype)
     if d == 1:
@@ -250,7 +429,7 @@ class _NUFFT12(LinOp):
     Real view: dim (M, 2), codim (*N, 2).
     """
 
-    _data_fields = ("_x", "_phihat", "_idxs", "_wts")
+    _data_fields = ("_x", "_phihat", "_idxs", "_wts", "_mm3")
 
     def __init__(self, x, N, isign: int = +1, eps: float = 1e-6,
                  real_in: bool = False):
@@ -281,44 +460,43 @@ class _NUFFT12(LinOp):
         idxs, wts = _tap_weights_np(xh, self._nf, w, beta)
         self._idxs = tuple(idxs)
         self._wts = tuple(wts)
+        # 3-D MXU spreading: host-side slab plan (None => scatter fallback)
+        self._mm3 = _mm3_plan(xh[:, 0], self._nf, w) if d == 3 else None
         dim = (M,) if real_in else (M, 2)
         super().__init__(dim, N + (2,))
         self._lipschitz = float(np.sqrt(np.prod(N) * M))
         self._name = f"NUFFT1[d={d}]"
 
     # -- helpers ------------------------------------------------------------
-    def _k_slices(self):
-        """Slices embedding mode grid (centered) into the fine grid (DFT
-        order): mode k lives at fine-grid frequency k (mod n_f)."""
-        return tuple(
-            (np.arange(-(n // 2), (n + 1) // 2) % nf)
-            for n, nf in zip(self._N, self._nf)
-        )
-
     def _extract(self, ghat):
-        """Pick centered modes out of the fine DFT array."""
-        sl = self._k_slices()
+        """Pick centered modes out of the fine DFT array.  Mode k lives at
+        fine-grid DFT index k mod n_f, so the centered block is two
+        contiguous slabs per axis — pure slicing+concat (TPU gather/scatter
+        is slow; slicing is free)."""
         out = ghat
-        for ax, idx in enumerate(sl):
-            out = jnp.take(out, jnp.asarray(idx), axis=ax)
+        for ax, (n, nf) in enumerate(zip(self._N, self._nf)):
+            neg = jax.lax.slice_in_dim(out, nf - n // 2, nf, axis=ax)
+            pos = jax.lax.slice_in_dim(out, 0, (n + 1) // 2, axis=ax)
+            out = jnp.concatenate([neg, pos], axis=ax)
         return out
 
     def _embed(self, f):
-        """Place centered modes into a zero fine DFT array."""
-        sl = self._k_slices()
-        g = jnp.zeros(self._nf, dtype=f.dtype)
-        if self._d == 1:
-            return g.at[jnp.asarray(sl[0])].set(f)
-        if self._d == 2:
-            return g.at[jnp.asarray(sl[0])[:, None],
-                        jnp.asarray(sl[1])[None, :]].set(f)
-        return g.at[jnp.asarray(sl[0])[:, None, None],
-                    jnp.asarray(sl[1])[None, :, None],
-                    jnp.asarray(sl[2])[None, None, :]].set(f)
+        """Place centered modes into a zero fine DFT array (transpose of
+        ``_extract``): per axis, [negative | mid-zeros | non-negative]."""
+        out = f
+        shape = list(f.shape)
+        for ax, (n, nf) in enumerate(zip(self._N, self._nf)):
+            neg = jax.lax.slice_in_dim(out, 0, n // 2, axis=ax)
+            pos = jax.lax.slice_in_dim(out, n // 2, n, axis=ax)
+            shape[ax] = nf - n
+            zero = jnp.zeros(tuple(shape), dtype=f.dtype)
+            out = jnp.concatenate([pos, zero, neg], axis=ax)
+            shape[ax] = nf
+        return out
 
     def _t1(self, c):
         """c: (M,) complex -> (*N,) complex modes."""
-        g = _spread(c, self._idxs, self._wts, self._nf)
+        g = _spread(c, self._idxs, self._wts, self._nf, mm3_plan=self._mm3)
         # f_k = sum_m g_m e^{s i k m h};  fft computes sum e^{-i...}:
         if self._isign > 0:
             ghat = jnp.fft.ifftn(g) * float(np.prod(self._nf))
@@ -334,7 +512,7 @@ class _NUFFT12(LinOp):
             gr = jnp.fft.fftn(g)   # adjoint of scaled ifft: e^{-i k m h}
         else:
             gr = jnp.fft.ifftn(g) * float(np.prod(self._nf))
-        return _interp(gr, self._idxs, self._wts)
+        return _interp(gr, self._idxs, self._wts, mm3_plan=self._mm3)
 
     # -- LinOp interface (real views) ---------------------------------------
     def apply(self, arr):
@@ -410,7 +588,7 @@ class _NUFFT3(LinOp):
     """
 
     _data_fields = ("_x", "_z", "_idxs_x", "_wts_x", "_idxs_s", "_wts_s",
-                    "_dx", "_ds")
+                    "_dx", "_ds", "_mm3_x", "_mm3_s")
 
     def __init__(self, x, z, isign: int = +1, eps: float = 1e-6):
         # host-side plan (no eager device RPCs; see _tap_weights_np)
@@ -490,25 +668,33 @@ class _NUFFT3(LinOp):
 
         self._x = jnp.asarray(x, jnp.float32)
         self._z = jnp.asarray(z, jnp.float32)
+        # 3-D MXU slab plans for both domains (None => scatter fallback)
+        self._mm3_x = self._mm3_s = None
+        if d == 3:
+            self._mm3_x = _mm3_plan(np.mod(xp[:, 0], 2 * np.pi), nf, w)
+            s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64), nf[0])
+            self._mm3_s = _mm3_plan_from_base(s_base, nf[0], w)
         super().__init__((M, 2), (K, 2))
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3[d={d}]"
 
     def _fw(self, c):
-        g = _spread(c, self._idxs_x, self._wts_x, self._nf)
+        g = _spread(c, self._idxs_x, self._wts_x, self._nf,
+                    mm3_plan=self._mm3_x)
         g = g * self._dx.astype(g.real.dtype)
         # ring spectrum with e^{+i q m h} phases: scaled ifft (isign folded
         # into s' at plan time)
         ghat = jnp.fft.ifftn(g) * float(np.prod(self._nf))
-        vals = _interp(ghat, self._idxs_s, self._wts_s)
+        vals = _interp(ghat, self._idxs_s, self._wts_s, mm3_plan=self._mm3_s)
         return vals * self._ds.astype(vals.real.dtype)
 
     def _bw(self, f):
         fw = f * self._ds.astype(f.real.dtype)
-        ghat = _spread(fw, self._idxs_s, self._wts_s, self._nf)
+        ghat = _spread(fw, self._idxs_s, self._wts_s, self._nf,
+                       mm3_plan=self._mm3_s)
         g = jnp.fft.fftn(ghat)  # adjoint of scaled ifftn
         g = g * self._dx.astype(g.real.dtype)
-        return _interp(g, self._idxs_x, self._wts_x)
+        return _interp(g, self._idxs_x, self._wts_x, mm3_plan=self._mm3_x)
 
     def apply(self, arr):
         arr = jnp.asarray(arr)

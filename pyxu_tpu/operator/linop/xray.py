@@ -124,8 +124,12 @@ class FourierRadon(LinOp):
         # F2[f](w) = sum_k f_k e^{-i w k}  ->  type-2 with isign = -1
         self._nufft = NUFFT.type2(pts, (H, W), isign=-1, eps=eps)
         # detector-center phase: t_m = (m - c_t);  p[m] = IFFT_q[phat_q e^{-i w_q c_t}]
+        # stored as a real (n_det, 2) pair — an EAGER complex device transfer
+        # is UNIMPLEMENTED on some TPU runtimes (axon) and poisons the worker;
+        # the complex view is formed inside the traced pipeline instead
         ct = (n_det - 1) / 2.0
-        self._phase = jnp.asarray(np.exp(-1j * q * ct).astype(np.complex64))
+        ph = np.exp(-1j * q * ct).astype(np.complex64)
+        self._phase = jnp.asarray(np.stack([ph.real, ph.imag], axis=-1))
         self._lipschitz = float(_math.sqrt(self._n_angles) * _math.sqrt(H * W))
         self._name = "FourierRadon"
 
@@ -138,8 +142,8 @@ class FourierRadon(LinOp):
         z = img.astype(cdt)
         vr = view_as_real(z)
         vis = view_as_complex(self._nufft.apply(vr))  # (A*nd,) complex
-        phat = (vis.reshape(self._n_angles, self._n_det)
-                * self._phase[None, :].astype(cdt))
+        phase = view_as_complex(self._phase).astype(cdt)
+        phat = vis.reshape(self._n_angles, self._n_det) * phase[None, :]
         p = jnp.fft.ifft(phat, axis=-1) * (1.0)  # (1/(nd dt)) * nd = 1
         return p.real
 
@@ -152,7 +156,8 @@ class FourierRadon(LinOp):
         s = sino.astype(cdt)
         # adjoint of (real o ifft o phase o reshape o nufft):
         phat = jnp.fft.fft(s, axis=-1) / self._n_det  # ifft^H = fft / nd
-        phat = phat * jnp.conj(self._phase)[None, :].astype(cdt)
+        phase = view_as_complex(self._phase).astype(cdt)
+        phat = phat * jnp.conj(phase)[None, :]
         vr = view_as_real(phat.reshape(-1))
         img = view_as_complex(self._nufft.adjoint(vr))
         return img.real

@@ -2,11 +2,16 @@ from pyxu_tpu.utils.complex import (  # noqa: F401
     complex_dtype,
     real_dtype,
     view_as_complex,
+    view_as_complex_mat,
     view_as_real,
+    view_as_real_mat,
 )
+from pyxu_tpu.utils.inspect import import_module, parse_params  # noqa: F401
 from pyxu_tpu.utils.misc import (  # noqa: F401
     as_canonical_shape,
     broadcast_shapes_leading,
+    infer_composition_shape,
+    infer_sum_shape,
     next_fast_len,
     peaks,
     star_like_sample,
@@ -25,3 +30,5 @@ from pyxu_tpu.utils.array_module import (  # noqa: F401
     to_numpy,
 )
 from pyxu_tpu.utils.profiler import timed, trace  # noqa: F401
+
+to_NUMPY = to_numpy  # reference spelling (util/array_module.py:85-114)

@@ -12,7 +12,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["view_as_real", "view_as_complex", "real_dtype", "complex_dtype"]
+__all__ = [
+    "view_as_real", "view_as_complex", "real_dtype", "complex_dtype",
+    "view_as_real_mat", "view_as_complex_mat",
+]
 
 
 def real_dtype(cdtype) -> np.dtype:
@@ -49,3 +52,47 @@ def view_as_complex(x):
     if jnp.iscomplexobj(x) or x.shape[-1] != 2:
         raise ValueError("view_as_complex expects a real array with trailing axis 2")
     return (x[..., 0] + 1j * x[..., 1]).astype(complex_dtype(x.dtype))
+
+
+def view_as_real_mat(cmat, real_input: bool = False, real_output: bool = False):
+    r"""Real block form of a complex matrix (reference `view_as_real_mat`,
+    util/complex.py:143-233): A in C^{MxN} maps to Ahat in R^{2Mx2N} with
+    2x2 blocks [[Re, -Im], [Im, Re]], so that
+
+        view_as_real(A @ x).ravel() == view_as_real_mat(A) @ view_as_real(x).ravel()
+
+    (the trailing-axis-2 real view raveled is exactly the reference's
+    interleaved layout).  ``real_input``/``real_output`` drop the imaginary
+    columns/rows.  Real matrices pass through unchanged."""
+    cmat = jnp.asarray(cmat)
+    assert cmat.ndim == 2, f"expected 2-D, got {cmat.ndim}-D"
+    if not jnp.issubdtype(cmat.dtype, jnp.complexfloating):
+        return cmat
+    M, N = cmat.shape
+    # (M, 2, N, 2) block tensor -> (2M, 2N)
+    blk = jnp.stack([
+        jnp.stack([cmat.real, -cmat.imag], axis=-1),
+        jnp.stack([cmat.imag, cmat.real], axis=-1),
+    ], axis=1)  # (M, 2, N, 2)
+    rmat = blk.reshape(2 * M, 2 * N)
+    if real_input:
+        rmat = rmat[:, ::2]
+    if real_output:
+        rmat = rmat[::2, :]
+    return rmat
+
+
+def view_as_complex_mat(rmat, real_input: bool = False, real_output: bool = False):
+    """Inverse of :func:`view_as_real_mat` (reference `view_as_complex_mat`,
+    util/complex.py:234-322).  Complex matrices pass through unchanged."""
+    rmat = jnp.asarray(rmat)
+    assert rmat.ndim == 2, f"expected 2-D, got {rmat.ndim}-D"
+    if jnp.issubdtype(rmat.dtype, jnp.complexfloating):
+        return rmat
+    if real_input and real_output:
+        return rmat.astype(complex_dtype(rmat.dtype))
+    if real_input:       # imaginary columns were dropped: Re/Im live on rows
+        return rmat[::2, :] + 1j * rmat[1::2, :]
+    if real_output:      # imaginary rows were dropped: Im on odd cols, negated
+        return rmat[:, ::2] - 1j * rmat[:, 1::2]
+    return rmat[::2, ::2] + 1j * rmat[1::2, ::2]

@@ -18,6 +18,8 @@ __all__ = [
     "next_fast_len",
     "peaks",
     "star_like_sample",
+    "infer_sum_shape",
+    "infer_composition_shape",
 ]
 
 
@@ -107,3 +109,28 @@ def star_like_sample(N: int, w: int, s: float, po: int, x0: float, ndim: int = 2
     env = 1.0 / (1.0 + jnp.exp(s * (r - x0)))
     pattern = (1 + jnp.cos(w * theta)) ** po / 2**po
     return env * pattern
+
+
+def infer_sum_shape(sh1, sh2):
+    """Output (codim, dim) of op1 + op2 given their (codim_shape, dim_shape)
+    pairs (reference `infer_sum_shape`, util/operator.py:21-27)."""
+    (co1, di1), (co2, di2) = sh1, sh2
+    co1, di1 = as_canonical_shape(co1), as_canonical_shape(di1)
+    co2, di2 = as_canonical_shape(co2), as_canonical_shape(di2)
+    if di1 != di2:
+        raise ValueError(f"addition of {sh1} and {sh2} operators forbidden")
+    import numpy as _np
+    try:
+        co = tuple(_np.broadcast_shapes(co1, co2))
+    except ValueError:
+        raise ValueError(f"addition of {sh1} and {sh2} operators forbidden")
+    return (co, di1)
+
+
+def infer_composition_shape(sh1, sh2):
+    """Output (codim, dim) of op1 * op2 (reference
+    `infer_composition_shape`, util/operator.py:30-35)."""
+    (co1, di1), (co2, di2) = sh1, sh2
+    if as_canonical_shape(di1) != as_canonical_shape(co2):
+        raise ValueError(f"composition of {sh1} and {sh2} operators forbidden")
+    return (as_canonical_shape(co1), as_canonical_shape(di2))

@@ -112,3 +112,73 @@ def test_type1_batch():
     for b in range(3):
         want = nudft1(c[b], x, N)
         assert _rel(view_as_complex(got[b]), want) < 1e-4
+
+
+class TestMM3SpreadInterp:
+    """3-D slab-binned MXU spreading path (PYXU_TPU_NUFFT_MM) must agree
+    with the XLA scatter/gather path and the direct NUDFT."""
+
+    def _op_and_data(self, M=900, N=(12, 10, 8)):
+        x = _pts(M, 3)
+        op = NUFFT.type1(x, N, eps=1e-6)
+        c = rng0.standard_normal(M) + 1j * rng0.standard_normal(M)
+        return op, x, c
+
+    def test_plan_exists(self):
+        op, _, _ = self._op_and_data()
+        assert op._mm3 is not None
+        S, Mp = op._mm3.perm.shape
+        # every point appears exactly once in the partition
+        ids = np.asarray(op._mm3.perm).ravel()
+        real = ids[ids < op._M]
+        assert len(np.unique(real)) == op._M == len(real)
+
+    def test_spread_interp_match_scatter(self, monkeypatch):
+        op, x, c = self._op_and_data()
+        cr = jnp.asarray(view_as_real(c.astype(np.complex64)))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
+        f_sc = np.asarray(op.apply(cr))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        f_mm = np.asarray(op.apply(cr))
+        assert _rel(f_mm, f_sc) < 1e-5
+        fr = jnp.asarray(rng0.standard_normal(op.codim_shape), jnp.float32)
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
+        a_sc = np.asarray(op.adjoint(fr))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        a_mm = np.asarray(op.adjoint(fr))
+        assert _rel(a_mm, a_sc) < 1e-5
+
+    def test_mm3_vs_direct(self, monkeypatch):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        op, x, c = self._op_and_data(M=300, N=(10, 9, 7))
+        f = view_as_complex(np.asarray(
+            op.apply(jnp.asarray(view_as_real(c.astype(np.complex64))))))
+        fd = nudft1(c, x, (10, 9, 7))
+        assert _rel(f, fd) < 1e-4
+
+    def test_clustered_points_fall_back(self):
+        # all points in one slab -> padding blowup -> plan refused
+        x = np.zeros((5000, 3)) + 0.01 * rng0.standard_normal((5000, 3))
+        op = NUFFT.type1(np.mod(x, 2 * np.pi), (64, 8, 8), eps=1e-6)
+        assert op._mm3 is None  # scatter fallback; apply still works
+        cr = jnp.asarray(rng0.standard_normal((5000, 2)), jnp.float32)
+        out = np.asarray(op.apply(cr))
+        assert np.isfinite(out).all()
+
+    def test_type3_3d_mm_paths(self, monkeypatch):
+        x = _pts(500, 3)
+        z = rng0.uniform(-8, 8, (400, 3))
+        op = NUFFT.type3(x, z, eps=1e-6)
+        assert op._mm3_x is not None and op._mm3_s is not None
+        c = rng0.standard_normal(500) + 1j * rng0.standard_normal(500)
+        cr = jnp.asarray(view_as_real(c.astype(np.complex64)))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
+        f_sc = np.asarray(op.apply(cr))
+        a_sc = np.asarray(op.adjoint(jnp.asarray(f_sc)))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        f_mm = np.asarray(op.apply(cr))
+        a_mm = np.asarray(op.adjoint(jnp.asarray(f_sc)))
+        assert _rel(f_mm, f_sc) < 1e-5
+        assert _rel(a_mm, a_sc) < 1e-5
+        fd = nudft3(c, x, z)
+        assert _rel(view_as_complex(f_mm), fd) < 1e-4
