@@ -1,0 +1,152 @@
+"""Mesh-sharded NUFFT: point-parallel type-1/2 over a device mesh.
+
+TPU-native analog of the reference's out-of-core / distributed NUFFT story
+(reference: chunked type-3 with dask-delayed per-block transforms + tree-sum,
+src/pyxu/operator/linop/fft/nufft.py:2027-2213; SURVEY §2.4 "sharded NUFFT
+blocks with psum reductions"):
+
+* the nonuniform points are sharded along one mesh axis — each device
+  spreads ONLY its local point shard onto a full-size fine grid
+  (`shard_map`), and one ``psum`` over ICI reduces the partial grids;
+* the FFT + mode extraction run replicated (identical on every device),
+  keeping the uniform-domain result fully replicated for the downstream
+  solver (whose image-side state is usually replicated or spatially
+  sharded by other operators);
+* type-2 (adjoint) is the exact transpose: replicated modes -> FFT ->
+  per-device interpolation of the local point shard (no collective needed;
+  the output stays point-sharded).
+
+The per-device spread/interp reuse the same XLA kernels as the single-chip
+operator (one-hot MXU matmuls in 2-D), so each chip runs the measured
+single-chip fast path on M/n_dev points — spreading is compute-bound in M,
+giving near-linear scaling until the psum (one fine-grid all-reduce per
+apply) dominates.
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyxu_tpu.abc.operator import LinOp
+from pyxu_tpu.operator.linop.nufft import _NUFFT12, _interp, _spread
+from pyxu_tpu.utils.complex import complex_dtype
+
+__all__ = ["ShardedNUFFT"]
+
+
+class ShardedNUFFT(LinOp):
+    """Point-sharded type-1 NUFFT (adjoint = type-2) over ``mesh[axis]``.
+
+    dim (M, 2) — nonuniform strengths, sharded along the point axis;
+    codim (*N, 2) — uniform modes, replicated.
+
+    Notes
+    -----
+    * M is padded internally to a multiple of the mesh-axis size (padded
+      points carry zero strength / are discarded).
+    * d=1/2 use the same spreading kernels as the single-chip operator;
+      the d=3 slab-MM plan is a global-point-order structure and does not
+      survive sharding, so 3-D falls back to the scatter path per shard.
+    """
+
+    _data_fields = ("_op",)
+
+    def __init__(self, x, N, mesh: Mesh, axis: str = None, isign: int = +1,
+                 eps: float = 1e-6):
+        x = np.asarray(jax.device_get(x), np.float64)
+        if x.ndim == 1:
+            x = x[:, None]
+        M, d = x.shape
+        self._mesh = mesh
+        self._axis = axis or mesh.axis_names[0]
+        n_dev = mesh.shape[self._axis]
+        Mp = -(-M // n_dev) * n_dev
+        xp_ = np.concatenate([x, np.zeros((Mp - M, d))], axis=0)
+        self._M, self._Mp = M, Mp
+        self._op = _NUFFT12(xp_, N, isign=isign, eps=eps)
+        super().__init__((M, 2), tuple(self._op._N) + (2,))
+        self._lipschitz = float(_math.sqrt(np.prod(self._op._N) * M))
+        self._name = f"ShardedNUFFT[d={d}, {n_dev}x{self._axis}]"
+
+    # -- sharded pipelines ---------------------------------------------------
+    def _t1_sharded(self, a):
+        """a: (Mp, 2) point-sharded -> (*N, 2) replicated."""
+        op = self._op
+        ax = self._axis
+        w = op._idxs[0].shape[1]
+        pt_spec = P(ax, None)
+
+        def local(a_loc, idxs, wts):
+            cdt = complex_dtype(a_loc.dtype)
+            c = (a_loc[..., 0] + 1j * a_loc[..., 1]).astype(cdt)
+            g = _spread(c, idxs, wts, op._nf)       # local partial fine grid
+            gr = jax.lax.psum(g.real, ax)           # ICI all-reduce
+            gi = jax.lax.psum(g.imag, ax)
+            g = gr + 1j * gi
+            if op._isign > 0:
+                ghat = jnp.fft.ifftn(g) * float(np.prod(op._nf))
+            else:
+                ghat = jnp.fft.fftn(g)
+            f = op._extract(ghat) * op._phihat.astype(g.real.dtype)
+            return jnp.stack([f.real, f.imag], axis=-1)
+
+        fn = jax.shard_map(
+            local, mesh=self._mesh,
+            in_specs=(pt_spec, tuple(pt_spec for _ in op._idxs),
+                      tuple(pt_spec for _ in op._wts)),
+            out_specs=P(),
+        )
+        return fn(a, op._idxs, op._wts)
+
+    def _t2_sharded(self, f):
+        """f: (*N, 2) replicated -> (Mp, 2) point-sharded."""
+        op = self._op
+        ax = self._axis
+        pt_spec = P(ax, None)
+
+        def local(f_in, idxs, wts):
+            cdt = complex_dtype(f_in.dtype)
+            fc = (f_in[..., 0] + 1j * f_in[..., 1]).astype(cdt)
+            fd = fc * op._phihat.astype(f_in.dtype)
+            g = op._embed(fd)
+            if op._isign > 0:
+                gr = jnp.fft.fftn(g)
+            else:
+                gr = jnp.fft.ifftn(g) * float(np.prod(op._nf))
+            c = _interp(gr, idxs, wts)              # local points only
+            return jnp.stack([c.real, c.imag], axis=-1)
+
+        fn = jax.shard_map(
+            local, mesh=self._mesh,
+            in_specs=(P(), tuple(pt_spec for _ in op._idxs),
+                      tuple(pt_spec for _ in op._wts)),
+            out_specs=pt_spec,
+        )
+        return fn(f, op._idxs, op._wts)
+
+    # -- LinOp interface -----------------------------------------------------
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+
+        def single(a):
+            pad = self._Mp - self._M
+            ap = jnp.pad(a, ((0, pad), (0, 0))) if pad else a
+            return self._t1_sharded(ap)
+
+        return self._map_batched(single, arr, 2, self.codim_shape)
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+
+        def single(f):
+            return self._t2_sharded(f)[: self._M]
+
+        return self._map_batched(single, arr, self.codim_rank, self.dim_shape)
+
+    def _expr(self):
+        return (self._name,)
