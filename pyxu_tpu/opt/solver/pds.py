@@ -329,6 +329,15 @@ class ADMM(_PrimalDualSplitting):
         if K is not None:
             assert f.has(Property.QUADRATIC) or f.has(Property.DIFFERENTIABLE), \
                 "with K, the x-update needs f quadratic (CG) or differentiable (GD)"
+        elif self._solver_kwargs and f.has(Property.QUADRATIC):
+            # classical branch solves the x-update through f.prox (a nested
+            # CG for quadratics); honor solver_kwargs there too — warm-started
+            # ADMM tolerates inexact x-minimisation (reference passes
+            # solver_kwargs into its sub-solver the same way, pds.py:1498-1540)
+            if "maxiter" in self._solver_kwargs:
+                f._prox_maxiter = int(self._solver_kwargs["maxiter"])
+            if "rtol" in self._solver_kwargs:
+                f._prox_rtol = float(self._solver_kwargs["rtol"])
 
     def m_init(self, x0, z0=None, u0=None, tau: float = None, **kw):
         x0 = jnp.asarray(x0)
