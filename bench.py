@@ -163,7 +163,7 @@ def run_extra_workloads():
     def _alarm(sig, frame):
         raise _Timeout()
 
-    signal.signal(signal.SIGALRM, _alarm)
+    prev_handler = signal.signal(signal.SIGALRM, _alarm)
 
     out = {}
     # segments kept short: single long device executions can trip the TPU
@@ -191,6 +191,7 @@ def run_extra_workloads():
             out[name] = f"error: {type(e).__name__}"
         finally:
             signal.alarm(0)
+    signal.signal(signal.SIGALRM, prev_handler)
     return out
 
 

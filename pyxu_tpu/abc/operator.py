@@ -523,7 +523,9 @@ class QuadraticFunc(ProxDiffFunc):
         if rtol is None:
             # host-side math: jnp ops stage to tracers inside jit even for
             # constant inputs, and this must stay a static python float
-            rtol = 100.0 * float(jnp.finfo(arr.dtype).eps)
+            # floor at the old 1e-6 default: for float64, 100*eps would be
+            # ~8 orders tighter and burn full maxiter on every call
+            rtol = max(100.0 * float(jnp.finfo(arr.dtype).eps), 1e-6)
         maxiter = getattr(self, "_prox_maxiter", None)
         if maxiter is None:
             maxiter = min(max(2 * self.dim_size, 20), 500)
@@ -635,7 +637,7 @@ class LinOp(DiffMap):
         # unbounded maxiter = a device program that runs for minutes
         rtol = kwargs.get("rtol")
         if rtol is None:
-            rtol = 100.0 * float(jnp.finfo(b.dtype).eps)
+            rtol = max(100.0 * float(jnp.finfo(b.dtype).eps), 1e-6)
         maxiter = kwargs.get("maxiter")
         if maxiter is None:
             maxiter = min(max(2 * self.dim_size, 20), 1000)

@@ -152,31 +152,41 @@ class SquaredL1Norm(_NormFunc):
 
     def _prox_root(self, arr, tau):
         """[FirstOrd] Lemma 6.70 (reference `_prox_root`, norm.py:150-196):
-        solve sum(clip(|x|*sqrt(tau/mu) - 2 tau, 0)) = 1 for mu by 64-step
-        bisection (monotone decreasing in mu), then rescale coordinates.
-        Fixed iteration count keeps the program jit-compilable; 64 halvings
-        reach float64 resolution of the bracket."""
+        solve sum(clip(|x|*sqrt(tau/mu) - 2 tau, 0)) = 1 for mu by 96-step
+        GEOMETRIC bisection (monotone decreasing in mu), then rescale.
+        The bracket is scale-relative — [hi*1e-30, hi] with geometric
+        midpoints — so tiny-magnitude inputs (root << any fixed absolute
+        floor) still resolve; a fixed [1e-12, hi] linear bracket zeroes
+        small signals outright."""
         batch = arr.shape[: arr.ndim - self.dim_rank]
         flat = arr.reshape(batch + (self.dim_size,))
         a = jnp.abs(flat)
         t = jnp.broadcast_to(tau, batch)[..., None] if jnp.ndim(tau) else tau
-        hi = jnp.maximum(jnp.max(a, axis=-1, keepdims=True) ** 2 / (4.0 * t),
-                         2e-12) * jnp.ones_like(a[..., :1])
-        lo = jnp.full_like(hi, 1e-12)
+        amax = jnp.maximum(jnp.max(a, axis=-1, keepdims=True),
+                           jnp.finfo(arr.dtype).tiny)
+        # normalized variable nu = mu / hi with hi = amax^2/(4 tau):
+        # a*sqrt(tau/mu) = (a/amax) * 2 tau / sqrt(nu) — every quantity stays
+        # O(1)-scaled regardless of the input magnitude (a raw-mu bracket
+        # underflows float32 for small signals).  f(nu=1) = -1 by
+        # construction; the root always lies in (0, 1].
+        ah = a / amax
 
-        def f(mu):
-            lam = jnp.maximum(a * jnp.sqrt(t / mu) - 2.0 * t, 0.0)
+        def f(nu):
+            lam = 2.0 * t * jnp.maximum(ah / jnp.sqrt(nu) - 1.0, 0.0)
             return jnp.sum(lam, axis=-1, keepdims=True) - 1.0
+
+        lo = jnp.full_like(amax, 1e-30)
+        hi = jnp.ones_like(amax)
 
         def body(_, carry):
             lo, hi = carry
-            mid = 0.5 * (lo + hi)
+            mid = jnp.sqrt(lo * hi)
             go_up = f(mid) > 0  # root lies above mid
             return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
 
-        lo, hi = jax.lax.fori_loop(0, 64, body, (lo, hi))
-        mu = 0.5 * (lo + hi)
-        lam = jnp.maximum(a * jnp.sqrt(t / mu) - 2.0 * t, 0.0)
+        lo, hi = jax.lax.fori_loop(0, 96, body, (lo, hi))
+        nu = jnp.sqrt(lo * hi)
+        lam = 2.0 * t * jnp.maximum(ah / jnp.sqrt(nu) - 1.0, 0.0)
         out = flat * lam / (lam + 2.0 * t)
         nonzero = jnp.sum(a, axis=-1, keepdims=True) > 0
         return jnp.where(nonzero, out, flat).reshape(arr.shape)

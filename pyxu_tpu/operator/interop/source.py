@@ -172,9 +172,10 @@ def from_source(cls, dim_shape, codim_shape=None, vectorize=(), embed=None,
 
     epset = {enforce_precision} if isinstance(enforce_precision, str) \
         else set(enforce_precision)
-    assert epset <= set(_FORWARDABLE), \
-        f"enforce_precision names must be operator methods, got {epset}"
-    for name in epset & set(methods):
+    assert epset <= set(methods), \
+        "enforce_precision can only wrap callables provided to from_source; " \
+        f"not provided: {epset - set(methods)}"
+    for name in epset:
         methods[name] = _coerced(methods[name])
 
     out_cls = _source_class(cls)

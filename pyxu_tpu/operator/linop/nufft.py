@@ -494,9 +494,10 @@ class _NUFFT12(LinOp):
             shape[ax] = nf
         return out
 
-    def _t1(self, c):
-        """c: (M,) complex -> (*N,) complex modes."""
-        g = _spread(c, self._idxs, self._wts, self._nf, mm3_plan=self._mm3)
+    def _grid_to_modes(self, g):
+        """Fine grid -> deconvolved centered modes (shared by the
+        single-chip path and :class:`~pyxu_tpu.parallel.nufft.ShardedNUFFT`,
+        which psums partial grids between spread and this step)."""
         # f_k = sum_m g_m e^{s i k m h};  fft computes sum e^{-i...}:
         if self._isign > 0:
             ghat = jnp.fft.ifftn(g) * float(np.prod(self._nf))
@@ -504,14 +505,23 @@ class _NUFFT12(LinOp):
             ghat = jnp.fft.fftn(g)
         return self._extract(ghat) * self._phihat.astype(g.real.dtype)
 
-    def _t2(self, f):
-        """f: (*N,) complex modes -> (M,) complex values, isign -s."""
+    def _modes_to_grid(self, f):
+        """Centered modes -> fine grid ready for interpolation (transpose
+        of :meth:`_grid_to_modes`)."""
         fd = f * self._phihat.astype(f.real.dtype)
         g = self._embed(fd)
         if self._isign > 0:
-            gr = jnp.fft.fftn(g)   # adjoint of scaled ifft: e^{-i k m h}
-        else:
-            gr = jnp.fft.ifftn(g) * float(np.prod(self._nf))
+            return jnp.fft.fftn(g)   # adjoint of scaled ifft: e^{-i k m h}
+        return jnp.fft.ifftn(g) * float(np.prod(self._nf))
+
+    def _t1(self, c):
+        """c: (M,) complex -> (*N,) complex modes."""
+        g = _spread(c, self._idxs, self._wts, self._nf, mm3_plan=self._mm3)
+        return self._grid_to_modes(g)
+
+    def _t2(self, f):
+        """f: (*N,) complex modes -> (M,) complex values, isign -s."""
+        gr = self._modes_to_grid(f)
         return _interp(gr, self._idxs, self._wts, mm3_plan=self._mm3)
 
     # -- LinOp interface (real views) ---------------------------------------

@@ -333,7 +333,12 @@ class ADMM(_PrimalDualSplitting):
             # classical branch solves the x-update through f.prox (a nested
             # CG for quadratics); honor solver_kwargs there too — warm-started
             # ADMM tolerates inexact x-minimisation (reference passes
-            # solver_kwargs into its sub-solver the same way, pds.py:1498-1540)
+            # solver_kwargs into its sub-solver the same way, pds.py:1498-1540).
+            # The settings live on a PRIVATE shallow copy: stamping them onto
+            # the caller's operator would change f.prox accuracy everywhere
+            # that object is shared.
+            import copy
+            self._f = f = copy.copy(f)
             if "maxiter" in self._solver_kwargs:
                 f._prox_maxiter = int(self._solver_kwargs["maxiter"])
             if "rtol" in self._solver_kwargs:
@@ -365,7 +370,8 @@ class ADMM(_PrimalDualSplitting):
             # (Q + K^T K / τ) x = K^T v / τ − c
             b = self._Kt(v) / tau - c.grad(jnp.zeros_like(x))
             mv = lambda p: Q.apply(p) + self._Kt(self._Kf(p)) / tau
-            return cg_solve(mv, b, x0=x, rtol=1e-6,
+            return cg_solve(mv, b, x0=x,
+                            rtol=self._solver_kwargs.get("rtol", 1e-6),
                             maxiter=self._solver_kwargs.get("maxiter", 50),
                             core_ndim=len(self._dim_shape))
         # differentiable f: fixed number of gradient-descent steps on

@@ -87,12 +87,7 @@ class ShardedNUFFT(LinOp):
             g = _spread(c, idxs, wts, op._nf)       # local partial fine grid
             gr = jax.lax.psum(g.real, ax)           # ICI all-reduce
             gi = jax.lax.psum(g.imag, ax)
-            g = gr + 1j * gi
-            if op._isign > 0:
-                ghat = jnp.fft.ifftn(g) * float(np.prod(op._nf))
-            else:
-                ghat = jnp.fft.fftn(g)
-            f = op._extract(ghat) * op._phihat.astype(g.real.dtype)
+            f = op._grid_to_modes(gr + 1j * gi)     # shared single-chip path
             return jnp.stack([f.real, f.imag], axis=-1)
 
         fn = jax.shard_map(
@@ -112,12 +107,7 @@ class ShardedNUFFT(LinOp):
         def local(f_in, idxs, wts):
             cdt = complex_dtype(f_in.dtype)
             fc = (f_in[..., 0] + 1j * f_in[..., 1]).astype(cdt)
-            fd = fc * op._phihat.astype(f_in.dtype)
-            g = op._embed(fd)
-            if op._isign > 0:
-                gr = jnp.fft.fftn(g)
-            else:
-                gr = jnp.fft.ifftn(g) * float(np.prod(op._nf))
+            gr = op._modes_to_grid(fc)              # shared single-chip path
             c = _interp(gr, idxs, wts)              # local points only
             return jnp.stack([c.real, c.imag], axis=-1)
 
