@@ -264,7 +264,10 @@ class Solver:
         # Re-fitting with identical (stop_crit, cadence, cap) reuses the
         # compiled segment — loop+MXU programs can take minutes to compile on
         # some backends, so never rebuild the jitted closure needlessly.
-        key = (id(stop), self._stop_rate, self._max_iter, self._track_objective)
+        # The stop criterion contributes its STRUCTURAL key, so inline
+        # fresh-but-identical instances (MaxIter(200) per fit) still hit.
+        key = (stop.cache_key(), self._stop_rate, self._max_iter,
+               self._track_objective)
         cached = getattr(self, "_seg_cache", None)
         if cached is not None and cached[0] == key:
             seg_fn, make_hist = cached[1], cached[2]

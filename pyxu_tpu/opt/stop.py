@@ -65,6 +65,14 @@ class StoppingCriterion:
     def host_metrics(self) -> dict:
         return {}
 
+    def cache_key(self):
+        """Structural identity for the solver's compiled-segment cache: two
+        criteria with equal keys trace to the same device program, so a
+        re-fit with a fresh-but-identical instance (e.g. ``MaxIter(200)``
+        built inline per fit) reuses the compiled while-loop instead of
+        recompiling.  Default: object identity (always safe)."""
+        return id(self)
+
     def __and__(self, other: "StoppingCriterion") -> "StoppingCriterion":
         return _Combined(self, other, all_of=True)
 
@@ -117,6 +125,10 @@ class _Combined(StoppingCriterion):
     def host_metrics(self) -> dict:
         return {**self._lhs.host_metrics(), **self._rhs.host_metrics()}
 
+    def cache_key(self):
+        return (type(self), self._lhs.cache_key(), self._rhs.cache_key(),
+                self._all)
+
 
 class MaxIter(StoppingCriterion):
     """Stop after n iterations (reference: opt/stop.py:29-70)."""
@@ -128,10 +140,16 @@ class MaxIter(StoppingCriterion):
     def update(self, cstate, mstate, k):
         return cstate, k >= self._n, {"N_iter": jnp.asarray(k, jnp.int32)}
 
+    def cache_key(self):
+        return (type(self), self._n)
+
 
 class ManualStop(StoppingCriterion):
     """Never stops on its own (reference: opt/stop.py:71-92); for ASYNC fits
     interrupted by the user."""
+
+    def cache_key(self):
+        return (type(self),)
 
 
 class MaxDuration(StoppingCriterion):
@@ -149,6 +167,11 @@ class MaxDuration(StoppingCriterion):
 
     def host_metrics(self) -> dict:
         return {"duration": time.monotonic() - (self._t0 or time.monotonic())}
+
+    def cache_key(self):
+        # host-only criterion: the traced device program does not depend on
+        # the budget value
+        return (type(self),)
 
 
 class MaxCarbon(MaxDuration):
@@ -183,6 +206,9 @@ class Memorize(StoppingCriterion):
         v = jnp.asarray(mstate[self._var])
         val = v if v.ndim == 0 else jnp.linalg.norm(v.ravel())
         return cstate, jnp.asarray(False), {f"Memorize[{self._var}]": val}
+
+    def cache_key(self):
+        return (type(self), self._var)
 
 
 def _batched_norm(v, rank: int, ord):
@@ -223,6 +249,12 @@ class AbsError(StoppingCriterion):
         stop = jnp.all(val <= self._eps) if self._all else jnp.any(val <= self._eps)
         return cstate, stop, {f"AbsError[{self._var}]": jnp.max(val)}
 
+    def cache_key(self):
+        if self._f is not None:  # arbitrary callable: identity only
+            return id(self)
+        return (type(self), self._eps, self._var, self._rank, self._norm,
+                self._all)
+
 
 class RelError(StoppingCriterion):
     """Stop when ||x_k - x_{k-1}|| <= eps ||x_{k-1}||
@@ -258,3 +290,9 @@ class RelError(StoppingCriterion):
         stop = jnp.logical_and(stop, valid)
         metric = jnp.where(valid, jnp.max(val), jnp.inf)
         return {"prev": v}, stop, {f"RelError[{self._var}]": metric}
+
+    def cache_key(self):
+        if self._f is not None:  # arbitrary callable: identity only
+            return id(self)
+        return (type(self), self._eps, self._var, self._rank, self._norm,
+                self._all)

@@ -173,3 +173,20 @@ class TestShardedNUFFT:
         slv.fit(x0=jnp.zeros(sh.dim_shape), stop_crit=MaxIter(10),
                 max_iter=10, tau=1.0 / (sh.lipschitz ** 2))
         assert np.isfinite(np.asarray(slv.solution())).all()
+
+
+from conformance import ConformanceSuite
+import pytest as _pytest
+
+
+class TestShardedNUFFTConformance(ConformanceSuite):
+    """Full property-driven conformance on the mesh-sharded operator
+    (SURVEY §4: same harness, sharded leg)."""
+
+    @_pytest.fixture
+    def op(self):
+        from pyxu_tpu.parallel import auto_mesh
+        from pyxu_tpu.parallel.nufft import ShardedNUFFT
+        rng = np.random.default_rng(7)
+        return ShardedNUFFT(rng.uniform(-np.pi, np.pi, (24, 2)), (6, 8),
+                            auto_mesh())

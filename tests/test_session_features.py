@@ -226,3 +226,22 @@ class TestReviewFixes:
         with pytest.raises(AssertionError):
             from_source(LinOp, 4, 4, apply=lambda a: a,
                         enforce_precision=("adjoint",))  # not provided
+
+    def test_fresh_stop_crit_instance_reuses_compiled_segment(self):
+        rng = np.random.default_rng(9)
+        y = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+        f, g = _lasso(y)
+        slv = PGD(f=f, g=g)
+        slv.fit(x0=jnp.zeros(32), stop_crit=MaxIter(8), max_iter=8)
+        seg_fn = slv._seg_cache[1]
+        n = seg_fn._cache_size()
+        slv.fit(x0=jnp.zeros(32), stop_crit=MaxIter(8), max_iter=8)  # fresh inst
+        assert slv._seg_cache[1] is seg_fn  # structural key hit
+        assert seg_fn._cache_size() == n
+
+    def test_combined_stop_crit_cache_key_structural(self):
+        from pyxu_tpu.opt.stop import MaxIter, RelError
+        a = MaxIter(5) | RelError(eps=1e-4, var="x")
+        b = MaxIter(5) | RelError(eps=1e-4, var="x")
+        c = MaxIter(6) | RelError(eps=1e-4, var="x")
+        assert a.cache_key() == b.cache_key() != c.cache_key()
