@@ -595,12 +595,25 @@ class _NUFFT3(LinOp):
 
     The adjoint runs the same pipeline in reverse (spread at s', FFT,
     interpolate at x'), exactly transposing every step.
+
+    Both domains are **centered** before planning (FINUFFT-style pre/post
+    phasing, reference nufft.py:1696-2026 `_NUFFT3` plan phases): with
+    midpoints ``xm = mid(x)``, ``zm = mid(z)`` and ``s = isign``,
+
+        exp(i s <z_k, x_j>) = exp(i s <z_k - zm, x_j - xm>)
+                              . exp(i s <zm, x_j>) . exp(i s <z_k - zm, xm>)
+
+    so the core transform runs on the centered clouds (fine-grid size scales
+    with the *extent* product, not the coordinate magnitudes) wrapped in a
+    diagonal pre-phase on c and post-phase on f.  This is what keeps
+    per-block grids small in the chunked/sharded variants.
     """
 
     _data_fields = ("_x", "_z", "_idxs_x", "_wts_x", "_idxs_s", "_wts_s",
-                    "_dx", "_ds", "_mm3_x", "_mm3_s")
+                    "_dx", "_ds", "_mm3_x", "_mm3_s", "_ph_x", "_ph_z")
 
-    def __init__(self, x, z, isign: int = +1, eps: float = 1e-6):
+    def __init__(self, x, z, isign: int = +1, eps: float = 1e-6,
+                 nf: tuple = None, mm3: bool = True):
         # host-side plan (no eager device RPCs; see _tap_weights_np)
         x = np.asarray(jax.device_get(x), np.float64)
         z = np.asarray(jax.device_get(z), np.float64)
@@ -616,15 +629,32 @@ class _NUFFT3(LinOp):
         w, beta = _es_params(eps)
         self._w, self._beta, self._eps = w, beta, float(eps)
 
-        xh = x
-        zh = z * self._isign
+        # center both clouds; phases restore the un-centered transform
+        xm = 0.5 * (x.max(axis=0) + x.min(axis=0))
+        zm = 0.5 * (z.max(axis=0) + z.min(axis=0))
+        s = float(self._isign)
+        ph_x = np.exp(1j * s * (x @ zm))             # (M,) pre-phase on c
+        ph_z = np.exp(1j * s * ((z - zm) @ xm))      # (K,) post-phase on f
+        # real (N, 2) storage (complex device arrays poison this runtime);
+        # no explicit dtype: float64 under x64, else f32 (matches _wts)
+        self._ph_x = jnp.asarray(np.stack([ph_x.real, ph_x.imag], axis=-1))
+        self._ph_z = jnp.asarray(np.stack([ph_z.real, ph_z.imag], axis=-1))
+
+        xh = x - xm
+        zh = (z - zm) * self._isign
         X = np.maximum(np.abs(xh).max(axis=0), 1e-9)
         gamma = 2.0 * X / np.pi                 # x' = x/gamma in [-pi/2, pi/2]
         xp = xh / gamma
         sp = zh * gamma                          # s' = gamma z  (grid units 1)
         Smax = np.abs(sp).max(axis=0)
-        nf = tuple(max(next_fast_len(int(4 * (sm + w + 2))), 4 * w + 8)
-                   for sm in Smax)
+        nf_min = tuple(max(next_fast_len(int(4 * (sm + w + 2))), 4 * w + 8)
+                       for sm in Smax)
+        if nf is None:
+            nf = nf_min
+        else:
+            nf = tuple(int(n) for n in nf)
+            assert len(nf) == d and all(a >= b for a, b in zip(nf, nf_min)), \
+                (nf, nf_min)
         self._nf = nf
         self._gamma = gamma
 
@@ -680,7 +710,7 @@ class _NUFFT3(LinOp):
         self._z = jnp.asarray(z, jnp.float32)
         # 3-D MXU slab plans for both domains (None => scatter fallback)
         self._mm3_x = self._mm3_s = None
-        if d == 3:
+        if d == 3 and mm3:
             self._mm3_x = _mm3_plan(np.mod(xp[:, 0], 2 * np.pi), nf, w)
             s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64), nf[0])
             self._mm3_s = _mm3_plan_from_base(s_base, nf[0], w)
@@ -688,7 +718,11 @@ class _NUFFT3(LinOp):
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3[d={d}]"
 
+    def _phase(self, ph, dtype):
+        return (ph[:, 0] + 1j * ph[:, 1]).astype(dtype)
+
     def _fw(self, c):
+        c = c * self._phase(self._ph_x, c.dtype)     # centering pre-phase
         g = _spread(c, self._idxs_x, self._wts_x, self._nf,
                     mm3_plan=self._mm3_x)
         g = g * self._dx.astype(g.real.dtype)
@@ -696,15 +730,18 @@ class _NUFFT3(LinOp):
         # into s' at plan time)
         ghat = jnp.fft.ifftn(g) * float(np.prod(self._nf))
         vals = _interp(ghat, self._idxs_s, self._wts_s, mm3_plan=self._mm3_s)
-        return vals * self._ds.astype(vals.real.dtype)
+        vals = vals * self._ds.astype(vals.real.dtype)
+        return vals * self._phase(self._ph_z, vals.dtype)
 
     def _bw(self, f):
+        f = f * jnp.conj(self._phase(self._ph_z, f.dtype))
         fw = f * self._ds.astype(f.real.dtype)
         ghat = _spread(fw, self._idxs_s, self._wts_s, self._nf,
                        mm3_plan=self._mm3_s)
         g = jnp.fft.fftn(ghat)  # adjoint of scaled ifftn
         g = g * self._dx.astype(g.real.dtype)
-        return _interp(g, self._idxs_x, self._wts_x, mm3_plan=self._mm3_x)
+        vals = _interp(g, self._idxs_x, self._wts_x, mm3_plan=self._mm3_x)
+        return vals * jnp.conj(self._phase(self._ph_x, vals.dtype))
 
     def apply(self, arr):
         arr = jnp.asarray(arr)
@@ -724,6 +761,36 @@ class _NUFFT3(LinOp):
 
     def _expr(self):
         return (f"NUFFT3[d={self._d}, M={self._M}, K={self._K}]",)
+
+
+def _t3_nf_np(xb, zb, w):
+    """Fine-grid size a centered `_NUFFT3` plan will pick for point clouds
+    (xb, zb) — host-side mirror of the planning formula, used by the
+    chunked/sharded planners to budget FFT memory without building plans."""
+    xc = xb - 0.5 * (xb.max(axis=0) + xb.min(axis=0))
+    zc = zb - 0.5 * (zb.max(axis=0) + zb.min(axis=0))
+    X = np.maximum(np.abs(xc).max(axis=0), 1e-9)
+    gamma = 2.0 * X / np.pi
+    sp = np.abs(zc * gamma).max(axis=0)
+    return tuple(max(next_fast_len(int(4 * (sm + w + 2))), 4 * w + 8)
+                 for sm in sp)
+
+
+def _balanced_parts_np(pts, n_parts: int):
+    """Spatially-coherent, count-balanced partition of a point cloud into
+    `n_parts` index blocks (recursive proportional median splits along the
+    widest axis — the reference's `auto_chunk` bisection, nufft.py:1124-1235,
+    with balanced counts so blocks pad uniformly for SPMD execution)."""
+    def rec(idx, n):
+        if n == 1:
+            return [idx]
+        nl = n // 2
+        ext = pts[idx].max(axis=0) - pts[idx].min(axis=0)
+        ax = int(np.argmax(ext))
+        order = idx[np.argsort(pts[idx, ax], kind="stable")]
+        cut = (len(idx) * nl) // n
+        return rec(order[:cut], nl) + rec(order[cut:], n - nl)
+    return rec(np.arange(pts.shape[0]), n_parts)
 
 
 class _NUFFT3Chunked(LinOp):
@@ -763,11 +830,7 @@ class _NUFFT3Chunked(LinOp):
         itemsize = 16 if jax.config.jax_enable_x64 else 8  # complex grid
 
         def grid_mb(xb, zb):
-            X = np.maximum(np.abs(xb).max(axis=0), 1e-9)
-            gamma = 2.0 * X / np.pi
-            sp = np.abs(zb * gamma).max(axis=0)
-            nf = [max(next_fast_len(int(4 * (sm + w + 2))), 4 * w + 8) for sm in sp]
-            return np.prod(nf) * itemsize / 1e6
+            return np.prod(_t3_nf_np(xb, zb, w)) * itemsize / 1e6
 
         def bisect(pts, idx, budget_fn, depth=0):
             if budget_fn(idx) or len(idx) <= 8 or depth >= 4:
