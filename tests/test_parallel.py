@@ -256,3 +256,17 @@ class TestShardedNUFFT3:
         fn = jax.jit(lambda o, v: o.apply(v))
         np.testing.assert_allclose(np.asarray(fn(op, a[0])),
                                    np.asarray(op.apply(a[0])), atol=1e-5)
+
+
+class TestShardedNUFFT3Conformance(ConformanceSuite):
+    """Full property-driven conformance on the mesh-parallel type-3
+    (SURVEY §4: same harness, sharded leg)."""
+
+    @_pytest.fixture
+    def op(self):
+        from pyxu_tpu.parallel import auto_mesh
+        from pyxu_tpu.parallel.nufft import ShardedNUFFT3
+        rng = np.random.default_rng(9)
+        return ShardedNUFFT3(rng.uniform(-1.0, 1.0, (24, 2)),
+                             rng.uniform(-9.0, 9.0, (20, 2)),
+                             auto_mesh(), max_z_blocks=2, fft_mem_mb=1e-3)
