@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 def tv_deconvolution_halo(mesh, n=256, lam=0.005):
     """Rows sharded over the mesh; the blur stencil halo-exchanges."""
-    from pyxu_tpu.operator import Gradient, L21Norm, SquaredL2Norm, Stencil
+    from pyxu_tpu.operator import Gradient, L21Norm, SquaredL2Norm
     from pyxu_tpu.parallel import P, ShardedStencil, shard
     from pyxu_tpu.opt.solver import CondatVu
     from pyxu_tpu.opt.stop import MaxIter

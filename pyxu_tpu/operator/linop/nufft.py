@@ -613,7 +613,7 @@ class _NUFFT3(LinOp):
                     "_dx", "_ds", "_mm3_x", "_mm3_s", "_ph_x", "_ph_z")
 
     def __init__(self, x, z, isign: int = +1, eps: float = 1e-6,
-                 nf: tuple = None, mm3: bool = True):
+                 nf: tuple = None, mm3: bool = True, dx=None):
         # host-side plan (no eager device RPCs; see _tap_weights_np)
         x = np.asarray(jax.device_get(x), np.float64)
         z = np.asarray(jax.device_get(z), np.float64)
@@ -678,22 +678,13 @@ class _NUFFT3(LinOp):
         self._idxs_s = tuple(idxs_s)
         self._wts_s = tuple(wts_s)
 
-        # spatial pre-deconvolution grid: 1/psihat2(x'_m) per dim (psi2 is
-        # the unit-spacing freq kernel; Poisson factor 1 -> no /h)
+        # spatial pre-deconvolution grid: depends only on (nf, w, beta) —
+        # callers stacking many same-grid plans pass it in precomputed
+        self._dx = jnp.asarray(_t3_dx_np(nf, w, beta) if dx is None else dx)
+
         q = max(2 * w, 24)
         zq, wq = np.polynomial.legendre.leggauss(q)
         phi = np.exp(beta * (np.sqrt(np.clip(1 - zq**2, 0, None)) - 1.0))
-        dx = 1.0
-        for ax in range(d):
-            n = nf[ax]
-            m = np.arange(n)
-            xm = np.mod(m * (2 * np.pi / n) + np.pi, 2 * np.pi) - np.pi  # centered
-            c = np.cos(np.outer(xm * (w / 2.0), zq))
-            psihat2 = (w / 2.0) * (c * (phi * wq)).sum(axis=1)
-            shape = [1] * d
-            shape[ax] = n
-            dx = dx * (1.0 / psihat2).reshape(shape)
-        self._dx = jnp.asarray(dx)  # (*nf,)
 
         # frequency post-deconvolution: 1/psihat1(s') per dim (h-scaled
         # spatial kernel, includes the 1/h Poisson factor)
@@ -763,6 +754,28 @@ class _NUFFT3(LinOp):
         return (f"NUFFT3[d={self._d}, M={self._M}, K={self._K}]",)
 
 
+def _t3_dx_np(nf, w, beta):
+    """Spatial pre-deconvolution grid 1/psihat2(x'_m) over the fine grid
+    (psi2 is the unit-spacing freq kernel; Poisson factor 1 -> no /h).
+    Depends only on (nf, w, beta): callers stacking many same-grid plans
+    (ShardedNUFFT3) compute it once instead of once per block."""
+    d = len(nf)
+    q = max(2 * w, 24)
+    zq, wq = np.polynomial.legendre.leggauss(q)
+    phi = np.exp(beta * (np.sqrt(np.clip(1 - zq**2, 0, None)) - 1.0))
+    dx = 1.0
+    for ax in range(d):
+        n = nf[ax]
+        m = np.arange(n)
+        xm = np.mod(m * (2 * np.pi / n) + np.pi, 2 * np.pi) - np.pi  # centered
+        c = np.cos(np.outer(xm * (w / 2.0), zq))
+        psihat2 = (w / 2.0) * (c * (phi * wq)).sum(axis=1)
+        shape = [1] * d
+        shape[ax] = n
+        dx = dx * (1.0 / psihat2).reshape(shape)
+    return dx
+
+
 def _t3_nf_np(xb, zb, w):
     """Fine-grid size a centered `_NUFFT3` plan will pick for point clouds
     (xb, zb) — host-side mirror of the planning formula, used by the
@@ -784,6 +797,8 @@ def _balanced_parts_np(pts, n_parts: int):
     def rec(idx, n):
         if n == 1:
             return [idx]
+        if len(idx) == 0:       # more parts than points: empty blocks
+            return [idx] * n
         nl = n // 2
         ext = pts[idx].max(axis=0) - pts[idx].min(axis=0)
         ax = int(np.argmax(ext))

@@ -40,6 +40,7 @@ from pyxu_tpu.operator.linop.nufft import (
     _es_params,
     _interp,
     _spread,
+    _t3_dx_np,
     _t3_nf_np,
 )
 from pyxu_tpu.utils.complex import complex_dtype
@@ -202,20 +203,23 @@ class ShardedNUFFT3(LinOp):
         self._M, self._K, self._d = M, K, d
 
         # -- partition: P = n_dev x-blocks; grow Q until the unified grid
-        #    meets the FFT budget (or the block cap)
-        w, _beta = _es_params(eps)
+        #    meets the FFT budget (or the block cap).  Blocks may be empty
+        #    when the mesh/cap exceeds the point count (padded slots only).
+        assert M >= 1 and K >= 1
+        w, beta = _es_params(eps)
         itemsize = 16 if jax.config.jax_enable_x64 else 8
         x_parts = _balanced_parts_np(x, n_dev)
+        max_q = max(1, min(int(max_z_blocks), K))
         Q = 1
         while True:
             z_parts = _balanced_parts_np(z, Q)
             nf = tuple(int(n) for n in np.max(
                 [_t3_nf_np(x[ip], z[iq], w)
-                 for ip in x_parts for iq in z_parts], axis=0))
-            if (np.prod(nf) * itemsize / 1e6 <= fft_mem_mb
-                    or Q >= max_z_blocks):
+                 for ip in x_parts for iq in z_parts
+                 if len(ip) and len(iq)], axis=0))
+            if np.prod(nf) * itemsize / 1e6 <= fft_mem_mb or Q >= max_q:
                 break
-            Q *= 2
+            Q = min(2 * Q, max_q)
         self._nf = nf
         self._Q = Q
 
@@ -231,16 +235,21 @@ class ShardedNUFFT3(LinOp):
         z_coord = np.empty((Q, Kb, d))
         for p, ip in enumerate(x_parts):
             x_idx[p, :len(ip)] = ip
-            x_coord[p] = x[np.r_[ip, np.repeat(ip[:1], Mb - len(ip))]]
+            fill = ip[:1] if len(ip) else np.zeros(1, np.int64)
+            x_coord[p] = x[np.r_[ip, np.repeat(fill, Mb - len(ip))]]
         for q, iq in enumerate(z_parts):
             z_idx[q, :len(iq)] = iq
-            z_coord[q] = z[np.r_[iq, np.repeat(iq[:1], Kb - len(iq))]]
+            fill = iq[:1] if len(iq) else np.zeros(1, np.int64)
+            z_coord[q] = z[np.r_[iq, np.repeat(fill, Kb - len(iq))]]
         self._x_idx = jnp.asarray(x_idx)
         self._z_idx = jnp.asarray(z_idx)
 
-        # -- per-(p, q) centered plans on the unified grid, stacked
+        # -- per-(p, q) centered plans on the unified grid, stacked; the
+        #    O(prod(nf)) deconvolution grid depends only on (nf, w, beta) —
+        #    computed once host-side, not once per block
+        dx_np = _t3_dx_np(nf, w, beta)
         blocks = [[_NUFFT3(x_coord[p], z_coord[q], isign=isign, eps=eps,
-                           nf=nf, mm3=False)
+                           nf=nf, mm3=False, dx=dx_np)
                    for q in range(Q)] for p in range(n_dev)]
         self._dx = blocks[0][0]._dx                      # (*nf,) shared
         # x-side taps depend on p only (gamma_p, shared nf)

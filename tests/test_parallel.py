@@ -270,3 +270,47 @@ class TestShardedNUFFT3Conformance(ConformanceSuite):
         return ShardedNUFFT3(rng.uniform(-1.0, 1.0, (24, 2)),
                              rng.uniform(-9.0, 9.0, (20, 2)),
                              auto_mesh(), max_z_blocks=2, fft_mem_mb=1e-3)
+
+
+class TestShardedNUFFT3Edges:
+    """Constructor robustness (review findings): block counts exceeding the
+    point counts must pad with empty blocks, and the z-block cap is exact."""
+
+    def _direct_check(self, op, x, z, rng, M):
+        from pyxu_tpu.operator.linop.nufft import nudft3
+        c = rng.standard_normal(M) + 1j * rng.standard_normal(M)
+        a = jnp.asarray(np.stack([c.real, c.imag], axis=-1), jnp.float32)
+        want = nudft3(c, x, z)
+        want = np.stack([want.real, want.imag], axis=-1)
+        np.testing.assert_allclose(np.asarray(op.apply(a)), want,
+                                   atol=2e-4 * max(np.abs(want).max(), 1.0))
+
+    def test_fewer_x_points_than_devices(self):
+        from pyxu_tpu.parallel import auto_mesh
+        from pyxu_tpu.parallel.nufft import ShardedNUFFT3
+        rng = np.random.default_rng(21)
+        x = rng.uniform(-1, 1, (4, 2))          # M=4 < 8 devices
+        z = rng.uniform(-9, 9, (30, 2))
+        op = ShardedNUFFT3(x, z, auto_mesh())
+        self._direct_check(op, x, z, rng, 4)
+
+    def test_tiny_z_count_budget_overshoot(self):
+        # K=5 with an unreachable budget: Q must clamp to K, not crash
+        from pyxu_tpu.parallel import auto_mesh
+        from pyxu_tpu.parallel.nufft import ShardedNUFFT3
+        rng = np.random.default_rng(22)
+        x = rng.uniform(-1, 1, (40, 2))
+        z = rng.uniform(-9, 9, (5, 2))
+        op = ShardedNUFFT3(x, z, auto_mesh(), fft_mem_mb=1e-9)
+        assert op.stats()["n_z_blocks"] <= 5
+        self._direct_check(op, x, z, rng, 40)
+
+    def test_non_power_of_two_z_cap_is_exact(self):
+        from pyxu_tpu.parallel import auto_mesh
+        from pyxu_tpu.parallel.nufft import ShardedNUFFT3
+        rng = np.random.default_rng(23)
+        x = rng.uniform(-1, 1, (40, 2))
+        z = rng.uniform(-30, 30, (64, 2))
+        op = ShardedNUFFT3(x, z, auto_mesh(), fft_mem_mb=1e-9, max_z_blocks=6)
+        assert op.stats()["n_z_blocks"] <= 6
+        self._direct_check(op, x, z, rng, 40)
