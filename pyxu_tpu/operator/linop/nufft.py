@@ -94,10 +94,9 @@ def _tap_weights_np(x_nd, n_fs, w, beta):
         phi = np.where(np.abs(z) <= 1.0,
                        np.exp(beta * (np.sqrt(np.clip(1 - z * z, 0, None)) - 1.0)),
                        0.0)
-        idxs.append(jnp.asarray(np.mod(idx, n_f), jnp.int32))
-        # no explicit dtype: float64 under x64 (high-eps plans), else f32
-        wts.append(jnp.asarray(phi))
-    return idxs, wts
+        idxs.append(np.mod(idx, n_f).astype(np.int32))
+        wts.append(phi)
+    return idxs, wts  # numpy: callers convert (plans also permute host-side)
 
 
 def _interp(g, idxs, wts, mm3_plan=None):
@@ -106,6 +105,8 @@ def _interp(g, idxs, wts, mm3_plan=None):
     d = len(idxs)
     M, w = idxs[0].shape
     if d == 2 and _use_mm():
+        if mm3_plan is not None:
+            return _interp_slab2(g, idxs, wts, mm3_plan)
         return _interp_mm2(g, idxs, wts)
     if d == 3 and mm3_plan is not None and _use_mm():
         return _interp_mm3(g, idxs, wts, mm3_plan)
@@ -237,35 +238,52 @@ class _Mm3Plan:
     Pytree: (perm, starts, base) are traced leaves; (T, n1ext) static aux.
     """
 
-    def __init__(self, perm, starts, base, invperm, T: int, n1ext: int):
+    def __init__(self, perm, starts, base, invperm, T: int, n1ext: int,
+                 chunk: int = _MM3_CHUNK):
         self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
         self.starts = starts    # (S,) int32 slab row offsets (p*T)
         self.base = base        # (M,) int32 unwrapped axis-0 base cell
         self.invperm = invperm  # (M,) int32: j's position in perm.ravel()
         self.T = int(T)
         self.n1ext = int(n1ext)
+        self.chunk = int(chunk)  # Mp is a multiple of this
 
 
 jax.tree_util.register_pytree_node(
     _Mm3Plan,
-    lambda p: ((p.perm, p.starts, p.base, p.invperm), (p.T, p.n1ext)),
+    lambda p: ((p.perm, p.starts, p.base, p.invperm),
+               (p.T, p.n1ext, p.chunk)),
     lambda aux, ch: _Mm3Plan(*ch, *aux),
 )
 
 
-def _mm3_plan_from_base(base, n1: int, w: int):
-    """Host-side slab plan along axis 0 from unwrapped base cells
-    ``base`` (M,) in [0, n1) — taps occupy base + [0, w).  Returns None when
-    slab occupancy is too unbalanced for the padded layout to pay off
-    (fallback: scatter path)."""
+def _slab_partition_np(base, n1: int, w: int, chunk: int,
+                       max_blowup: float = 3.0):
+    """Host slab partition along axis 0 from unwrapped base cells ``base``
+    (M,) in [0, n1) — taps occupy base + [0, w).  Returns numpy
+    (perm (S, Mp), starts (S,), invperm (M,), T, n1ext), or None when the
+    padded layout costs more than ``max_blowup`` x the useful work (the
+    caller sets the break-even vs ITS fallback: scatter for 3-D, dense
+    mm2 for 2-D — the latter tolerates much larger padding since its
+    FLOPs are n1/2w higher per point).  Dimension-agnostic: drives both
+    the 3-D (`_Mm3Plan`) and 2-D (`_Slab2Plan`) slab kernels."""
     M = base.shape[0]
     T = w
     S = -(-n1 // T)
     slab = base // T
     counts = np.bincount(slab, minlength=S)
-    Mp = int(counts.max())
-    Mp = max(_MM3_CHUNK, -(-Mp // _MM3_CHUNK) * _MM3_CHUNK)
-    if S * Mp > max(3 * M, M + S * _MM3_CHUNK):
+    # chunk selection: big chunks amortize per-step overhead (tiny matmuls
+    # lose to loop dispatch), small chunks avoid padding waste — take the
+    # largest chunk whose round-up wastes <25% of the occupancy, floor 128
+    Mp_raw = max(1, int(counts.max()))
+    chunk = max(128, min(int(chunk), 512))
+    while chunk > 128:
+        Mp = -(-Mp_raw // chunk) * chunk
+        if (Mp - Mp_raw) / Mp <= 0.25:
+            break
+        chunk //= 2
+    Mp = -(-Mp_raw // chunk) * chunk
+    if S * Mp > max(max_blowup * M, M + S * chunk):
         return None
     order = np.argsort(slab, kind="stable")
     perm = np.full((S, Mp), M, np.int32)       # M = dummy point id
@@ -279,17 +297,26 @@ def _mm3_plan_from_base(base, n1: int, w: int):
     pos = np.flatnonzero(flat < M)
     inv = np.empty(M, np.int64)
     inv[flat[pos]] = pos
+    return perm, starts, inv, T, S * T + w, chunk
+
+
+def _mm3_plan_from_base(base, n1: int, w: int, chunk: int = _MM3_CHUNK):
+    """3-D slab plan (see `_slab_partition_np`); None => scatter fallback."""
+    part = _slab_partition_np(base, n1, w, chunk)
+    if part is None:
+        return None
+    perm, starts, inv, T, n1ext, chunk = part
     return _Mm3Plan(jnp.asarray(perm), jnp.asarray(starts),
                     jnp.asarray(base, jnp.int32),
-                    jnp.asarray(inv, jnp.int32), T, S * T + w)
+                    jnp.asarray(inv, jnp.int32), T, n1ext, chunk)
 
 
-def _mm3_plan(x0, n_fs, w: int):
+def _mm3_plan(x0, n_fs, w: int, chunk: int = _MM3_CHUNK):
     """Slab plan for angle-domain points ``x0`` (M,) float64 in [0, 2pi)."""
     n1 = n_fs[0]
     h = 2 * np.pi / n1
     i0 = np.ceil(np.asarray(x0, np.float64) / h - w / 2.0).astype(np.int64)
-    return _mm3_plan_from_base(np.mod(i0, n1), n1, w)
+    return _mm3_plan_from_base(np.mod(i0, n1), n1, w, chunk=chunk)
 
 
 def _pad_pt(a, fill=0):
@@ -300,7 +327,7 @@ def _pad_pt(a, fill=0):
 
 def _spread_mm3(c, idxs, wts, n_fs, plan):
     n1, n2, n3 = n_fs
-    T, w = plan.T, idxs[0].shape[1]
+    T, w, CH = plan.T, idxs[0].shape[1], plan.chunk
     win = T + w
     dtype = c.real.dtype
     cc = _pad_pt(c)
@@ -318,12 +345,12 @@ def _spread_mm3(c, idxs, wts, n_fs, plan):
 
         def chunk(q, acc):
             acc_re, acc_im = acc
-            sl = jax.lax.dynamic_slice_in_dim(pidx, q * _MM3_CHUNK, _MM3_CHUNK)
+            sl = jax.lax.dynamic_slice_in_dim(pidx, q * CH, CH)
             l = (b[sl][:, None] + taps[None, :] - start)       # (MC, w) local rows
             U0 = _onehot_w(l, w0[sl], win, dtype)              # (MC, win)
             U1 = _onehot_w(i1[sl], w1[sl], n2, dtype)          # (MC, n2)
             U2 = _onehot_w(i2[sl], w2[sl], n3, dtype)          # (MC, n3)
-            A = (U0[:, :, None] * U1[:, None, :]).reshape(_MM3_CHUNK, win * n2)
+            A = (U0[:, :, None] * U1[:, None, :]).reshape(CH, win * n2)
             cr, ci = cc.real[sl], cc.imag[sl]
             acc_re = acc_re + jax.lax.dot_general(
                 A * cr[:, None], U2, (((0,), (0,)), ((), ())),
@@ -333,7 +360,7 @@ def _spread_mm3(c, idxs, wts, n_fs, plan):
                 precision=jax.lax.Precision.HIGHEST)
             return acc_re, acc_im
 
-        acc_re, acc_im = jax.lax.fori_loop(0, Mp // _MM3_CHUNK, chunk,
+        acc_re, acc_im = jax.lax.fori_loop(0, Mp // CH, chunk,
                                            (acc_re, acc_im))
         g_slab = (acc_re + 1j * acc_im).reshape(win, n2, n3).astype(g_ext.dtype)
         z = jnp.zeros((), start.dtype)
@@ -350,7 +377,7 @@ def _spread_mm3(c, idxs, wts, n_fs, plan):
 
 def _interp_mm3(g, idxs, wts, plan):
     n1, n2, n3 = g.shape
-    T, w = plan.T, idxs[0].shape[1]
+    T, w, CH = plan.T, idxs[0].shape[1], plan.chunk
     win = T + w
     dtype = g.real.dtype
     wrap = plan.n1ext - n1
@@ -371,21 +398,21 @@ def _interp_mm3(g, idxs, wts, plan):
         GI = g_slab.imag.reshape(win * n2, n3)
 
         def chunk(q, outs):
-            sl = jax.lax.dynamic_slice_in_dim(pidx, q * _MM3_CHUNK, _MM3_CHUNK)
+            sl = jax.lax.dynamic_slice_in_dim(pidx, q * CH, CH)
             l = (b[sl][:, None] + taps[None, :] - start)
             U0 = _onehot_w(l, w0[sl], win, dtype)
             U1 = _onehot_w(i1[sl], w1[sl], n2, dtype)
             U2 = _onehot_w(i2[sl], w2[sl], n3, dtype)
-            A = (U0[:, :, None] * U1[:, None, :]).reshape(_MM3_CHUNK, win * n2)
+            A = (U0[:, :, None] * U1[:, None, :]).reshape(CH, win * n2)
             TR = jax.lax.dot_general(A, GR, (((1,), (0,)), ((), ())),
                                      precision=jax.lax.Precision.HIGHEST)
             TI = jax.lax.dot_general(A, GI, (((1,), (0,)), ((), ())),
                                      precision=jax.lax.Precision.HIGHEST)
             v = jnp.sum(TR * U2, axis=1) + 1j * jnp.sum(TI * U2, axis=1)
-            return jax.lax.dynamic_update_slice_in_dim(outs, v, q * _MM3_CHUNK, 0)
+            return jax.lax.dynamic_update_slice_in_dim(outs, v, q * CH, 0)
 
         return None, jax.lax.fori_loop(
-            0, Mp // _MM3_CHUNK, chunk, jnp.zeros((Mp,), g.dtype))
+            0, Mp // CH, chunk, jnp.zeros((Mp,), g.dtype))
 
     _, outs = jax.lax.scan(slab, None, (plan.perm, plan.starts))
     # slab layout -> original point order: gather via the plan's inverse
@@ -393,10 +420,175 @@ def _interp_mm3(g, idxs, wts, plan):
     return outs.ravel()[plan.invperm]
 
 
+# ------------------------------------------------ 2-D slab MM spreading ----
+
+_SLAB2_CHUNK = 512  # per-step batched tap matrix is (S, CHUNK, n2)
+
+
+class _Slab2Plan:
+    """Host-built slab partition for 2-D MXU spreading, with taps
+    **pre-permuted into slab order at plan time** so the kernels run zero
+    runtime gathers (TPU gathers are slow — the reason the mm paths exist).
+
+    Points are binned by axis-0 base cell into thickness-T slabs (T = w);
+    a slab's points touch only rows [p*T, p*T + 2T) of the extended grid,
+    and the whole spread is ONE batched matmul per point-chunk over the
+    slab axis — no scan over slabs, no per-slab dynamic slices.  With
+    T == w the overlap-add of slab windows is two reshapes + a pad-sum.
+
+    Pytree: (perm, l0, w0, i1, w1, invperm) leaves; (T, n1ext, chunk) aux.
+    """
+
+    def __init__(self, perm, l0, w0, i1, w1, invperm, T: int, n1ext: int,
+                 chunk: int = _SLAB2_CHUNK):
+        self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
+        self.l0 = l0            # (S, Mp, w) int32 window-local rows
+        self.w0 = w0            # (S, Mp, w) axis-0 tap weights (0 on pads)
+        self.i1 = i1            # (S, Mp, w) int32 axis-1 tap columns
+        self.w1 = w1            # (S, Mp, w) axis-1 tap weights (0 on pads)
+        self.invperm = invperm  # (M,) int32: j's position in perm.ravel()
+        self.T = int(T)
+        self.n1ext = int(n1ext)
+        self.chunk = int(chunk)
+
+
+jax.tree_util.register_pytree_node(
+    _Slab2Plan,
+    lambda p: ((p.perm, p.l0, p.w0, p.i1, p.w1, p.invperm),
+               (p.T, p.n1ext, p.chunk)),
+    lambda aux, ch: _Slab2Plan(*ch, *aux),
+)
+
+
+def _slab_base_np(x0, n1: int, w: int):
+    """Unwrapped axis-0 base cells for angle-domain points (M,) in [0, 2pi)."""
+    h = 2 * np.pi / n1
+    i0 = np.ceil(np.asarray(x0, np.float64) / h - w / 2.0).astype(np.int64)
+    return np.mod(i0, n1)
+
+
+def _slab2_plan(base, idxs, wts, n1: int, chunk: int = _SLAB2_CHUNK):
+    """Build a `_Slab2Plan` from numpy base cells + numpy tap arrays.
+    Returns None when slab occupancy is too unbalanced (fallback: dense
+    mm2 path)."""
+    M = base.shape[0]
+    w = idxs[0].shape[1]
+    # acceptance threshold vs the dense-mm2 fallback, anchored on v5e
+    # measurements (BASELINE.md): at n1=512/w=7 slab2 wins at <=2.8x
+    # padding blowup (Gaussian uv) and loses at >=4x (radial CT spokes);
+    # mm2 cost scales with n1, so the break-even blowup scales with it too
+    part = _slab_partition_np(base, n1, w, chunk,
+                              max_blowup=max(3.0, n1 / (20.0 * w)))
+    if part is None:
+        return None
+    perm, starts, inv, T, n1ext, chunk = part
+
+    def padrow(a, fill):
+        return np.concatenate(
+            [a, np.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+    rows = base.astype(np.int32)[:, None] + np.arange(w, dtype=np.int32)
+    l0 = padrow(rows, -(1 << 20))[perm] - starts[:, None, None]
+    w0 = padrow(wts[0], 0.0)[perm]
+    i1 = padrow(idxs[1], 0)[perm]
+    w1 = padrow(wts[1], 0.0)[perm]
+    return _Slab2Plan(jnp.asarray(perm), jnp.asarray(l0), jnp.asarray(w0),
+                      jnp.asarray(i1), jnp.asarray(w1),
+                      jnp.asarray(inv, jnp.int32), T, n1ext, chunk)
+
+
+def _onehot_w_b(idx, wt, n, dtype):
+    """Batched one-hot tap matrix: idx/wt (..., w) -> (..., n) with
+    U[..., a] = sum_s wt[..., s] . (a == idx[..., s]) — w VPU passes."""
+    w = idx.shape[-1]
+    a = jnp.arange(n, dtype=idx.dtype)
+    U = jnp.zeros(idx.shape[:-1] + (n,), dtype)
+    for s in range(w):
+        U = U + (wt[..., s:s + 1].astype(dtype)
+                 * (idx[..., s:s + 1] == a).astype(dtype))
+    return U
+
+
+def _spread_slab2(c, idxs, wts, n_fs, plan):
+    r"""2-D slab-binned MXU spreading: batched over the slab axis.
+
+    FLOPs 2.M.2w.n2 (vs the dense one-hot formulation's 2.M.n1.n2 in
+    `_spread_mm2` — an n1/2w reduction); the remaining cost is the HBM
+    round-trip of the (S, CH, n2) tap matrices, so throughput is
+    bandwidth-bound, not MXU-bound (cf. FINUFFT's binned subgrid
+    spreader, reference nufft.py:275-277)."""
+    n1, n2 = n_fs
+    S, Mp = plan.perm.shape
+    T, CH = plan.T, plan.chunk
+    win = 2 * T
+    dtype = c.real.dtype
+    cp = _pad_pt(c)[plan.perm]                  # (S, Mp) slab-ordered data
+    dims = (((1,), (1,)), ((0,), (0,)))         # contract CH, batch S
+
+    def chunk(q, acc):
+        acc_re, acc_im = acc
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, q * CH, CH, axis=1)
+        U0 = _onehot_w_b(sl(plan.l0), sl(plan.w0), win, dtype)  # (S,CH,win)
+        U1 = _onehot_w_b(sl(plan.i1), sl(plan.w1), n2, dtype)   # (S,CH,n2)
+        cq = sl(cp)
+        acc_re = acc_re + jax.lax.dot_general(
+            U0 * cq.real[..., None], U1, dims,
+            precision=jax.lax.Precision.HIGHEST)
+        acc_im = acc_im + jax.lax.dot_general(
+            U0 * cq.imag[..., None], U1, dims,
+            precision=jax.lax.Precision.HIGHEST)
+        return acc_re, acc_im
+
+    z = jnp.zeros((S, win, n2), dtype)
+    acc_re, acc_im = jax.lax.fori_loop(0, Mp // CH, chunk, (z, z))
+    R = acc_re + 1j * acc_im                    # (S, 2T, n2) slab windows
+    # overlap-add: window p covers rows [p*T, p*T + 2T) and T == w, so the
+    # second halves land exactly on the next slab's first halves
+    head = R[:, :T].reshape(S * T, n2)
+    tail = R[:, T:].reshape(S * T, n2)
+    g_ext = (jnp.pad(head, ((0, T), (0, 0)))
+             + jnp.pad(tail, ((T, 0), (0, 0))))  # ((S+1)T = n1ext, n2)
+    g = g_ext[:n1]
+    wrap = plan.n1ext - n1
+    return g.at[:wrap].add(g_ext[n1:])
+
+
+def _interp_slab2(g, idxs, wts, plan):
+    r"""2-D slab-binned MXU interpolation (transpose of `_spread_slab2`)."""
+    n1, n2 = g.shape
+    S, Mp = plan.perm.shape
+    T, CH = plan.T, plan.chunk
+    win = 2 * T
+    dtype = g.real.dtype
+    wrap = plan.n1ext - n1
+    g_ext = jnp.concatenate([g, g[:wrap]], axis=0)       # ((S+1)T, n2)
+    Gw = jnp.concatenate([g_ext[:S * T].reshape(S, T, n2),
+                          g_ext[T:].reshape(S, T, n2)], axis=1)
+    GR, GI = Gw.real, Gw.imag                            # (S, win, n2)
+    dims = (((2,), (1,)), ((0,), (0,)))                  # contract win, batch S
+
+    def chunk(q, outs):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, q * CH, CH, axis=1)
+        U0 = _onehot_w_b(sl(plan.l0), sl(plan.w0), win, dtype)
+        U1 = _onehot_w_b(sl(plan.i1), sl(plan.w1), n2, dtype)
+        TR = jax.lax.dot_general(U0, GR, dims,
+                                 precision=jax.lax.Precision.HIGHEST)
+        TI = jax.lax.dot_general(U0, GI, dims,
+                                 precision=jax.lax.Precision.HIGHEST)
+        v = jnp.sum(TR * U1, axis=2) + 1j * jnp.sum(TI * U1, axis=2)
+        return jax.lax.dynamic_update_slice_in_dim(outs, v, q * CH, axis=1)
+
+    outs = jax.lax.fori_loop(0, Mp // CH, chunk,
+                             jnp.zeros((S, Mp), g.dtype))
+    return outs.ravel()[plan.invperm]
+
+
 def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     """Scatter-add point strengths c (M,) complex onto the fine grid."""
     d = len(idxs)
     if d == 2 and _use_mm():
+        if mm3_plan is not None:
+            return _spread_slab2(c, idxs, wts, n_fs, mm3_plan)
         return _spread_mm2(c, idxs, wts, n_fs)
     if d == 3 and mm3_plan is not None and _use_mm():
         return _spread_mm3(c, idxs, wts, n_fs, mm3_plan)
@@ -458,10 +650,18 @@ class _NUFFT12(LinOp):
             ph = ph * f.reshape(shape)
         self._phihat = jnp.asarray(1.0 / ph)  # (*N,) float64->default
         idxs, wts = _tap_weights_np(xh, self._nf, w, beta)
-        self._idxs = tuple(idxs)
-        self._wts = tuple(wts)
-        # 3-D MXU spreading: host-side slab plan (None => scatter fallback)
-        self._mm3 = _mm3_plan(xh[:, 0], self._nf, w) if d == 3 else None
+        # no explicit wts dtype: float64 under x64 (high-eps plans), else f32
+        self._idxs = tuple(jnp.asarray(i) for i in idxs)
+        self._wts = tuple(jnp.asarray(p) for p in wts)
+        # 2-D/3-D MXU spreading: host-side slab plan (None => dense-mm2 /
+        # scatter fallback)
+        self._mm3 = None
+        if d == 3:
+            self._mm3 = _mm3_plan(xh[:, 0], self._nf, w)
+        elif d == 2:
+            self._mm3 = _slab2_plan(
+                _slab_base_np(xh[:, 0], self._nf[0], w), idxs, wts,
+                self._nf[0])
         dim = (M,) if real_in else (M, 2)
         super().__init__(dim, N + (2,))
         self._lipschitz = float(np.sqrt(np.prod(N) * M))
@@ -661,8 +861,8 @@ class _NUFFT3(LinOp):
         # taps/weights: x' on the angle ring (spacing h), s' on the freq ring
         # (spacing 1; DFT bin = index mod n)
         idxs_x, wts_x = _tap_weights_np(np.mod(xp, 2 * np.pi), nf, w, beta)
-        self._idxs_x = tuple(idxs_x)
-        self._wts_x = tuple(wts_x)
+        self._idxs_x = tuple(jnp.asarray(i) for i in idxs_x)
+        self._wts_x = tuple(jnp.asarray(p) for p in wts_x)
         idxs_s, wts_s = [], []
         for ax in range(d):
             s1 = sp[:, ax]
@@ -673,10 +873,10 @@ class _NUFFT3(LinOp):
             phi = np.where(np.abs(zarg) <= 1.0,
                            np.exp(beta * (np.sqrt(np.clip(1 - zarg * zarg, 0, None)) - 1.0)),
                            0.0)
-            idxs_s.append(jnp.asarray(np.mod(idx, nf[ax]), jnp.int32))
-            wts_s.append(jnp.asarray(phi))
-        self._idxs_s = tuple(idxs_s)
-        self._wts_s = tuple(wts_s)
+            idxs_s.append(np.mod(idx, nf[ax]).astype(np.int32))
+            wts_s.append(phi)
+        self._idxs_s = tuple(jnp.asarray(i) for i in idxs_s)
+        self._wts_s = tuple(jnp.asarray(p) for p in wts_s)
 
         # spatial pre-deconvolution grid: depends only on (nf, w, beta) —
         # callers stacking many same-grid plans pass it in precomputed
@@ -699,12 +899,18 @@ class _NUFFT3(LinOp):
 
         self._x = jnp.asarray(x, jnp.float32)
         self._z = jnp.asarray(z, jnp.float32)
-        # 3-D MXU slab plans for both domains (None => scatter fallback)
+        # 2-D/3-D MXU slab plans for both domains (None => dense-mm2 /
+        # scatter fallback)
         self._mm3_x = self._mm3_s = None
+        s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64), nf[0])
         if d == 3 and mm3:
             self._mm3_x = _mm3_plan(np.mod(xp[:, 0], 2 * np.pi), nf, w)
-            s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64), nf[0])
             self._mm3_s = _mm3_plan_from_base(s_base, nf[0], w)
+        elif d == 2 and mm3:
+            self._mm3_x = _slab2_plan(
+                _slab_base_np(np.mod(xp[:, 0], 2 * np.pi), nf[0], w),
+                idxs_x, wts_x, nf[0])
+            self._mm3_s = _slab2_plan(s_base, idxs_s, wts_s, nf[0])
         super().__init__((M, 2), (K, 2))
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3[d={d}]"

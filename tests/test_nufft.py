@@ -182,3 +182,67 @@ class TestMM3SpreadInterp:
         assert _rel(a_mm, a_sc) < 1e-5
         fd = nudft3(c, x, z)
         assert _rel(view_as_complex(f_mm), fd) < 1e-4
+
+
+class TestSlab2Paths:
+    """2-D slab-binned MXU spreading (`_Slab2Plan`): batched-over-slabs
+    kernels must agree with the scatter and dense-mm2 paths and with the
+    direct NUDFT (the TPU fast path for type-1/2/3 in 2-D)."""
+
+    def test_type12_slab2_vs_scatter(self, monkeypatch):
+        from pyxu_tpu.operator.linop.nufft import _NUFFT12, _Slab2Plan
+        x = _pts(800, 2)
+        op = NUFFT.type1(x, (24, 20), eps=1e-6)
+        assert isinstance(op._mm3, _Slab2Plan)
+        c = rng0.standard_normal(800) + 1j * rng0.standard_normal(800)
+        cr = jnp.asarray(view_as_real(c.astype(np.complex64)))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
+        f_sc = np.asarray(op.apply(cr))
+        a_sc = np.asarray(op.adjoint(jnp.asarray(f_sc)))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        f_mm = np.asarray(op.apply(cr))
+        a_mm = np.asarray(op.adjoint(jnp.asarray(f_sc)))
+        assert _rel(f_mm, f_sc) < 1e-5
+        assert _rel(a_mm, a_sc) < 1e-5
+        fd = nudft1(c, x, (24, 20))
+        assert _rel(view_as_complex(f_mm), fd) < 1e-4
+
+    def test_type3_2d_slab2_vs_scatter(self, monkeypatch):
+        from pyxu_tpu.operator.linop.nufft import _Slab2Plan
+        x = _pts(600, 2)
+        z = rng0.uniform(-9, 9, (500, 2))
+        op = NUFFT.type3(x, z, eps=1e-6)
+        assert isinstance(op._mm3_x, _Slab2Plan)
+        assert isinstance(op._mm3_s, _Slab2Plan)
+        c = rng0.standard_normal(600) + 1j * rng0.standard_normal(600)
+        cr = jnp.asarray(view_as_real(c.astype(np.complex64)))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
+        f_sc = np.asarray(op.apply(cr))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        f_mm = np.asarray(op.apply(cr))
+        assert _rel(f_mm, f_sc) < 1e-5
+        fd = nudft3(c, x, z)
+        assert _rel(view_as_complex(f_mm), fd) < 1e-4
+
+    def test_slab2_adjoint_dot(self, monkeypatch):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        x = _pts(700, 2)
+        op = NUFFT.type1(x, (20, 16), eps=1e-6)
+        u = jnp.asarray(rng0.standard_normal((700, 2)), jnp.float32)
+        f = jnp.asarray(rng0.standard_normal((20, 16, 2)), jnp.float32)
+        d1 = float(jnp.vdot(op.apply(u), f))
+        d2 = float(jnp.vdot(u, op.adjoint(f)))
+        assert abs(d1 - d2) < 1e-4 * max(abs(d1), 1.0)
+
+    def test_slab2_clustered_fallback(self, monkeypatch):
+        # all points in one slab -> padding blowup -> plan refused ->
+        # dense-mm2 fallback still correct
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        x = np.mod(np.zeros((4000, 2)) + 0.01 * rng0.standard_normal((4000, 2)),
+                   2 * np.pi)
+        op = NUFFT.type1(x, (64, 16), eps=1e-6)
+        assert op._mm3 is None
+        c = rng0.standard_normal(4000) + 1j * rng0.standard_normal(4000)
+        cr = jnp.asarray(view_as_real(c.astype(np.complex64)))
+        fd = nudft1(c, x, (64, 16))
+        assert _rel(view_as_complex(np.asarray(op.apply(cr))), fd) < 1e-4
