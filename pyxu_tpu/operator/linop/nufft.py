@@ -18,8 +18,11 @@ Klinteberg, the FINUFFT paper):
 * kernel Fourier factors φ̂(k) by Gauss-Legendre quadrature (host-side,
   like FINUFFT's `onedim_fseries_kernel`).
 
-Gather/scatter are XLA ops today (a Pallas bin-sort spreader is the planned
-fast path); the FFT is the native XLA FFT.  Public API is real-valued with a
+Spreading/interpolation run as slab-binned batched MXU matmuls in 2-D/3-D
+(`_SlabPlan`: host-side bin-sort at plan time, zero runtime gathers — the
+TPU equivalent of FINUFFT's binned subgrid spreader), with dense one-hot
+matmuls (2-D) and XLA scatter/gather (1-D, CPU, clustered sets) as
+fallbacks; the FFT is the native XLA FFT.  Public API is real-valued with a
 trailing size-2 axis (see pyxu_tpu.utils.complex), like the reference's
 view_as_real convention.
 """
@@ -104,12 +107,10 @@ def _interp(g, idxs, wts, mm3_plan=None):
     Returns (M,) complex."""
     d = len(idxs)
     M, w = idxs[0].shape
+    if d in (2, 3) and mm3_plan is not None and _use_mm():
+        return _interp_slab(g, idxs, wts, mm3_plan)
     if d == 2 and _use_mm():
-        if mm3_plan is not None:
-            return _interp_slab2(g, idxs, wts, mm3_plan)
         return _interp_mm2(g, idxs, wts)
-    if d == 3 and mm3_plan is not None and _use_mm():
-        return _interp_mm3(g, idxs, wts, mm3_plan)
     wts = [w_.astype(g.real.dtype) for w_ in wts]  # keep caller's precision
     if d == 1:
         vals = g[idxs[0]]                        # (M, w)
@@ -219,43 +220,7 @@ def _interp_mm2(g, idxs, wts):
     return outs.reshape(-1)[:M]
 
 
-# ------------------------------------------------ 3-D slab MM spreading ----
-
-_MM3_CHUNK = 512  # inner point-chunk: A-matrix is (_MM3_CHUNK, 2w*n2) — VMEM-friendly
-
-
-class _Mm3Plan:
-    """Host-built slab partition for 3-D MXU spreading.
-
-    Points are binned by their axis-0 fine-grid base cell into slabs of
-    thickness T = w.  A slab's points touch only rows [start, start+2w) of an
-    unwrapped extended grid, so per-slab spreading is a dense
-    (points x (2w*n2)) x (points x n3) matmul pair — the MXU replacement for
-    scatter-add, with FLOPs 2*M*2w*n2*n3 instead of the naive one-hot
-    formulation's 2*M*n1*n2*n3 (cf. FINUFFT's binned subgrid spreader,
-    reference nufft.py:275-277).
-
-    Pytree: (perm, starts, base) are traced leaves; (T, n1ext) static aux.
-    """
-
-    def __init__(self, perm, starts, base, invperm, T: int, n1ext: int,
-                 chunk: int = _MM3_CHUNK):
-        self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
-        self.starts = starts    # (S,) int32 slab row offsets (p*T)
-        self.base = base        # (M,) int32 unwrapped axis-0 base cell
-        self.invperm = invperm  # (M,) int32: j's position in perm.ravel()
-        self.T = int(T)
-        self.n1ext = int(n1ext)
-        self.chunk = int(chunk)  # Mp is a multiple of this
-
-
-jax.tree_util.register_pytree_node(
-    _Mm3Plan,
-    lambda p: ((p.perm, p.starts, p.base, p.invperm),
-               (p.T, p.n1ext, p.chunk)),
-    lambda aux, ch: _Mm3Plan(*ch, *aux),
-)
-
+# -------------------------------------------- slab partition (host) -------
 
 def _slab_partition_np(base, n1: int, w: int, chunk: int,
                        max_blowup: float = 3.0):
@@ -266,7 +231,7 @@ def _slab_partition_np(base, n1: int, w: int, chunk: int,
     caller sets the break-even vs ITS fallback: scatter for 3-D, dense
     mm2 for 2-D — the latter tolerates much larger padding since its
     FLOPs are n1/2w higher per point).  Dimension-agnostic: drives both
-    the 3-D (`_Mm3Plan`) and 2-D (`_Slab2Plan`) slab kernels."""
+    the 2-D and 3-D `_SlabPlan` kernels."""
     M = base.shape[0]
     T = w
     S = -(-n1 // T)
@@ -300,133 +265,19 @@ def _slab_partition_np(base, n1: int, w: int, chunk: int,
     return perm, starts, inv, T, S * T + w, chunk
 
 
-def _mm3_plan_from_base(base, n1: int, w: int, chunk: int = _MM3_CHUNK):
-    """3-D slab plan (see `_slab_partition_np`); None => scatter fallback."""
-    part = _slab_partition_np(base, n1, w, chunk)
-    if part is None:
-        return None
-    perm, starts, inv, T, n1ext, chunk = part
-    return _Mm3Plan(jnp.asarray(perm), jnp.asarray(starts),
-                    jnp.asarray(base, jnp.int32),
-                    jnp.asarray(inv, jnp.int32), T, n1ext, chunk)
-
-
-def _mm3_plan(x0, n_fs, w: int, chunk: int = _MM3_CHUNK):
-    """Slab plan for angle-domain points ``x0`` (M,) float64 in [0, 2pi)."""
-    n1 = n_fs[0]
-    h = 2 * np.pi / n1
-    i0 = np.ceil(np.asarray(x0, np.float64) / h - w / 2.0).astype(np.int64)
-    return _mm3_plan_from_base(np.mod(i0, n1), n1, w, chunk=chunk)
-
-
 def _pad_pt(a, fill=0):
     """Append one dummy point row (id M) used by plan padding."""
     pad = [(0, 1)] + [(0, 0)] * (a.ndim - 1)
     return jnp.pad(a, pad, constant_values=fill)
 
 
-def _spread_mm3(c, idxs, wts, n_fs, plan):
-    n1, n2, n3 = n_fs
-    T, w, CH = plan.T, idxs[0].shape[1], plan.chunk
-    win = T + w
-    dtype = c.real.dtype
-    cc = _pad_pt(c)
-    b = _pad_pt(plan.base)
-    w0 = _pad_pt(wts[0]).astype(dtype)
-    i1, w1 = _pad_pt(idxs[1]), _pad_pt(wts[1]).astype(dtype)
-    i2, w2 = _pad_pt(idxs[2]), _pad_pt(wts[2]).astype(dtype)
-    S, Mp = plan.perm.shape
-    taps = jnp.arange(w, dtype=plan.base.dtype)
+# -------------------------------------------- slab MM spreading (2/3-D) ----
 
-    def slab(g_ext, args):
-        pidx, start = args                      # (Mp,), ()
-        acc_re = jnp.zeros((win * n2, n3), dtype)
-        acc_im = jnp.zeros((win * n2, n3), dtype)
-
-        def chunk(q, acc):
-            acc_re, acc_im = acc
-            sl = jax.lax.dynamic_slice_in_dim(pidx, q * CH, CH)
-            l = (b[sl][:, None] + taps[None, :] - start)       # (MC, w) local rows
-            U0 = _onehot_w(l, w0[sl], win, dtype)              # (MC, win)
-            U1 = _onehot_w(i1[sl], w1[sl], n2, dtype)          # (MC, n2)
-            U2 = _onehot_w(i2[sl], w2[sl], n3, dtype)          # (MC, n3)
-            A = (U0[:, :, None] * U1[:, None, :]).reshape(CH, win * n2)
-            cr, ci = cc.real[sl], cc.imag[sl]
-            acc_re = acc_re + jax.lax.dot_general(
-                A * cr[:, None], U2, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
-            acc_im = acc_im + jax.lax.dot_general(
-                A * ci[:, None], U2, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
-            return acc_re, acc_im
-
-        acc_re, acc_im = jax.lax.fori_loop(0, Mp // CH, chunk,
-                                           (acc_re, acc_im))
-        g_slab = (acc_re + 1j * acc_im).reshape(win, n2, n3).astype(g_ext.dtype)
-        z = jnp.zeros((), start.dtype)
-        cur = jax.lax.dynamic_slice(g_ext, (start, z, z), (win, n2, n3))
-        return jax.lax.dynamic_update_slice(g_ext, cur + g_slab,
-                                            (start, z, z)), None
-
-    g_ext = jnp.zeros((plan.n1ext, n2, n3), c.dtype)
-    g_ext, _ = jax.lax.scan(slab, g_ext, (plan.perm, plan.starts))
-    g = g_ext[:n1]
-    wrap = plan.n1ext - n1
-    return g.at[:wrap].add(g_ext[n1:])
+_SLAB_CHUNK = 512  # per-step batched tap matrix is (S, CHUNK, n2)
 
 
-def _interp_mm3(g, idxs, wts, plan):
-    n1, n2, n3 = g.shape
-    T, w, CH = plan.T, idxs[0].shape[1], plan.chunk
-    win = T + w
-    dtype = g.real.dtype
-    wrap = plan.n1ext - n1
-    g_ext = jnp.concatenate([g, g[:wrap]], axis=0)
-    b = _pad_pt(plan.base)
-    w0 = _pad_pt(wts[0]).astype(dtype)
-    i1, w1 = _pad_pt(idxs[1]), _pad_pt(wts[1]).astype(dtype)
-    i2, w2 = _pad_pt(idxs[2]), _pad_pt(wts[2]).astype(dtype)
-    S, Mp = plan.perm.shape
-    taps = jnp.arange(w, dtype=plan.base.dtype)
-    M = idxs[0].shape[0]
-
-    def slab(_, args):
-        pidx, start = args
-        z = jnp.zeros((), start.dtype)
-        g_slab = jax.lax.dynamic_slice(g_ext, (start, z, z), (win, n2, n3))
-        GR = g_slab.real.reshape(win * n2, n3)
-        GI = g_slab.imag.reshape(win * n2, n3)
-
-        def chunk(q, outs):
-            sl = jax.lax.dynamic_slice_in_dim(pidx, q * CH, CH)
-            l = (b[sl][:, None] + taps[None, :] - start)
-            U0 = _onehot_w(l, w0[sl], win, dtype)
-            U1 = _onehot_w(i1[sl], w1[sl], n2, dtype)
-            U2 = _onehot_w(i2[sl], w2[sl], n3, dtype)
-            A = (U0[:, :, None] * U1[:, None, :]).reshape(CH, win * n2)
-            TR = jax.lax.dot_general(A, GR, (((1,), (0,)), ((), ())),
-                                     precision=jax.lax.Precision.HIGHEST)
-            TI = jax.lax.dot_general(A, GI, (((1,), (0,)), ((), ())),
-                                     precision=jax.lax.Precision.HIGHEST)
-            v = jnp.sum(TR * U2, axis=1) + 1j * jnp.sum(TI * U2, axis=1)
-            return jax.lax.dynamic_update_slice_in_dim(outs, v, q * CH, 0)
-
-        return None, jax.lax.fori_loop(
-            0, Mp // CH, chunk, jnp.zeros((Mp,), g.dtype))
-
-    _, outs = jax.lax.scan(slab, None, (plan.perm, plan.starts))
-    # slab layout -> original point order: gather via the plan's inverse
-    # permutation (a scatter here costs ~4x on TPU)
-    return outs.ravel()[plan.invperm]
-
-
-# ------------------------------------------------ 2-D slab MM spreading ----
-
-_SLAB2_CHUNK = 512  # per-step batched tap matrix is (S, CHUNK, n2)
-
-
-class _Slab2Plan:
-    """Host-built slab partition for 2-D MXU spreading, with taps
+class _SlabPlan:
+    """Host-built slab partition for 2-D/3-D MXU spreading, with taps
     **pre-permuted into slab order at plan time** so the kernels run zero
     runtime gathers (TPU gathers are slow — the reason the mm paths exist).
 
@@ -435,17 +286,24 @@ class _Slab2Plan:
     and the whole spread is ONE batched matmul per point-chunk over the
     slab axis — no scan over slabs, no per-slab dynamic slices.  With
     T == w the overlap-add of slab windows is two reshapes + a pad-sum.
+    In 3-D the per-point tap outer product U0xU1 is flattened to a
+    (win*n2)-wide left operand and the matmul contracts against the axis-2
+    taps (cf. FINUFFT's binned subgrid spreader, reference
+    nufft.py:275-277).
 
-    Pytree: (perm, l0, w0, i1, w1, invperm) leaves; (T, n1ext, chunk) aux.
+    Pytree: (perm, l0, w0, i1, w1, i2, w2) leaves ((i2, w2) = None in 2-D);
+    (T, n1ext, chunk) static aux.
     """
 
-    def __init__(self, perm, l0, w0, i1, w1, invperm, T: int, n1ext: int,
-                 chunk: int = _SLAB2_CHUNK):
+    def __init__(self, perm, l0, w0, i1, w1, i2, w2, invperm, T: int,
+                 n1ext: int, chunk: int = _SLAB_CHUNK):
         self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
         self.l0 = l0            # (S, Mp, w) int32 window-local rows
         self.w0 = w0            # (S, Mp, w) axis-0 tap weights (0 on pads)
         self.i1 = i1            # (S, Mp, w) int32 axis-1 tap columns
         self.w1 = w1            # (S, Mp, w) axis-1 tap weights (0 on pads)
+        self.i2 = i2            # (S, Mp, w) int32 axis-2 taps, or None (2-D)
+        self.w2 = w2            # (S, Mp, w) axis-2 weights, or None (2-D)
         self.invperm = invperm  # (M,) int32: j's position in perm.ravel()
         self.T = int(T)
         self.n1ext = int(n1ext)
@@ -453,10 +311,10 @@ class _Slab2Plan:
 
 
 jax.tree_util.register_pytree_node(
-    _Slab2Plan,
-    lambda p: ((p.perm, p.l0, p.w0, p.i1, p.w1, p.invperm),
+    _SlabPlan,
+    lambda p: ((p.perm, p.l0, p.w0, p.i1, p.w1, p.i2, p.w2, p.invperm),
                (p.T, p.n1ext, p.chunk)),
-    lambda aux, ch: _Slab2Plan(*ch, *aux),
+    lambda aux, ch: _SlabPlan(*ch, *aux),
 )
 
 
@@ -467,18 +325,25 @@ def _slab_base_np(x0, n1: int, w: int):
     return np.mod(i0, n1)
 
 
-def _slab2_plan(base, idxs, wts, n1: int, chunk: int = _SLAB2_CHUNK):
-    """Build a `_Slab2Plan` from numpy base cells + numpy tap arrays.
-    Returns None when slab occupancy is too unbalanced (fallback: dense
-    mm2 path)."""
+def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK):
+    """Build a `_SlabPlan` from numpy base cells + numpy tap arrays
+    (d = len(idxs) in {2, 3}).  Returns None when slab occupancy is too
+    unbalanced for the padded layout to beat the fallback (dense mm2 in
+    2-D, scatter in 3-D)."""
     M = base.shape[0]
+    d = len(idxs)
     w = idxs[0].shape[1]
-    # acceptance threshold vs the dense-mm2 fallback, anchored on v5e
-    # measurements (BASELINE.md): at n1=512/w=7 slab2 wins at <=2.8x
-    # padding blowup (Gaussian uv) and loses at >=4x (radial CT spokes);
-    # mm2 cost scales with n1, so the break-even blowup scales with it too
-    part = _slab_partition_np(base, n1, w, chunk,
-                              max_blowup=max(3.0, n1 / (20.0 * w)))
+    if d == 2:
+        # acceptance threshold vs the dense-mm2 fallback, anchored on v5e
+        # measurements (BASELINE.md): at n1=512/w=7 slab wins at <=2.8x
+        # padding blowup (Gaussian uv) and loses at >=4x (radial CT
+        # spokes); mm2 cost scales with n1, so break-even scales with it
+        max_blowup = max(3.0, n1 / (20.0 * w))
+    else:
+        # 3-D fallback is the (~100x slower) scatter path, but padding
+        # inflates FLOPs and plan memory linearly — stay moderate
+        max_blowup = 4.0
+    part = _slab_partition_np(base, n1, w, chunk, max_blowup=max_blowup)
     if part is None:
         return None
     perm, starts, inv, T, n1ext, chunk = part
@@ -492,9 +357,13 @@ def _slab2_plan(base, idxs, wts, n1: int, chunk: int = _SLAB2_CHUNK):
     w0 = padrow(wts[0], 0.0)[perm]
     i1 = padrow(idxs[1], 0)[perm]
     w1 = padrow(wts[1], 0.0)[perm]
-    return _Slab2Plan(jnp.asarray(perm), jnp.asarray(l0), jnp.asarray(w0),
-                      jnp.asarray(i1), jnp.asarray(w1),
-                      jnp.asarray(inv, jnp.int32), T, n1ext, chunk)
+    i2 = w2 = None
+    if d == 3:
+        i2 = jnp.asarray(padrow(idxs[2], 0)[perm])
+        w2 = jnp.asarray(padrow(wts[2], 0.0)[perm])
+    return _SlabPlan(jnp.asarray(perm), jnp.asarray(l0), jnp.asarray(w0),
+                     jnp.asarray(i1), jnp.asarray(w1), i2, w2,
+                     jnp.asarray(inv, jnp.int32), T, n1ext, chunk)
 
 
 def _onehot_w_b(idx, wt, n, dtype):
@@ -509,15 +378,15 @@ def _onehot_w_b(idx, wt, n, dtype):
     return U
 
 
-def _spread_slab2(c, idxs, wts, n_fs, plan):
-    r"""2-D slab-binned MXU spreading: batched over the slab axis.
+def _spread_slab(c, idxs, wts, n_fs, plan):
+    r"""Slab-binned MXU spreading (2-D/3-D), batched over the slab axis.
 
-    FLOPs 2.M.2w.n2 (vs the dense one-hot formulation's 2.M.n1.n2 in
-    `_spread_mm2` — an n1/2w reduction); the remaining cost is the HBM
-    round-trip of the (S, CH, n2) tap matrices, so throughput is
-    bandwidth-bound, not MXU-bound (cf. FINUFFT's binned subgrid
-    spreader, reference nufft.py:275-277)."""
-    n1, n2 = n_fs
+    FLOPs 2.M.2w.(n2[.n3]) vs the dense one-hot formulation's
+    2.M.n1.n2 — an n1/2w reduction in 2-D; in 3-D it replaces the
+    scatter-add entirely.  The remaining cost is the HBM round-trip of
+    the (S, CH, n) tap matrices (bandwidth-bound, not MXU-bound)."""
+    n1, n2 = n_fs[0], n_fs[1]
+    n3 = n_fs[2] if len(n_fs) == 3 else None
     S, Mp = plan.perm.shape
     T, CH = plan.T, plan.chunk
     win = 2 * T
@@ -531,51 +400,70 @@ def _spread_slab2(c, idxs, wts, n_fs, plan):
         U0 = _onehot_w_b(sl(plan.l0), sl(plan.w0), win, dtype)  # (S,CH,win)
         U1 = _onehot_w_b(sl(plan.i1), sl(plan.w1), n2, dtype)   # (S,CH,n2)
         cq = sl(cp)
+        if n3 is None:
+            A, B = U0, U1
+        else:
+            A = (U0[..., :, None] * U1[..., None, :]).reshape(S, CH, win * n2)
+            B = _onehot_w_b(sl(plan.i2), sl(plan.w2), n3, dtype)
         acc_re = acc_re + jax.lax.dot_general(
-            U0 * cq.real[..., None], U1, dims,
+            A * cq.real[..., None], B, dims,
             precision=jax.lax.Precision.HIGHEST)
         acc_im = acc_im + jax.lax.dot_general(
-            U0 * cq.imag[..., None], U1, dims,
+            A * cq.imag[..., None], B, dims,
             precision=jax.lax.Precision.HIGHEST)
         return acc_re, acc_im
 
-    z = jnp.zeros((S, win, n2), dtype)
+    out_shape = (S, win, n2) if n3 is None else (S, win * n2, n3)
+    z = jnp.zeros(out_shape, dtype)
     acc_re, acc_im = jax.lax.fori_loop(0, Mp // CH, chunk, (z, z))
-    R = acc_re + 1j * acc_im                    # (S, 2T, n2) slab windows
+    R = acc_re + 1j * acc_im
+    tail_shape = (S, win, n2) if n3 is None else (S, win, n2, n3)
+    R = R.reshape(tail_shape)                   # slab windows
+    rest = tail_shape[2:]
     # overlap-add: window p covers rows [p*T, p*T + 2T) and T == w, so the
     # second halves land exactly on the next slab's first halves
-    head = R[:, :T].reshape(S * T, n2)
-    tail = R[:, T:].reshape(S * T, n2)
-    g_ext = (jnp.pad(head, ((0, T), (0, 0)))
-             + jnp.pad(tail, ((T, 0), (0, 0))))  # ((S+1)T = n1ext, n2)
+    head = R[:, :T].reshape((S * T,) + rest)
+    tail = R[:, T:].reshape((S * T,) + rest)
+    padw = ((0, T),) + ((0, 0),) * len(rest)
+    padw2 = ((T, 0),) + ((0, 0),) * len(rest)
+    g_ext = jnp.pad(head, padw) + jnp.pad(tail, padw2)  # (n1ext, ...)
     g = g_ext[:n1]
     wrap = plan.n1ext - n1
     return g.at[:wrap].add(g_ext[n1:])
 
 
-def _interp_slab2(g, idxs, wts, plan):
-    r"""2-D slab-binned MXU interpolation (transpose of `_spread_slab2`)."""
-    n1, n2 = g.shape
+def _interp_slab(g, idxs, wts, plan):
+    r"""Slab-binned MXU interpolation (transpose of `_spread_slab`)."""
+    n1, n2 = g.shape[0], g.shape[1]
+    n3 = g.shape[2] if g.ndim == 3 else None
     S, Mp = plan.perm.shape
     T, CH = plan.T, plan.chunk
     win = 2 * T
     dtype = g.real.dtype
     wrap = plan.n1ext - n1
-    g_ext = jnp.concatenate([g, g[:wrap]], axis=0)       # ((S+1)T, n2)
-    Gw = jnp.concatenate([g_ext[:S * T].reshape(S, T, n2),
-                          g_ext[T:].reshape(S, T, n2)], axis=1)
-    GR, GI = Gw.real, Gw.imag                            # (S, win, n2)
-    dims = (((2,), (1,)), ((0,), (0,)))                  # contract win, batch S
+    g_ext = jnp.concatenate([g, g[:wrap]], axis=0)       # (n1ext, ...)
+    rest = g.shape[1:]
+    Gw = jnp.concatenate([g_ext[:S * T].reshape((S, T) + rest),
+                          g_ext[T:].reshape((S, T) + rest)], axis=1)
+    if n3 is not None:
+        Gw = Gw.reshape(S, win * n2, n3)
+    GR, GI = Gw.real, Gw.imag                            # (S, win[*n2], n_last)
+    dims = (((2,), (1,)), ((0,), (0,)))                  # contract lhs-cols
 
     def chunk(q, outs):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, q * CH, CH, axis=1)
         U0 = _onehot_w_b(sl(plan.l0), sl(plan.w0), win, dtype)
         U1 = _onehot_w_b(sl(plan.i1), sl(plan.w1), n2, dtype)
-        TR = jax.lax.dot_general(U0, GR, dims,
+        if n3 is None:
+            A, B = U0, U1
+        else:
+            A = (U0[..., :, None] * U1[..., None, :]).reshape(S, CH, win * n2)
+            B = _onehot_w_b(sl(plan.i2), sl(plan.w2), n3, dtype)
+        TR = jax.lax.dot_general(A, GR, dims,
                                  precision=jax.lax.Precision.HIGHEST)
-        TI = jax.lax.dot_general(U0, GI, dims,
+        TI = jax.lax.dot_general(A, GI, dims,
                                  precision=jax.lax.Precision.HIGHEST)
-        v = jnp.sum(TR * U1, axis=2) + 1j * jnp.sum(TI * U1, axis=2)
+        v = jnp.sum(TR * B, axis=2) + 1j * jnp.sum(TI * B, axis=2)
         return jax.lax.dynamic_update_slice_in_dim(outs, v, q * CH, axis=1)
 
     outs = jax.lax.fori_loop(0, Mp // CH, chunk,
@@ -586,12 +474,10 @@ def _interp_slab2(g, idxs, wts, plan):
 def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     """Scatter-add point strengths c (M,) complex onto the fine grid."""
     d = len(idxs)
+    if d in (2, 3) and mm3_plan is not None and _use_mm():
+        return _spread_slab(c, idxs, wts, n_fs, mm3_plan)
     if d == 2 and _use_mm():
-        if mm3_plan is not None:
-            return _spread_slab2(c, idxs, wts, n_fs, mm3_plan)
         return _spread_mm2(c, idxs, wts, n_fs)
-    if d == 3 and mm3_plan is not None and _use_mm():
-        return _spread_mm3(c, idxs, wts, n_fs, mm3_plan)
     wts = [w_.astype(c.real.dtype) for w_ in wts]  # keep caller's precision
     g = jnp.zeros(tuple(n_fs), dtype=c.dtype)
     if d == 1:
@@ -656,10 +542,8 @@ class _NUFFT12(LinOp):
         # 2-D/3-D MXU spreading: host-side slab plan (None => dense-mm2 /
         # scatter fallback)
         self._mm3 = None
-        if d == 3:
-            self._mm3 = _mm3_plan(xh[:, 0], self._nf, w)
-        elif d == 2:
-            self._mm3 = _slab2_plan(
+        if d in (2, 3):
+            self._mm3 = _slab_plan(
                 _slab_base_np(xh[:, 0], self._nf[0], w), idxs, wts,
                 self._nf[0])
         dim = (M,) if real_in else (M, 2)
@@ -903,14 +787,11 @@ class _NUFFT3(LinOp):
         # scatter fallback)
         self._mm3_x = self._mm3_s = None
         s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64), nf[0])
-        if d == 3 and mm3:
-            self._mm3_x = _mm3_plan(np.mod(xp[:, 0], 2 * np.pi), nf, w)
-            self._mm3_s = _mm3_plan_from_base(s_base, nf[0], w)
-        elif d == 2 and mm3:
-            self._mm3_x = _slab2_plan(
+        if d in (2, 3) and mm3:
+            self._mm3_x = _slab_plan(
                 _slab_base_np(np.mod(xp[:, 0], 2 * np.pi), nf[0], w),
                 idxs_x, wts_x, nf[0])
-            self._mm3_s = _slab2_plan(s_base, idxs_s, wts_s, nf[0])
+            self._mm3_s = _slab_plan(s_base, idxs_s, wts_s, nf[0])
         super().__init__((M, 2), (K, 2))
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3[d={d}]"

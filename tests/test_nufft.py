@@ -185,15 +185,15 @@ class TestMM3SpreadInterp:
 
 
 class TestSlab2Paths:
-    """2-D slab-binned MXU spreading (`_Slab2Plan`): batched-over-slabs
+    """Slab-binned MXU spreading (`_SlabPlan`): batched-over-slabs
     kernels must agree with the scatter and dense-mm2 paths and with the
     direct NUDFT (the TPU fast path for type-1/2/3 in 2-D)."""
 
     def test_type12_slab2_vs_scatter(self, monkeypatch):
-        from pyxu_tpu.operator.linop.nufft import _NUFFT12, _Slab2Plan
+        from pyxu_tpu.operator.linop.nufft import _NUFFT12, _SlabPlan
         x = _pts(800, 2)
         op = NUFFT.type1(x, (24, 20), eps=1e-6)
-        assert isinstance(op._mm3, _Slab2Plan)
+        assert isinstance(op._mm3, _SlabPlan)
         c = rng0.standard_normal(800) + 1j * rng0.standard_normal(800)
         cr = jnp.asarray(view_as_real(c.astype(np.complex64)))
         monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
@@ -208,12 +208,12 @@ class TestSlab2Paths:
         assert _rel(view_as_complex(f_mm), fd) < 1e-4
 
     def test_type3_2d_slab2_vs_scatter(self, monkeypatch):
-        from pyxu_tpu.operator.linop.nufft import _Slab2Plan
+        from pyxu_tpu.operator.linop.nufft import _SlabPlan
         x = _pts(600, 2)
         z = rng0.uniform(-9, 9, (500, 2))
         op = NUFFT.type3(x, z, eps=1e-6)
-        assert isinstance(op._mm3_x, _Slab2Plan)
-        assert isinstance(op._mm3_s, _Slab2Plan)
+        assert isinstance(op._mm3_x, _SlabPlan)
+        assert isinstance(op._mm3_s, _SlabPlan)
         c = rng0.standard_normal(600) + 1j * rng0.standard_normal(600)
         cr = jnp.asarray(view_as_real(c.astype(np.complex64)))
         monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
