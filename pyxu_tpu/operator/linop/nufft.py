@@ -44,11 +44,20 @@ __all__ = ["NUFFT", "nudft1", "nudft2", "nudft3"]
 
 # ----------------------------------------------------------- ES kernel -----
 
-def _es_params(eps: float):
+def _es_params(eps: float, upsampfac: float = 2.0):
     """Kernel width + shape from target accuracy (reference nufft.py:45-83
-    / FINUFFT defaults, sigma = 2)."""
-    w = max(2, min(16, int(_math.ceil(_math.log10(1.0 / eps))) + 1))
-    beta = 2.30 * w
+    / FINUFFT defaults).  ``upsampfac`` is FINUFFT's fine-grid
+    oversampling sigma: 2.0 (default, narrow kernel) or 1.25 (4x/d smaller
+    fine grid, wider kernel — pays off when the FFT dominates, e.g. 3-D).
+    Width from the ES-kernel rate eps ~ exp(-pi w sqrt(1 - 1/sigma)),
+    beta = 0.976 pi w (1 - 1/(2 sigma)) (FINUFFT setup_spreader)."""
+    if abs(upsampfac - 2.0) < 1e-12:
+        w = int(_math.ceil(_math.log10(1.0 / eps))) + 1
+    else:
+        rate = _math.pi * _math.sqrt(1.0 - 1.0 / upsampfac)
+        w = int(_math.ceil(_math.log(1.0 / eps) / rate)) + 1
+    w = max(2, min(16, w))
+    beta = 0.976 * _math.pi * w * (1.0 - 1.0 / (2.0 * upsampfac))
     return w, beta
 
 
@@ -510,7 +519,7 @@ class _NUFFT12(LinOp):
     _data_fields = ("_x", "_phihat", "_idxs", "_wts", "_mm3")
 
     def __init__(self, x, N, isign: int = +1, eps: float = 1e-6,
-                 real_in: bool = False):
+                 real_in: bool = False, upsampfac: float = 2.0):
         # plan geometry is host-side numpy end-to-end (no eager device RPCs)
         x = np.asarray(jax.device_get(x), np.float64)
         if x.ndim == 1:
@@ -518,12 +527,25 @@ class _NUFFT12(LinOp):
         M, d = x.shape
         N = (N,) * d if isinstance(N, int) else tuple(N)
         assert len(N) == d <= 3
-        w, beta = _es_params(eps)
+        assert 1.1 <= upsampfac <= 4.0, upsampfac
+        if upsampfac < 1.9:
+            # low-oversampling deconvolution amplifies roundoff: the edge
+            # modes divide by a tiny phihat, flooring accuracy near 1e-5 in
+            # float32 (measured; FINUFFT's single-precision 1.25 has the
+            # same limit) — refuse tolerances the plan cannot deliver
+            eps_floor = 1e-9 if jax.config.jax_enable_x64 else 5e-5
+            if eps < eps_floor:
+                raise ValueError(
+                    f"upsampfac={upsampfac} cannot reach eps={eps:g} at "
+                    f"this precision (floor {eps_floor:g}); use "
+                    f"upsampfac=2.0 or enable x64")
+        w, beta = _es_params(eps, upsampfac)
         self._M, self._d, self._N = M, d, N
         self._isign = int(np.sign(isign)) or 1
         self._w, self._beta, self._eps = w, beta, float(eps)
         self._real_in = bool(real_in)
-        self._nf = tuple(max(next_fast_len(int(2 * n)), 2 * w + 1) for n in N)
+        self._nf = tuple(max(next_fast_len(int(np.ceil(upsampfac * n))),
+                             2 * w + 1) for n in N)
         # fold points into [0, 2pi) — host-side (plan must not touch device)
         xh = np.mod(x, 2 * np.pi)
         self._x = jnp.asarray(xh, jnp.float32)
@@ -643,8 +665,10 @@ class _NUFFT2(LinOp):
 
     _data_fields = ("_t1op",)
 
-    def __init__(self, x, N, isign: int = -1, eps: float = 1e-6):
-        self._t1op = _NUFFT12(x, N, isign=-isign, eps=eps)
+    def __init__(self, x, N, isign: int = -1, eps: float = 1e-6,
+                 upsampfac: float = 2.0):
+        self._t1op = _NUFFT12(x, N, isign=-isign, eps=eps,
+                              upsampfac=upsampfac)
         N_ = self._t1op._N
         super().__init__(N_ + (2,), (self._t1op._M, 2))
         self._lipschitz = self._t1op._lipschitz
@@ -1066,12 +1090,18 @@ class NUFFT:
     """Factory namespace mirroring the reference (nufft.py:337-663)."""
 
     @staticmethod
-    def type1(x, N, isign: int = +1, eps: float = 1e-6, real: bool = False):
-        return _NUFFT12(x, N, isign=isign, eps=eps, real_in=real)
+    def type1(x, N, isign: int = +1, eps: float = 1e-6, real: bool = False,
+              upsampfac: float = 2.0):
+        """upsampfac: FINUFFT's fine-grid oversampling sigma — 2.0
+        (default) or 1.25 (4x/d smaller FFT, wider kernel; wins when the
+        FFT dominates, e.g. 3-D transforms)."""
+        return _NUFFT12(x, N, isign=isign, eps=eps, real_in=real,
+                        upsampfac=upsampfac)
 
     @staticmethod
-    def type2(x, N, isign: int = -1, eps: float = 1e-6):
-        return _NUFFT2(x, N, isign=isign, eps=eps)
+    def type2(x, N, isign: int = -1, eps: float = 1e-6,
+              upsampfac: float = 2.0):
+        return _NUFFT2(x, N, isign=isign, eps=eps, upsampfac=upsampfac)
 
     @staticmethod
     def type3(x, z, isign: int = +1, eps: float = 1e-6, chunked: bool = False,

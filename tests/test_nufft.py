@@ -246,3 +246,45 @@ class TestSlab2Paths:
         cr = jnp.asarray(view_as_real(c.astype(np.complex64)))
         fd = nudft1(c, x, (64, 16))
         assert _rel(view_as_complex(np.asarray(op.apply(cr))), fd) < 1e-4
+
+
+class TestUpsampfac:
+    """FINUFFT-style low-oversampling option (sigma=1.25: ~4x/d smaller
+    fine grid, wider kernel — reference exposes FINUFFT's upsampfac)."""
+
+    @pytest.mark.parametrize("d,N", [(1, (40,)), (2, (30, 24)), (3, (12, 10, 8))])
+    def test_sigma125_accuracy(self, d, N):
+        x = _pts(600, d)
+        c = rng0.standard_normal(600) + 1j * rng0.standard_normal(600)
+        a = jnp.asarray(view_as_real(c.astype(np.complex64)))
+        op = NUFFT.type1(x, N, eps=1e-4, upsampfac=1.25)
+        assert all(nf < 2 * n for nf, n in zip(op._nf, N) if 2 * op._w + 1 < 2 * n)
+        got = view_as_complex(np.asarray(op.apply(a)))
+        fd = nudft1(c, x, N)
+        assert _rel(got, fd) < 5e-4
+
+    def test_sigma125_adjoint_consistent(self):
+        x = _pts(500, 2)
+        op = NUFFT.type1(x, (24, 20), eps=1e-4, upsampfac=1.25)
+        u = jnp.asarray(rng0.standard_normal((500, 2)), jnp.float32)
+        f = jnp.asarray(rng0.standard_normal((24, 20, 2)), jnp.float32)
+        d1 = float(jnp.vdot(op.apply(u), f))
+        d2 = float(jnp.vdot(u, op.adjoint(f)))
+        assert abs(d1 - d2) < 1e-4 * max(abs(d1), 1.0)
+
+    def test_sigma125_refuses_unreachable_eps(self):
+        x = _pts(100, 2)
+        import jax as _jax
+        if not _jax.config.jax_enable_x64:
+            with pytest.raises(ValueError, match="cannot reach"):
+                NUFFT.type1(x, (16, 16), eps=1e-7, upsampfac=1.25)
+
+    def test_type2_sigma125(self):
+        x = _pts(400, 2)
+        op = NUFFT.type2(x, (20, 18), eps=1e-4, upsampfac=1.25)
+        f = rng0.standard_normal(18 * 20) + 1j * rng0.standard_normal(18 * 20)
+        f = f.reshape(20, 18)
+        got = view_as_complex(np.asarray(op.apply(
+            jnp.asarray(view_as_real(f.astype(np.complex64))))))
+        fd = nudft2(f, x, (20, 18))
+        assert _rel(got, fd) < 5e-4
