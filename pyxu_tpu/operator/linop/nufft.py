@@ -115,9 +115,8 @@ def _interp(g, idxs, wts, mm3_plan=None):
     """Gather from fine grid g (complex, shape n_fs) at tap products.
     Returns (M,) complex."""
     d = len(idxs)
-    M, w = idxs[0].shape
     if d in (2, 3) and mm3_plan is not None and _use_mm():
-        return _interp_slab(g, idxs, wts, mm3_plan)
+        return _interp_slab(g, mm3_plan)
     if d == 2 and _use_mm():
         return _interp_mm2(g, idxs, wts)
     wts = [w_.astype(g.real.dtype) for w_ in wts]  # keep caller's precision
@@ -151,6 +150,23 @@ def _use_mm() -> bool:
 
 
 _MM_CHUNK = 16384
+
+
+def _match_vma(init, ref):
+    """Mark a scan/fori carry init as varying over the same shard_map manual
+    axes as `ref` — inside shard_map, loop carries must type-match body
+    outputs that mix in device-varying data (scan-vma rule).  No-op outside
+    shard_map or on older jax."""
+    try:
+        vma = jax.typeof(ref).vma
+        if vma and hasattr(jax.lax, "pcast"):
+            return jax.tree_util.tree_map(
+                lambda t: jax.lax.pcast(t, tuple(vma), to="varying"), init)
+    except Exception:
+        pass
+    return init
+
+
 
 
 def _onehot_w(idx, wt, n, dtype):
@@ -195,8 +211,9 @@ def _spread_mm2(c, idxs, wts, n_fs):
 
     args = tuple(a.reshape((n_chunks, _MM_CHUNK) + a.shape[1:])
                  for a in (cp, i0, i1, w0, w1))
-    (g_re, g_im), _ = jax.lax.scan(
-        body, (jnp.zeros((n1, n2), dtype), jnp.zeros((n1, n2), dtype)), args)
+    init = _match_vma(
+        (jnp.zeros((n1, n2), dtype), jnp.zeros((n1, n2), dtype)), c)
+    (g_re, g_im), _ = jax.lax.scan(body, init, args)
     return g_re + 1j * g_im
 
 
@@ -235,7 +252,7 @@ def _slab_partition_np(base, n1: int, w: int, chunk: int,
                        max_blowup: float = 3.0):
     """Host slab partition along axis 0 from unwrapped base cells ``base``
     (M,) in [0, n1) — taps occupy base + [0, w).  Returns numpy
-    (perm (S, Mp), starts (S,), invperm (M,), T, n1ext), or None when the
+    (perm (S, Mp), starts (S,), invperm (M,), T, n1ext, chunk), or None when the
     padded layout costs more than ``max_blowup`` x the useful work (the
     caller sets the break-even vs ITS fallback: scatter for 3-D, dense
     mm2 for 2-D — the latter tolerates much larger padding since its
@@ -372,7 +389,7 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK):
         w2 = jnp.asarray(padrow(wts[2], 0.0)[perm])
     return _SlabPlan(jnp.asarray(perm), jnp.asarray(l0), jnp.asarray(w0),
                      jnp.asarray(i1), jnp.asarray(w1), i2, w2,
-                     jnp.asarray(inv, jnp.int32), T, n1ext, chunk)
+                     jnp.asarray(inv.astype(np.int32)), T, n1ext, chunk)
 
 
 def _onehot_w_b(idx, wt, n, dtype):
@@ -387,7 +404,7 @@ def _onehot_w_b(idx, wt, n, dtype):
     return U
 
 
-def _spread_slab(c, idxs, wts, n_fs, plan):
+def _spread_slab(c, n_fs, plan):
     r"""Slab-binned MXU spreading (2-D/3-D), batched over the slab axis.
 
     FLOPs 2.M.2w.(n2[.n3]) vs the dense one-hot formulation's
@@ -424,7 +441,8 @@ def _spread_slab(c, idxs, wts, n_fs, plan):
 
     out_shape = (S, win, n2) if n3 is None else (S, win * n2, n3)
     z = jnp.zeros(out_shape, dtype)
-    acc_re, acc_im = jax.lax.fori_loop(0, Mp // CH, chunk, (z, z))
+    acc_re, acc_im = jax.lax.fori_loop(0, Mp // CH, chunk,
+                                       _match_vma((z, z), c))
     R = acc_re + 1j * acc_im
     tail_shape = (S, win, n2) if n3 is None else (S, win, n2, n3)
     R = R.reshape(tail_shape)                   # slab windows
@@ -441,7 +459,7 @@ def _spread_slab(c, idxs, wts, n_fs, plan):
     return g.at[:wrap].add(g_ext[n1:])
 
 
-def _interp_slab(g, idxs, wts, plan):
+def _interp_slab(g, plan):
     r"""Slab-binned MXU interpolation (transpose of `_spread_slab`)."""
     n1, n2 = g.shape[0], g.shape[1]
     n3 = g.shape[2] if g.ndim == 3 else None
@@ -476,7 +494,7 @@ def _interp_slab(g, idxs, wts, plan):
         return jax.lax.dynamic_update_slice_in_dim(outs, v, q * CH, axis=1)
 
     outs = jax.lax.fori_loop(0, Mp // CH, chunk,
-                             jnp.zeros((S, Mp), g.dtype))
+                             _match_vma(jnp.zeros((S, Mp), g.dtype), g))
     return outs.ravel()[plan.invperm]
 
 
@@ -484,7 +502,7 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     """Scatter-add point strengths c (M,) complex onto the fine grid."""
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
-        return _spread_slab(c, idxs, wts, n_fs, mm3_plan)
+        return _spread_slab(c, n_fs, mm3_plan)
     if d == 2 and _use_mm():
         return _spread_mm2(c, idxs, wts, n_fs)
     wts = [w_.astype(c.real.dtype) for w_ in wts]  # keep caller's precision
@@ -519,7 +537,8 @@ class _NUFFT12(LinOp):
     _data_fields = ("_x", "_phihat", "_idxs", "_wts", "_mm3")
 
     def __init__(self, x, N, isign: int = +1, eps: float = 1e-6,
-                 real_in: bool = False, upsampfac: float = 2.0):
+                 real_in: bool = False, upsampfac: float = 2.0,
+                 slab: bool = True):
         # plan geometry is host-side numpy end-to-end (no eager device RPCs)
         x = np.asarray(jax.device_get(x), np.float64)
         if x.ndim == 1:
@@ -527,8 +546,12 @@ class _NUFFT12(LinOp):
         M, d = x.shape
         N = (N,) * d if isinstance(N, int) else tuple(N)
         assert len(N) == d <= 3
-        assert 1.1 <= upsampfac <= 4.0, upsampfac
-        if upsampfac < 1.9:
+        if upsampfac not in (1.25, 2.0):
+            # only the two FINUFFT-calibrated sigmas: the accuracy floors
+            # below are measured for 1.25 and do not transfer to other
+            # low-oversampling factors
+            raise ValueError(f"upsampfac must be 1.25 or 2.0, got {upsampfac}")
+        if upsampfac == 1.25:
             # low-oversampling deconvolution amplifies roundoff: the edge
             # modes divide by a tiny phihat, flooring accuracy near 1e-5 in
             # float32 (measured; FINUFFT's single-precision 1.25 has the
@@ -548,7 +571,7 @@ class _NUFFT12(LinOp):
                              2 * w + 1) for n in N)
         # fold points into [0, 2pi) — host-side (plan must not touch device)
         xh = np.mod(x, 2 * np.pi)
-        self._x = jnp.asarray(xh, jnp.float32)
+        self._x = jnp.asarray(xh.astype(np.float32))
         # deconvolution factors: outer product of per-dim phihat
         ph = 1.0
         for ax in range(d):
@@ -564,7 +587,7 @@ class _NUFFT12(LinOp):
         # 2-D/3-D MXU spreading: host-side slab plan (None => dense-mm2 /
         # scatter fallback)
         self._mm3 = None
-        if d in (2, 3):
+        if d in (2, 3) and slab:
             self._mm3 = _slab_plan(
                 _slab_base_np(xh[:, 0], self._nf[0], w), idxs, wts,
                 self._nf[0])
@@ -805,13 +828,14 @@ class _NUFFT3(LinOp):
             ds = ds * (1.0 / psihat1)
         self._ds = jnp.asarray(ds)  # (K,)
 
-        self._x = jnp.asarray(x, jnp.float32)
-        self._z = jnp.asarray(z, jnp.float32)
+        self._x = jnp.asarray(x.astype(np.float32))
+        self._z = jnp.asarray(z.astype(np.float32))
         # 2-D/3-D MXU slab plans for both domains (None => dense-mm2 /
         # scatter fallback)
         self._mm3_x = self._mm3_s = None
-        s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64), nf[0])
         if d in (2, 3) and mm3:
+            s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64),
+                            nf[0])
             self._mm3_x = _slab_plan(
                 _slab_base_np(np.mod(xp[:, 0], 2 * np.pi), nf[0], w),
                 idxs_x, wts_x, nf[0])

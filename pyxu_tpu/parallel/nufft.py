@@ -39,6 +39,7 @@ from pyxu_tpu.operator.linop.nufft import (
     _balanced_parts_np,
     _es_params,
     _interp,
+    _match_vma,
     _spread,
     _t3_dx_np,
     _t3_nf_np,
@@ -58,9 +59,9 @@ class ShardedNUFFT(LinOp):
     -----
     * M is padded internally to a multiple of the mesh-axis size (padded
       points carry zero strength / are discarded).
-    * d=1/2 use the same spreading kernels as the single-chip operator;
-      the d=3 slab-MM plan is a global-point-order structure and does not
-      survive sharding, so 3-D falls back to the scatter path per shard.
+    * the per-device pipelines use the dense one-hot MXU kernels (2-D) or
+      scatter (3-D): the slab-MM plan is a global-point-order structure
+      that does not survive sharding, so the inner plan skips building it.
     """
 
     _data_fields = ("_op",)
@@ -77,7 +78,7 @@ class ShardedNUFFT(LinOp):
         Mp = -(-M // n_dev) * n_dev
         xp_ = np.concatenate([x, np.zeros((Mp - M, d))], axis=0)
         self._M, self._Mp = M, Mp
-        self._op = _NUFFT12(xp_, N, isign=isign, eps=eps)
+        self._op = _NUFFT12(xp_, N, isign=isign, eps=eps, slab=False)
         super().__init__((M, 2), tuple(self._op._N) + (2,))
         self._lipschitz = float(_math.sqrt(np.prod(self._op._N) * M))
         self._name = f"ShardedNUFFT[d={d}, {n_dev}x{self._axis}]"
@@ -358,11 +359,9 @@ class ShardedNUFFT3(LinOp):
                 cq = cq * (phxq[:, 0] - 1j * phxq[:, 1]).astype(cdt)
                 return cacc + cq, None
 
-            c0 = jnp.zeros(x_taps[0].shape[0], cdt)
-            if hasattr(jax.lax, "pcast"):
-                # the body output varies over the manual mesh axis (it mixes
-                # in the device's plan shard); the init carry must match
-                c0 = jax.lax.pcast(c0, (ax,), to="varying")
+            # the body output varies over the manual mesh axis (it mixes
+            # in the device's plan shard); the init carry must match
+            c0 = _match_vma(jnp.zeros(x_taps[0].shape[0], cdt), ixx)
             c, _ = jax.lax.scan(per_q, c0, (fb, phx, ixs, wxs, ds, phz))
             return jnp.stack([c.real, c.imag], axis=-1)[None]
 

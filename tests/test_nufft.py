@@ -275,9 +275,17 @@ class TestUpsampfac:
     def test_sigma125_refuses_unreachable_eps(self):
         x = _pts(100, 2)
         import jax as _jax
-        if not _jax.config.jax_enable_x64:
+        if _jax.config.jax_enable_x64:
+            with pytest.raises(ValueError, match="cannot reach"):
+                NUFFT.type1(x, (16, 16), eps=1e-10, upsampfac=1.25)
+        else:
             with pytest.raises(ValueError, match="cannot reach"):
                 NUFFT.type1(x, (16, 16), eps=1e-7, upsampfac=1.25)
+
+    def test_only_calibrated_sigmas_accepted(self):
+        x = _pts(50, 2)
+        with pytest.raises(ValueError, match="1.25 or 2.0"):
+            NUFFT.type1(x, (16, 16), eps=1e-4, upsampfac=1.1)
 
     def test_type2_sigma125(self):
         x = _pts(400, 2)

@@ -314,3 +314,39 @@ class TestShardedNUFFT3Edges:
         op = ShardedNUFFT3(x, z, auto_mesh(), fft_mem_mb=1e-9, max_z_blocks=6)
         assert op.stats()["n_z_blocks"] <= 6
         self._direct_check(op, x, z, rng, 40)
+
+
+class TestShardedMMPath:
+    """Force the MXU (one-hot matmul) kernels inside shard_map — the path a
+    REAL TPU mesh takes (CPU default is scatter, so without forcing, the
+    multi-chip MM route had zero coverage; scan-vma carries regressed once)."""
+
+    def test_sharded_t12_mm(self, monkeypatch):
+        from pyxu_tpu.operator.linop.nufft import NUFFT
+        from pyxu_tpu.parallel.nufft import ShardedNUFFT
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        rng = np.random.default_rng(31)
+        x = rng.uniform(-np.pi, np.pi, (300, 2))
+        sh = ShardedNUFFT(x, (12, 10), auto_mesh())
+        ref = NUFFT.type1(x, (12, 10))
+        a = jnp.asarray(rng.standard_normal((300, 2)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(sh.apply(a)),
+                                   np.asarray(ref.apply(a)), atol=1e-4)
+        f = jnp.asarray(rng.standard_normal(sh.codim_shape), jnp.float32)
+        np.testing.assert_allclose(np.asarray(sh.adjoint(f)),
+                                   np.asarray(ref.adjoint(f)), atol=1e-4)
+
+    def test_sharded_t3_mm(self, monkeypatch):
+        from pyxu_tpu.operator.linop.nufft import nudft3
+        from pyxu_tpu.parallel.nufft import ShardedNUFFT3
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        rng = np.random.default_rng(32)
+        x = rng.uniform(-1.5, 1.5, (160, 2))
+        z = rng.uniform(-9, 9, (140, 2))
+        op = ShardedNUFFT3(x, z, auto_mesh(), eps=1e-6, fft_mem_mb=1e-3)
+        c = rng.standard_normal(160) + 1j * rng.standard_normal(160)
+        a = jnp.asarray(np.stack([c.real, c.imag], -1), jnp.float32)
+        want = nudft3(c, x, z)
+        wr = np.stack([want.real, want.imag], -1)
+        np.testing.assert_allclose(np.asarray(op.apply(a)), wr,
+                                   atol=2e-4 * np.abs(wr).max())
