@@ -20,11 +20,23 @@ def FirstDerivative(size: int, axis: int = -1, sampling: float = 1.0,
     """First derivative along one axis of a 1-D signal (reference
     `FirstDerivative`, experimental/_dev/__init__.py:37-120) via the
     first-class :class:`PartialDerivative` factory."""
+    from pyxu_tpu.operator.linop.base import DiagonalOp
     from pyxu_tpu.operator.linop.diff import PartialDerivative
     scheme = {"forward": "forward", "backward": "backward",
               "centered": "central"}[kind]
-    return PartialDerivative.finite_difference(
+    pd = PartialDerivative.finite_difference(
         (int(size),), order=(1,), scheme=scheme, sampling=sampling)
+    # reference zeroes the boundary rows (experimental/_dev/__init__.py:
+    # 60-64: forward y[-1]=0, backward y[0]=0, centered both edges) —
+    # the zero-pad stencil alone leaves them nonzero
+    mask = np.ones(int(size), np.float32)
+    if kind == "forward":
+        mask[-1] = 0.0
+    elif kind == "backward":
+        mask[0] = 0.0
+    else:
+        mask[0] = mask[-1] = 0.0
+    return DiagonalOp(mask) * pd
 
 
 def DownSampling(size, sampling_rate: int, axis: int = None):

@@ -107,7 +107,6 @@ class FourierRadon(LinOp):
     _data_fields = ("_nufft", "_phase")
 
     def __init__(self, dim_shape, angles, n_det: int = None, eps: float = 1e-6):
-        import jax.numpy as jnp
         from pyxu_tpu.operator.linop.nufft import NUFFT
 
         dim_shape = as_canonical_shape(dim_shape)
@@ -134,10 +133,8 @@ class FourierRadon(LinOp):
         self._name = "FourierRadon"
 
     def _fw(self, img):
-        import jax.numpy as jnp
-        from pyxu_tpu.utils.complex import view_as_complex, view_as_real
-
-        from pyxu_tpu.utils.complex import complex_dtype
+        from pyxu_tpu.utils.complex import (complex_dtype, view_as_complex,
+                                            view_as_real)
         cdt = complex_dtype(img.dtype) if not jnp.iscomplexobj(img) else img.dtype
         z = img.astype(cdt)
         vr = view_as_real(z)
@@ -148,10 +145,8 @@ class FourierRadon(LinOp):
         return p.real
 
     def _bw(self, sino):
-        import jax.numpy as jnp
-        from pyxu_tpu.utils.complex import view_as_complex, view_as_real
-
-        from pyxu_tpu.utils.complex import complex_dtype
+        from pyxu_tpu.utils.complex import (complex_dtype, view_as_complex,
+                                            view_as_real)
         cdt = complex_dtype(sino.dtype)
         s = sino.astype(cdt)
         # adjoint of (real o ifft o phase o reshape o nufft):
@@ -163,12 +158,10 @@ class FourierRadon(LinOp):
         return img.real
 
     def apply(self, arr):
-        import jax.numpy as jnp
         return self._map_batched(self._fw, jnp.asarray(arr), self.dim_rank,
                                  self.codim_shape)
 
     def adjoint(self, arr):
-        import jax.numpy as jnp
         return self._map_batched(self._bw, jnp.asarray(arr), self.codim_rank,
                                  self.dim_shape)
 

@@ -37,30 +37,42 @@ class Sampler:
             yield x
 
     def run(self, x0, n: int, seed: int = 0, thin: int = 1, burn_in: int = 0):
-        """Draw ``n`` samples in ONE compiled scan (thin/burn-in on device)."""
+        """Draw ``n`` samples in ONE compiled scan (thin/burn-in on device).
+
+        The jitted chain is cached per (thin, burn_in, n): repeated runs
+        with the same schedule reuse the compiled scan (compiles through
+        the remote backend are expensive — CLAUDE.md)."""
         key = jax.random.PRNGKey(seed)
         x0 = jnp.asarray(x0)
+        cache = getattr(self, "_chain_cache", None)
+        if cache is None:
+            cache = self._chain_cache = {}
+        fn = cache.get((thin, burn_in, n))
+        if fn is None:
+            def chain(x0, key):
+                def body(carry, k):
+                    x, = carry
+                    keys = jax.random.split(k, thin)
+                    for i in range(thin):
+                        x = self._step(x, keys[i])
+                    return (x,), x
 
-        @jax.jit
-        def chain(x0, key):
-            def body(carry, k):
-                x, = carry
-                def inner(x, kk):
-                    return self._step(x, kk)
-                keys = jax.random.split(k, thin)
-                for i in range(thin):
-                    x = inner(x, keys[i])
-                return (x,), x
+                def body_burn(carry, k):
+                    # burn-in: no per-step output (stacking burn_in full
+                    # states would materialize an (n_burn, *shape) array)
+                    new, _ = body(carry, k)
+                    return new, None
 
-            keys = jax.random.split(key, burn_in + n)
-            if burn_in:
-                (xb,), _ = jax.lax.scan(body, (x0,), keys[:burn_in])
-            else:
-                xb = x0
-            (_,), samples = jax.lax.scan(body, (xb,), keys[burn_in:])
-            return samples
+                keys = jax.random.split(key, burn_in + n)
+                if burn_in:
+                    (xb,), _ = jax.lax.scan(body_burn, (x0,), keys[:burn_in])
+                else:
+                    xb = x0
+                (_,), samples = jax.lax.scan(body, (xb,), keys[burn_in:])
+                return samples
 
-        return chain(x0, key)
+            fn = cache[(thin, burn_in, n)] = jax.jit(chain)
+        return fn(x0, key)
 
 
 class ULA(Sampler):
@@ -84,7 +96,7 @@ class ULA(Sampler):
     def _step(self, x, key):
         g = self._gamma
         w = jax.random.normal(key, x.shape, x.dtype)
-        return x - g * self._f.grad(x) + jnp.sqrt(2 * g) * w
+        return x - g * self._f.grad(x) + _math.sqrt(2 * g) * w
 
     def objective_func(self, x):
         return self._f.apply(x)
@@ -120,4 +132,14 @@ class MYULA(ULA):
         if self._g is not None:
             drift = drift + (x - self._g.prox(x, self._lamb)) / self._lamb
         w = jax.random.normal(key, x.shape, x.dtype)
-        return x - g * drift + jnp.sqrt(2 * g) * w
+        return x - g * drift + _math.sqrt(2 * g) * w
+
+    def objective_func(self, x):
+        """Negative log-target F + G^lambda — includes the Moreau-Yosida
+        envelope of g (reference _sampler.py:476-478), not just f."""
+        val = self._f.apply(x)
+        if self._g is not None:
+            p = self._g.prox(x, self._lamb)
+            d = (x - p).ravel()
+            val = val + self._g.apply(p) + (d @ d) / (2.0 * self._lamb)
+        return val

@@ -5,13 +5,29 @@ Reference: src/pyxu/experimental/sampler/statistics.py:103-222
 `OnlineStd`, `OnlineSkewness`, `OnlineKurtosis` :174-222) with a stat
 algebra (`+,-,*,/,**` compose statistics).
 
-State is a jnp pytree, so a whole update chain fuses under jit and can be
-folded into a sampler's ``lax.scan``.
+These are **host-driven streaming** statistics (like the reference): state
+lives on the Python object and ``update`` must be fed one concrete device
+array per sample, outside ``jit``.  Calling ``update`` under a trace would
+silently freeze the Python-side counters at trace time, so it raises
+instead; to accumulate inside a compiled loop, carry (n, acc/moments) in
+the scan state yourself and feed the totals to numpy afterwards.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _check_concrete(x):
+    if isinstance(x, jax.core.Tracer):
+        raise RuntimeError(
+            "OnlineStat.update() called under jit/scan tracing: the "
+            "Python-side counters would freeze at trace time and every "
+            "result would be wrong. Call update() eagerly (one concrete "
+            "sample at a time), or carry the accumulators in your own "
+            "scan state.")
+    return x
 
 __all__ = [
     "OnlineStat",
@@ -86,14 +102,16 @@ class OnlineMoment(OnlineStat):
         self._acc = None
 
     def update(self, x):
-        x = jnp.asarray(x)
+        x = _check_concrete(jnp.asarray(x))
         v = x ** self._k
         self._acc = v if self._acc is None else self._acc + v
         self._n += 1
         return self._acc / self._n
 
     def stat(self):
-        return self._acc / max(self._n, 1)
+        if self._acc is None:
+            raise RuntimeError("OnlineMoment.stat() before any update()")
+        return self._acc / self._n
 
 
 class OnlineCenteredMoment(OnlineStat):
@@ -108,7 +126,7 @@ class OnlineCenteredMoment(OnlineStat):
         self._M2 = self._M3 = self._M4 = None
 
     def update(self, x):
-        x = jnp.asarray(x)
+        x = _check_concrete(jnp.asarray(x))
         if self._mean is None:
             z = jnp.zeros_like(x)
             self._mean, self._M2, self._M3, self._M4 = z, z, z, z
@@ -128,9 +146,11 @@ class OnlineCenteredMoment(OnlineStat):
         return self.stat()
 
     def stat(self):
-        n = max(self._n, 1)
+        if self._n == 0:
+            raise RuntimeError(
+                "OnlineCenteredMoment.stat() before any update()")
         M = {2: self._M2, 3: self._M3, 4: self._M4}[self._k]
-        return M / n
+        return M / self._n
 
 
 def OnlineVariance():

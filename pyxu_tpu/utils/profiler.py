@@ -32,7 +32,11 @@ def trace(logdir: str):
 
 @contextlib.contextmanager
 def timed(label: str = "", sync=None):
-    """Wall-clock a block, optionally blocking on a result pytree first."""
+    """Wall-clock a block.  Store device results in the yielded dict
+    (``with timed("fit") as out: out["x"] = slv.solution()``) — they are
+    blocked on before the clock stops, so async dispatch is not counted.
+    On relay-tunneled TPU runtimes block_until_ready can be unreliable for
+    micro-benchmarks (see CLAUDE.md): force a scalar fetch for those."""
     t0 = time.perf_counter()
     out = {}
     try:
@@ -40,6 +44,11 @@ def timed(label: str = "", sync=None):
     finally:
         if sync is not None:
             jax.block_until_ready(sync)
+        for v in list(out.values()):
+            try:
+                jax.block_until_ready(v)
+            except Exception:
+                pass
         out["seconds"] = time.perf_counter() - t0
         if label:
             print(f"[{label}] {out['seconds']:.4f}s")

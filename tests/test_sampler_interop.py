@@ -178,3 +178,74 @@ def test_from_torch_difffunc():
     x = jnp.asarray([1.0, -2.0, 0.5], jnp.float32)
     assert np.isclose(float(op.apply(x)), 5.25)
     assert np.allclose(op.grad(x), 2 * np.asarray(x), atol=1e-5)
+
+
+# -------------------------------------------------- review-fix regressions --
+
+def test_online_stat_refuses_tracing():
+    """Python-side counters would freeze at trace time -> must raise, not
+    silently return wrong results (review finding)."""
+    from pyxu_tpu.sampler.statistics import OnlineMoment
+    m = OnlineMoment(1)
+    with pytest.raises(RuntimeError, match="trac"):
+        jax.jit(m.update)(jnp.asarray(2.0))
+
+
+def test_online_stat_empty_state_raises():
+    from pyxu_tpu.sampler.statistics import OnlineCenteredMoment, OnlineMoment
+    with pytest.raises(RuntimeError, match="before any update"):
+        OnlineMoment(1).stat()
+    with pytest.raises(RuntimeError, match="before any update"):
+        OnlineCenteredMoment(2).stat()
+
+
+def test_myula_objective_includes_moreau_envelope():
+    """Reference MYULA monitors F + G^lambda (reference _sampler.py:476-478),
+    not just f."""
+    f = SquaredL2Norm((4,))
+    g = L1Norm((4,))
+    my = MYULA(f=f, g=g, lamb=0.5)
+    x = jnp.asarray([1.0, -2.0, 0.0, 3.0])
+    got = float(my.objective_func(x))
+    p = np.asarray(g.prox(x, 0.5))
+    want = float(f.apply(x)) + np.abs(p).sum() + \
+        ((np.asarray(x) - p) ** 2).sum() / (2 * 0.5)
+    assert abs(got - want) < 1e-5 * max(abs(want), 1.0)
+    # g-only MYULA must not be constant in x
+    my2 = MYULA(g=g, lamb=0.5)
+    assert float(my2.objective_func(x)) > float(my2.objective_func(0 * x))
+
+
+def test_run_chain_is_cached():
+    f = SquaredL2Norm((3,))
+    ula = ULA(f, gamma=0.05)
+    s1 = np.asarray(ula.run(jnp.zeros(3), n=20, seed=3, burn_in=10))
+    assert (1, 10, 20) in ula._chain_cache
+    s2 = np.asarray(ula.run(jnp.zeros(3), n=20, seed=3, burn_in=10))
+    np.testing.assert_allclose(s1, s2)
+
+
+def test_first_derivative_boundary_parity():
+    """Boundary rows are zeroed like the reference
+    (experimental/_dev/__init__.py:60-64)."""
+    from pyxu_tpu.experimental._dev import FirstDerivative
+    x = jnp.arange(5.0)
+    fw = np.asarray(FirstDerivative(5, kind="forward").apply(x))
+    np.testing.assert_allclose(fw, [1, 1, 1, 1, 0], atol=1e-6)
+    bw = np.asarray(FirstDerivative(5, kind="backward").apply(x))
+    np.testing.assert_allclose(bw, [0, 1, 1, 1, 1], atol=1e-6)
+    ce = np.asarray(FirstDerivative(5, kind="centered").apply(x))
+    np.testing.assert_allclose(ce, [0, 1, 1, 1, 0], atol=1e-6)
+
+
+def test_experimental_sampler_import_path():
+    import importlib
+    mod = importlib.import_module("pyxu_tpu.experimental.sampler")
+    assert hasattr(mod, "ULA")
+
+
+def test_profiler_timed_blocks_on_out():
+    from pyxu_tpu.utils.profiler import timed
+    with timed() as out:
+        out["x"] = jnp.ones(8) * 2.0
+    assert out["seconds"] >= 0.0 and float(out["x"].sum()) == 16.0
