@@ -617,9 +617,9 @@ class LinOp(DiffMap):
         return mat.reshape(tuple(self.codim_shape) + tuple(self.dim_shape))
 
     def svdvals(self, k: int = 1, key=None, maxiter: int = 96) -> jnp.ndarray:
-        """Top-k singular values via subspace iteration on the Gram
-        (reference uses ARPACK/cuSOLVER svds: abc/operator.py:1509-1579).
-        """
+        """Top-k singular values in ASCENDING order (the reference's svds
+        contract, abc/operator.py:1509-1579) via subspace iteration on the
+        Gram."""
         from pyxu_tpu.math import linalg
         return linalg.svdvals(self, k=k, key=key, maxiter=maxiter)
 

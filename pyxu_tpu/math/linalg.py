@@ -91,7 +91,9 @@ def svdvals(op, k: int = 1, key=None, maxiter: int = 96, dtype=None):
         B = gram_flat(V.T).T  # (n, k)
         H = V.T @ B  # (k, k) ~ V^T A^T A V
         lam = jnp.linalg.eigvalsh((H + H.T) / 2)
-        return jnp.sqrt(jnp.maximum(lam[::-1], 0.0))
+        # ascending order — the reference's svds contract
+        # (abc/operator.py:1509-1579 documents ascending; scipy returns so)
+        return jnp.sqrt(jnp.maximum(lam, 0.0))
 
     return run(key)
 
@@ -100,6 +102,10 @@ def trace(op, dtype=None, block: int = 2048):
     """Exact trace by basis probing in fixed-size blocks (reference:
     math/linalg.py:25-59; blocked so image-scale operators never
     materialise an n x n identity)."""
+    if op.dim_size != op.codim_size:
+        raise ValueError(
+            f"trace requires a square operator, got dim {op.dim_size} != "
+            f"codim {op.codim_size}")
     dtype = _op_dtype(op, dtype)
     n = op.dim_size
     flat = _flat_apply(op, op.dim_shape)

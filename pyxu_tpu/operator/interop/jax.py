@@ -27,8 +27,12 @@ def from_jax(cls, dim_shape, codim_shape=None, vectorize=(), jit: bool = False,
     """
     if jit:
         import jax as _jax
+        # only array-in/array-out methods can be jitted: svdvals/trace/
+        # estimate_lipschitz/pinv/asarray take int/str/dtype kwargs that
+        # would be traced (k used as a shape -> TypeError)
+        _jittable = {"apply", "adjoint", "grad", "prox", "jacobian"}
         kwargs = {
-            k: (_jax.jit(v) if callable(v) and k != "_quad_spec" else v)
+            k: (_jax.jit(v) if callable(v) and k in _jittable else v)
             for k, v in kwargs.items()
         }
     return from_source(cls, dim_shape, codim_shape, vectorize=vectorize, **kwargs)

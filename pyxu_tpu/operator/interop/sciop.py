@@ -21,7 +21,7 @@ class _SciOp(LinOp):
         self._sp = sp_op
         self._name = "SciOp"
 
-    def _call(self, fn, arr, n_in, n_out):
+    def _call(self, fn, fn_mat, arr, n_in, n_out):
         import jax
         import jax.numpy as jnp
         arr = jnp.asarray(arr)
@@ -29,17 +29,26 @@ class _SciOp(LinOp):
 
         def host(a):
             flat = np.asarray(a).reshape(-1, n_in)
-            out = np.stack([np.asarray(fn(v)).ravel() for v in flat])
+            if flat.shape[0] == 0:
+                out = np.zeros((0, n_out), a.dtype)
+            elif fn_mat is not None:
+                # ONE matmat/rmatmat call (BLAS-level batching) instead of
+                # a per-row python matvec loop
+                out = np.asarray(fn_mat(flat.T)).T
+            else:
+                out = np.stack([np.asarray(fn(v)).ravel() for v in flat])
             return out.reshape(a.shape[:-1] + (n_out,)).astype(a.dtype)
 
         res = jax.ShapeDtypeStruct(tuple(batch) + (n_out,), arr.dtype)
         return jax.pure_callback(host, res, arr, vmap_method="sequential")
 
     def apply(self, arr):
-        return self._call(self._sp.matvec, arr, self.dim_size, self.codim_size)
+        return self._call(self._sp.matvec, getattr(self._sp, "matmat", None),
+                          arr, self.dim_size, self.codim_size)
 
     def adjoint(self, arr):
-        return self._call(self._sp.rmatvec, arr, self.codim_size, self.dim_size)
+        return self._call(self._sp.rmatvec, getattr(self._sp, "rmatmat", None),
+                          arr, self.codim_size, self.dim_size)
 
 
 def from_sciop(sp_op) -> LinOp:

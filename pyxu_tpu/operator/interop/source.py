@@ -56,11 +56,28 @@ class SourceMixin:
     def grad(self, arr):
         fn = self._methods.get("grad")
         if fn is None:
+            qs = self._methods.get("_quad_spec")
+            if qs is not None:
+                # derive from the quadratic spec like the reference
+                # (source.py:15-148 forwards _quad_spec; QuadraticFunc
+                # grad = Qx + c): the Source instance has no _Q/_c state
+                Q, c, _ = qs()
+                return Q.apply(jnp.asarray(arr)) + c.grad(jnp.asarray(arr))
             return super().grad(arr)
         return fn(jnp.asarray(arr))
 
     def prox(self, arr, tau):
-        return self._src("prox")(jnp.asarray(arr), tau)
+        fn = self._methods.get("prox")
+        if fn is None:
+            qs = self._methods.get("_quad_spec")
+            if qs is not None:
+                # prox of (1/2)<x,Qx>+<c,x>+t via the QuadraticFunc CG path
+                from pyxu_tpu.abc.operator import QuadraticFunc
+                Q, c, t = qs()
+                qf = QuadraticFunc(self.dim_shape, Q=Q, c=c, t=t)
+                return qf.prox(arr, tau)
+            raise NotImplementedError(f"{self._name}.prox not provided")
+        return fn(jnp.asarray(arr), tau)
 
     def jacobian(self, arr):
         fn = self._methods.get("jacobian")

@@ -84,33 +84,38 @@ def from_torch(cls, dim_shape, codim_shape=None, vectorize=(),
     assert t_apply is not None, "from_torch requires apply="
 
     methods = {}
+    inferred = set()
     # --- infer missing methods in torch-land (reference: torch.py:106-150)
     if infer_missing:
         props = cls.properties()
         if Property.DIFFERENTIABLE_FUNCTION in props and "grad" not in kwargs:
             tg = torch.func.grad(lambda x: t_apply(x).sum())
             kwargs["grad"] = tg
+            inferred.add("grad")
         if Property.LINEAR in props and "adjoint" not in kwargs:
             def t_adjoint(y, _f=t_apply):
                 x0 = torch.zeros(dim_shape, dtype=y.dtype)
                 _, vjp_fn = torch.func.vjp(_f, x0)
                 return vjp_fn(y)[0]
             kwargs["adjoint"] = t_adjoint
+            inferred.add("adjoint")
 
-    # --- wrap every torch callable as a host callback.  ``apply`` is batched
-    # by contract unless listed in ``vectorize`` (then it is a single-sample
-    # callable, vmap-lifted like the reference's `_auto_vectorize`,
-    # torch.py:151-185); grad/adjoint callables are single-sample (the
-    # torch.func transforms that derive them are).
+    # --- wrap every torch callable as a host callback.  USER callables are
+    # batched over leading axes by contract (docstring above) unless listed
+    # in ``vectorize`` (then single-sample, vmap-lifted like the reference's
+    # `_auto_vectorize`, torch.py:151-185); INFERRED grad/adjoint are
+    # single-sample (the torch.func transforms that derive them are).
     vecset = {vectorize} if isinstance(vectorize, str) else set(vectorize)
     methods["apply"] = _callback(t_apply, codim, len(dim_shape),
                                  batched="apply" not in vecset)
     if "grad" in kwargs:
-        methods["grad"] = _callback(kwargs["grad"], dim_shape, len(dim_shape),
-                                    batched=False)
+        batched = "grad" not in inferred and "grad" not in vecset
+        methods["grad"] = _callback(kwargs.pop("grad"), dim_shape,
+                                    len(dim_shape), batched=batched)
     if "adjoint" in kwargs:
-        methods["adjoint"] = _callback(kwargs["adjoint"], dim_shape, len(codim),
-                                       batched=False)
+        batched = "adjoint" not in inferred and "adjoint" not in vecset
+        methods["adjoint"] = _callback(kwargs.pop("adjoint"), dim_shape,
+                                       len(codim), batched=batched)
     if "prox" in kwargs:
         t_prox = kwargs["prox"]
         import jax
@@ -133,8 +138,12 @@ def from_torch(cls, dim_shape, codim_shape=None, vectorize=(),
                                      vmap_method="sequential")
 
         methods["prox"] = prox
+        kwargs.pop("prox")
 
-    return from_source(cls, dim_shape, codim_shape, **methods)
+    # forward everything else (lipschitz/diff_lipschitz constants, ...) to
+    # from_source — it validates unknown names instead of silently
+    # swallowing them
+    return from_source(cls, dim_shape, codim_shape, **methods, **kwargs)
 
 
 def asarray(tensor):

@@ -191,8 +191,8 @@ class DiagonalOp(SelfAdjointOp):
         return self._vec * jnp.asarray(arr)
 
     def svdvals(self, k: int = 1, **kw):
-        mags = jnp.sort(jnp.abs(self._vec).ravel())[::-1]
-        return mags[:k]
+        # top-k magnitudes, ascending (reference svds contract)
+        return jnp.sort(jnp.abs(self._vec).ravel())[-k:]
 
     def trace(self, **kw):
         return float(jnp.sum(self._vec))
@@ -268,7 +268,7 @@ class ExplicitLinOp(LinOp):
     def svdvals(self, k: int = 1, **kw):
         M = self._mat.reshape(self.codim_size, self.dim_size)
         s = jnp.linalg.svd(M, compute_uv=False)
-        return s[:k]
+        return s[:k][::-1]  # top-k, ascending (reference svds contract)
 
 
 class ExplicitLinFunc(LinFunc):

@@ -61,8 +61,8 @@ class _Kron(LinOp):
     def svdvals(self, k: int = 1, **kw):
         sa = jnp.asarray(self._A.svdvals(k=min(k, self._A.dim_size), **kw))
         sb = jnp.asarray(self._B.svdvals(k=min(k, self._B.dim_size), **kw))
-        prod = jnp.sort((sa[:, None] * sb[None, :]).ravel())[::-1]
-        return prod[:k]
+        # top-k products, ascending (reference svds contract)
+        return jnp.sort((sa[:, None] * sb[None, :]).ravel())[-k:]
 
     def estimate_lipschitz(self, **kw):
         L = self._A.estimate_lipschitz(**kw) * self._B.estimate_lipschitz(**kw)

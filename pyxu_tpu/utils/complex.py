@@ -39,16 +39,35 @@ def complex_dtype(fdtype) -> np.dtype:
 
 
 def view_as_real(z):
-    """C^sh -> R^(sh, 2) (reference: util/complex.py:69-142)."""
-    z = jnp.asarray(z)
+    """C^sh -> R^(sh, 2) (reference: util/complex.py:69-142).
+
+    Host (numpy) inputs are converted host-side: an EAGER complex device
+    transfer / complex arithmetic is UNIMPLEMENTED on some TPU runtimes
+    (axon) and poisons the client (CLAUDE.md), and this is the designated
+    boundary utility for exactly that conversion."""
+    import jax as _jax
+    if not isinstance(z, _jax.Array):
+        zn = np.asarray(z)
+        if not np.iscomplexobj(zn):
+            raise ValueError("view_as_real expects a complex array")
+        return jnp.asarray(np.stack([zn.real, zn.imag], axis=-1))
     if not jnp.iscomplexobj(z):
         raise ValueError("view_as_real expects a complex array")
     return jnp.stack([z.real, z.imag], axis=-1)
 
 
 def view_as_complex(x):
-    """R^(sh, 2) -> C^sh (reference: util/complex.py:13-68)."""
-    x = jnp.asarray(x)
+    """R^(sh, 2) -> C^sh (reference: util/complex.py:13-68).
+
+    NOTE: forming a complex device array is only safe inside jit on some
+    TPU runtimes; host inputs return a host numpy complex array."""
+    import jax as _jax
+    if not isinstance(x, _jax.Array):
+        xn = np.asarray(x)
+        if np.iscomplexobj(xn) or xn.shape[-1] != 2:
+            raise ValueError(
+                "view_as_complex expects a real array with trailing axis 2")
+        return (xn[..., 0] + 1j * xn[..., 1]).astype(complex_dtype(xn.dtype))
     if jnp.iscomplexobj(x) or x.shape[-1] != 2:
         raise ValueError("view_as_complex expects a real array with trailing axis 2")
     return (x[..., 0] + 1j * x[..., 1]).astype(complex_dtype(x.dtype))

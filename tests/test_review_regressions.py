@@ -234,3 +234,123 @@ def test_trace_blocked_matches_dense():
     op = ExplicitLinOp(jnp.asarray(Q))
     got = float(trace(op, block=7))  # forces multiple ragged blocks
     assert np.isclose(got, np.trace(Q), rtol=1e-6)
+
+
+# ------------------------------------------- interop/math review fixes -----
+
+import pytest
+
+def test_from_source_quadratic_spec_derives_grad_prox():
+    """Reference supports from_source(QuadraticFunc, ..., _quad_spec=...)
+    (source.py:15-262); grad/prox must derive from the spec."""
+    from pyxu_tpu.abc.operator import QuadraticFunc
+    from pyxu_tpu.operator.interop import from_source
+    from pyxu_tpu.operator.linop.base import DiagonalOp, ExplicitLinOp
+    import numpy as _np
+    v = jnp.asarray([1.0, 2.0, 4.0, 0.5])
+    Q = DiagonalOp(v)
+    cvec = jnp.asarray([0.5, -1.0, 0.0, 2.0])
+    c = ExplicitLinOp(cvec.reshape(1, 4)).squeeze_linfunc() if hasattr(
+        ExplicitLinOp(cvec.reshape(1, 4)), "squeeze_linfunc") else None
+    from pyxu_tpu.operator.interop.source import from_source as fs
+    op = fs(QuadraticFunc, (4,),
+            apply=lambda x: 0.5 * jnp.sum(x * (v * x), -1),
+            _quad_spec=lambda: (Q, _nullfunc((4,)), jnp.asarray(0.0)))
+    x = jnp.asarray([1.0, 1.0, 1.0, 1.0])
+    np.testing.assert_allclose(np.asarray(op.grad(x)), np.asarray(v),
+                               atol=1e-6)
+    # prox solves (I + tau Q) p = x
+    p = np.asarray(op.prox(x, 0.5))
+    want = 1.0 / (1.0 + 0.5 * np.asarray(v))
+    np.testing.assert_allclose(p, want, atol=1e-4)
+
+
+def _nullfunc(shape):
+    from pyxu_tpu.operator.linop.base import NullFunc
+    return NullFunc(shape)
+
+
+def test_linesearch_rejects_nan_overstep():
+    from pyxu_tpu.math.linesearch import backtracking_linesearch
+    from pyxu_tpu.operator.interop import from_source
+    from pyxu_tpu.abc.operator import DiffFunc
+
+    def apply(x):
+        v = jnp.sum(x ** 2, -1)
+        return jnp.where(v > 2.0, jnp.nan, v)
+
+    f = from_source(DiffFunc, (2,), apply=apply,
+                    grad=lambda x: 2 * x, diff_lipschitz=2.0)
+    x = jnp.asarray([0.9, 0.9])       # ||x||^2 = 1.62; step 1 -> NaN zone
+    d = jnp.asarray([1.0, 1.0])
+    a = float(backtracking_linesearch(f, x, d, a0=1.0))
+    fa = float(apply(x + a * d))
+    assert np.isfinite(fa), "accepted a NaN overstep"
+    assert a < 1.0
+
+
+def test_linesearch_a0_defaults_to_inv_diff_lipschitz():
+    from pyxu_tpu.math.linesearch import backtracking_linesearch
+    from pyxu_tpu.operator.func import SquaredL2Norm
+    f = SquaredL2Norm((3,))            # diff_lipschitz = 2
+    x = jnp.ones(3)
+    d = -f.grad(x)                      # descent direction: a0 accepted
+    a = float(backtracking_linesearch(f, x, d))
+    assert abs(a - 1.0 / float(f.diff_lipschitz)) < 1e-6
+
+
+def test_from_jax_jit_skips_nonarray_methods():
+    from pyxu_tpu.abc.operator import LinOp
+    from pyxu_tpu.operator.interop import from_jax
+    op = from_jax(LinOp, (4,), (4,), jit=True,
+                  apply=lambda x: 2 * x, adjoint=lambda y: 2 * y,
+                  svdvals=lambda k=1, **kw: jnp.full((k,), 2.0))
+    s = np.asarray(op.svdvals(k=2))   # k used as a shape -> must not trace
+    np.testing.assert_allclose(s, [2.0, 2.0])
+
+
+def test_svdvals_ascending_reference_contract():
+    """Reference svds contract: ascending order (abc/operator.py:1509-1579)."""
+    from pyxu_tpu.operator.linop.base import DiagonalOp, ExplicitLinOp
+    from pyxu_tpu.operator.linop.kron import kron
+    d = DiagonalOp(jnp.asarray([3.0, -1.0, 2.0]))
+    np.testing.assert_allclose(np.asarray(d.svdvals(2)), [2.0, 3.0])
+    M = ExplicitLinOp(jnp.asarray([[3.0, 0.0], [0.0, 1.0]]))
+    np.testing.assert_allclose(np.asarray(M.svdvals(2)), [1.0, 3.0])
+    kd = kron(d, M)
+    np.testing.assert_allclose(np.asarray(kd.svdvals(2)), [6.0, 9.0])
+    # subspace-iteration path too
+    s = np.asarray(M.gram().svdvals(k=2, maxiter=48))
+    assert s[0] <= s[-1]
+
+
+def test_trace_requires_square():
+    from pyxu_tpu.math.linalg import trace
+    from pyxu_tpu.operator.linop.base import ExplicitLinOp
+    A = ExplicitLinOp(jnp.ones((5, 3)))
+    with pytest.raises(ValueError, match="square"):
+        trace(A)
+
+
+def test_from_torch_forwards_constants_and_rejects_typos():
+    torch = pytest.importorskip("torch")
+    from pyxu_tpu.abc.operator import Map
+    from pyxu_tpu.operator.interop import from_torch
+    op = from_torch(Map, (3,), (3,), apply=lambda t: 2 * t, lipschitz=2.0)
+    assert float(op.lipschitz) == 2.0
+    with pytest.raises(AssertionError, match="unknown"):
+        from_torch(Map, (3,), (3,), apply=lambda t: 2 * t, prox_=lambda t: t)
+
+
+def test_from_sciop_matches_dense_batched():
+    import scipy.sparse.linalg as spla
+    from pyxu_tpu.operator.interop import from_sciop
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((5, 4)).astype(np.float32)
+    op = from_sciop(spla.aslinearoperator(A))
+    x = jnp.asarray(rng.standard_normal((7, 4)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(op.apply(x)),
+                               np.asarray(x) @ A.T, atol=1e-5)
+    y = jnp.asarray(rng.standard_normal((7, 5)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(op.adjoint(y)),
+                               np.asarray(y) @ A, atol=1e-5)
