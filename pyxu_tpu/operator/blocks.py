@@ -52,28 +52,32 @@ def _homogeneous(ops) -> bool:
     return len(l0) > 0
 
 
-_STACK_CACHE = {}  # id(ops tuple) -> (treedef, stacked leaves); weak-purged
+_STACK_CACHE = {}  # id(ops tuple) -> (ops, treedef, stacked leaves)
+_STACK_CACHE_MAX = 64
 
 
 def _stack_ops(ops):
     """Stack leaves of homogeneous ops: returns (treedef, stacked leaves).
 
     Cached per ops-tuple identity so the eager path does not re-stack every
-    plan/kernel table on every apply (tracers are never cached: under jit
-    the ops tuple is rebuilt per trace with fresh identity)."""
-    import weakref
+    plan/kernel table on every apply.  The cache holds a STRONG reference to
+    the ops tuple (tuples cannot be weak-referenced) — the `hit[0] is ops`
+    check stays valid because a cached tuple's id cannot be reused while it
+    is alive.  Tracer leaves are never cached (storing tracers in a global
+    would leak them past their trace)."""
     key = id(ops)
     hit = _STACK_CACHE.get(key)
-    if hit is not None and hit[0]() is ops:
+    if hit is not None and hit[0] is ops:
         return hit[1], hit[2]
     leaves_list = [jax.tree_util.tree_flatten(op)[0] for op in ops]
     treedef = jax.tree_util.tree_flatten(ops[0])[1]
     stacked = [jnp.stack(ls) for ls in zip(*leaves_list)]
-    try:
-        ref = weakref.ref(ops)
-        _STACK_CACHE[key] = (ref, treedef, stacked)
-    except TypeError:
-        pass
+    traced = any(isinstance(l, jax.core.Tracer)
+                 for ls in leaves_list for l in ls)
+    if not traced:
+        if len(_STACK_CACHE) >= _STACK_CACHE_MAX:
+            _STACK_CACHE.clear()
+        _STACK_CACHE[key] = (ops, treedef, stacked)
     return treedef, stacked
 
 

@@ -316,8 +316,12 @@ def Hessian(dim_shape, directions=None, diff_method="fd", mode="constant",
     (reference: diff.py:1591-1798)."""
     dim_shape = as_canonical_shape(dim_shape)
     rank = len(dim_shape)
-    if directions is None:
+    if directions is None or (isinstance(directions, str)
+                              and directions == "all"):
         directions = [(i, j) for i in range(rank) for j in range(i, rank)]
+    elif (len(directions) == 2
+          and all(isinstance(d, (int, np.integer)) for d in directions)):
+        directions = [tuple(directions)]   # a single (i, j) pair
     ops = []
     for (i, j) in directions:
         o = [0] * rank
@@ -377,44 +381,112 @@ class Laplacian(SquareOp):
 # -------------------------------------------------------- directional ops ---
 
 def _canon_dirs(directions, dim_shape):
-    """Normalise to an array (D, ) constant or (D, *dim_shape) varying field."""
+    """Canonical (D,) constant / (D, *dim_shape) varying field, NORMALIZED
+    to unit vectors like the reference ("directions are always normalized
+    to be unit vectors", reference diff.py:2004, 2143-2149)."""
     v = jnp.asarray(directions)
     if not jnp.issubdtype(v.dtype, jnp.floating):
         v = v.astype(jnp.result_type(float))
     rank = len(dim_shape)
-    if v.ndim == 1:
-        return v, False
-    assert v.shape == (v.shape[0],) + tuple(dim_shape)
-    return v, True
+    varying = v.ndim > 1
+    if varying:
+        assert v.shape == (v.shape[0],) + tuple(dim_shape)
+    assert v.shape[0] == rank
+    v = v / jnp.linalg.norm(v, axis=0, keepdims=True)
+    return v, varying
 
 
-class DirectionalDerivative(LinOp):
-    """D_v x = sum_i v_i (D_i x), v constant or a spatially-varying field
-    (reference: diff.py:1938-2185)."""
+def _hessian_partials(dim_shape, diff_method, mode, sampling, diff_kwargs):
+    """The D(D+1)/2 unique second-order partial ops, in (i <= j) order."""
+    rank = len(dim_shape)
+    kw = dict(diff_kwargs)
+    if diff_method == "fd":
+        kw.setdefault("scheme", "central")
+        kw.setdefault("accuracy", 2)
+    pairs = [(i, j) for i in range(rank) for j in range(i, rank)]
+    ops = []
+    for (i, j) in pairs:
+        o = [0] * rank
+        o[i] += 1
+        o[j] += 1
+        ops.append(_pd_factory(diff_method, dim_shape, tuple(o), mode,
+                               sampling, **kw))
+    return pairs, tuple(ops)
+
+
+def _outer_weights(v1, v2, pairs):
+    """Pointwise upper-triangular outer-product weights (off-diagonal x2,
+    mirroring the reference's norm_dirs construction, diff.py:2149-2160)."""
+    return tuple((1.0 if i == j else 2.0) * v1[i] * v2[j]
+                 for (i, j) in pairs)
+
+
+class _SecondDirDeriv(LinOp):
+    """v1^T H v2 with pointwise outer-product weighting — the weights
+    multiply the Hessian of f; the direction field itself is NOT
+    differentiated (reference: "no differentiation is performed for this
+    parameter", diff.py:2546-2759)."""
+
+    _data_fields = ("_w", "_ops")
+
+    def __init__(self, dim_shape, v1, v2, diff_method, mode, sampling,
+                 diff_kwargs):
+        dim_shape = as_canonical_shape(dim_shape)
+        pairs, ops = _hessian_partials(dim_shape, diff_method, mode, sampling,
+                                       diff_kwargs)
+        self._ops = ops
+        self._w = _outer_weights(v1, v2, pairs)
+        super().__init__(dim_shape, dim_shape)
+        wmax = [float(jnp.max(jnp.abs(w))) for w in self._w]
+        self._lipschitz = sum(m * o.lipschitz for m, o in zip(wmax, ops))
+        self._name = "SecondDirectionalDerivative"
+
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+        out = None
+        for w, op in zip(self._w, self._ops):
+            t = w * op.apply(arr)
+            out = t if out is None else out + t
+        return out
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+        out = None
+        for w, op in zip(self._w, self._ops):
+            t = op.adjoint(w * arr)
+            out = t if out is None else out + t
+        return out
+
+    def _expr(self):
+        return ("SecondDirectionalDerivative", *self._ops)
+
+
+class _FirstDirDeriv(LinOp):
+    """D_v x = sum_i v_i (D_i x), v constant or a spatially-varying unit
+    field (reference: diff.py:1938-2185)."""
 
     _data_fields = ("_v", "_ops")
 
-    def __init__(self, dim_shape, directions, diff_method="gd", mode="constant",
-                 sampling=1.0, **diff_kwargs):
+    def __init__(self, dim_shape, directions, diff_method, mode, sampling,
+                 diff_kwargs):
         dim_shape = as_canonical_shape(dim_shape)
         rank = len(dim_shape)
         v, varying = _canon_dirs(directions, dim_shape)
-        assert v.shape[0] == rank
         self._v = v
         self._varying = varying
+        kw = dict(diff_kwargs)
+        if diff_method == "fd":
+            kw.setdefault("scheme", "central")
+            kw.setdefault("accuracy", 2)
         self._ops = tuple(
             _pd_factory(diff_method, dim_shape, _one_hot(rank, ax), mode,
-                        sampling, **diff_kwargs)
+                        sampling, **kw)
             for ax in range(rank)
         )
         super().__init__(dim_shape, dim_shape)
-        vmax = float(jnp.max(jnp.sqrt(jnp.sum(v.reshape(rank, -1) ** 2, axis=0))))
-        self._lipschitz = vmax * _math.sqrt(sum(o.lipschitz**2 for o in self._ops))
-        self._name = "DirectionalDerivative"
-
-    def _weight(self, i, arr):
-        w = self._v[i]
-        return w if self._varying else w  # broadcasting handles both
+        # unit directions: |v| = 1 pointwise
+        self._lipschitz = _math.sqrt(sum(o.lipschitz**2 for o in self._ops))
+        self._name = "FirstDirectionalDerivative"
 
     def apply(self, arr):
         arr = jnp.asarray(arr)
@@ -433,38 +505,77 @@ class DirectionalDerivative(LinOp):
         return out
 
     def _expr(self):
-        return ("DirectionalDerivative", *self._ops)
+        return ("FirstDirectionalDerivative", *self._ops)
 
 
-def DirectionalGradient(dim_shape, directions, diff_method="gd", mode="constant",
-                        sampling=1.0, **diff_kwargs):
-    """Stack of directional derivatives over several direction (fields)
-    (reference: diff.py:2186-2357)."""
+def DirectionalDerivative(dim_shape, order, directions=None,
+                          diff_method: str = "fd", mode="constant",
+                          sampling=1.0, **diff_kwargs):
+    """Directional derivative of order 1 (sum_i v_i d/dx_i) or 2
+    (v1^T H v2), reference diff.py:1938-2185: reference positional
+    signature ``(arg_shape, order, directions)`` with directions
+    normalized to unit vectors and ``diff_method="fd"`` default.
+    ``DirectionalDerivative(shape, directions)`` (order omitted) is also
+    accepted for backward compatibility."""
+    if directions is None:
+        order, directions = 1, order
+    assert order in (1, 2), "`order` should be either 1 or 2"
+    dim_shape = as_canonical_shape(dim_shape)
+    if order == 1:
+        return _FirstDirDeriv(dim_shape, directions, diff_method, mode,
+                              sampling, diff_kwargs)
+    if (isinstance(directions, (tuple, list)) and len(directions) == 2
+            and getattr(jnp.asarray(directions[0]), "ndim", 0) >= 1
+            and jnp.asarray(directions[0]).shape
+            == jnp.asarray(directions[1]).shape):
+        d1, d2 = directions
+    else:
+        d1 = d2 = directions
+    v1, _ = _canon_dirs(d1, dim_shape)
+    v2, _ = _canon_dirs(d2, dim_shape)
+    return _SecondDirDeriv(dim_shape, v1, v2, diff_method, mode, sampling,
+                           diff_kwargs)
+
+
+def DirectionalGradient(dim_shape, directions, diff_method: str = "fd",
+                        mode="constant", sampling=1.0, **diff_kwargs):
+    """Stack of first directional derivatives over several direction
+    (fields) (reference: diff.py:2186-2357)."""
     ops = [
-        DirectionalDerivative(dim_shape, d, diff_method=diff_method, mode=mode,
-                              sampling=sampling, **diff_kwargs)
+        _FirstDirDeriv(as_canonical_shape(dim_shape), d, diff_method, mode,
+                       sampling, diff_kwargs)
         for d in directions
     ]
     return _StackedDiff(ops, "DirectionalGradient")
 
 
 class DirectionalLaplacian(SquareOp):
-    """sum_d D_{v_d}^* D_{v_d} — divergence-form anisotropic Laplacian
-    (reference: diff.py:2358-2545)."""
+    """sum_d w_d v_d^T H v_d — the reference's second-derivative form
+    (diff.py:2358-2545), NOT the divergence form sum D_v^T D_v (which is
+    its negation for the antisymmetric first-derivative stencils)."""
 
     _data_fields = ("_dds",)
 
-    def __init__(self, dim_shape, directions, weights=None, diff_method="gd",
-                 mode="constant", sampling=1.0, **diff_kwargs):
+    def __init__(self, dim_shape, directions, weights=None,
+                 diff_method: str = "fd", mode="constant", sampling=1.0,
+                 **diff_kwargs):
         dim_shape = as_canonical_shape(dim_shape)
-        self._dds = tuple(
-            DirectionalDerivative(dim_shape, d, diff_method=diff_method,
-                                  mode=mode, sampling=sampling, **diff_kwargs)
-            for d in directions
-        )
-        self._weights = tuple(float(w) for w in (weights or [1.0] * len(self._dds)))
+        directions = list(directions)
+        if weights is None:
+            weights = [1.0] * len(directions)
+        elif len(weights) != len(directions):
+            raise ValueError(
+                "The number of weights and directions provided differ.")
+        dds = []
+        for w, d in zip(weights, directions):
+            v, _ = _canon_dirs(d, dim_shape)
+            dd = _SecondDirDeriv(dim_shape, v, v, diff_method, mode, sampling,
+                                 diff_kwargs)
+            dds.append((float(w), dd))
+        self._weights = tuple(w for w, _ in dds)
+        self._dds = tuple(dd for _, dd in dds)
         super().__init__(dim_shape)
-        self._lipschitz = sum(w * d.lipschitz**2
+        self._lipschitz = sum(abs(w) * d.lipschitz
                               for w, d in zip(self._weights, self._dds))
         self._name = "DirectionalLaplacian"
 
@@ -472,27 +583,32 @@ class DirectionalLaplacian(SquareOp):
         arr = jnp.asarray(arr)
         out = None
         for w, dd in zip(self._weights, self._dds):
-            t = w * dd.adjoint(dd.apply(arr))
+            t = w * dd.apply(arr)
             out = t if out is None else out + t
         return out
 
     def adjoint(self, arr):
-        return self.apply(arr)
+        arr = jnp.asarray(arr)
+        out = None
+        for w, dd in zip(self._weights, self._dds):
+            t = w * dd.adjoint(arr)
+            out = t if out is None else out + t
+        return out
 
     def _expr(self):
         return ("DirectionalLaplacian", *self._dds)
 
 
-def DirectionalHessian(dim_shape, directions, diff_method="gd", mode="constant",
-                       sampling=1.0, **diff_kwargs):
-    """Stack of D_{v_i} D_{v_j}, i<=j (reference: diff.py:2546-2759)."""
-    dds = [
-        DirectionalDerivative(dim_shape, d, diff_method=diff_method, mode=mode,
-                              sampling=sampling, **diff_kwargs)
-        for d in directions
-    ]
+def DirectionalHessian(dim_shape, directions, diff_method: str = "fd",
+                       mode="constant", sampling=1.0, **diff_kwargs):
+    """Stack of v_i^T H v_j, i <= j (reference: diff.py:2546-2759) — the
+    direction fields pointwise-weight the Hessian of f and are not
+    themselves differentiated."""
+    dim_shape = as_canonical_shape(dim_shape)
+    vs = [_canon_dirs(d, dim_shape)[0] for d in directions]
     ops = []
-    for i in range(len(dds)):
-        for j in range(i, len(dds)):
-            ops.append(dds[i] * dds[j])
+    for i in range(len(vs)):
+        for j in range(i, len(vs)):
+            ops.append(_SecondDirDeriv(dim_shape, vs[i], vs[j], diff_method,
+                                       mode, sampling, diff_kwargs))
     return _StackedDiff(ops, "DirectionalHessian")

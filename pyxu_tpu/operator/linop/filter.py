@@ -58,24 +58,27 @@ def MovingAverage(dim_shape, size, center=None, mode="constant"):
     return op
 
 
-def _gauss_axis_kernels(D, sigma, truncate, order):
+def _gauss_axis_kernels(D, sigma, truncate, order, sampling):
     sigmas = _per_axis(sigma, D)
     truncs = _per_axis(truncate, D)
     orders = _per_axis(order, D)
+    samps = _per_axis(sampling, D)
     ks, cs = [], []
-    for s, t, o in zip(sigmas, truncs, orders):
-        off, k = _gauss_deriv_kernel(int(o), float(s), float(t))
-        # _gauss_deriv_kernel returns derivative taps; order 0 = plain kernel
-        ks.append(jnp.asarray(k))
+    for s, t, o, dx in zip(sigmas, truncs, orders, samps):
+        # grid spacing like the reference (filter.py:294-306): sigma in
+        # physical units -> pixels, derivative taps scaled by sampling^order
+        off, k = _gauss_deriv_kernel(int(o), float(s) / float(dx), float(t))
+        ks.append(jnp.asarray(np.asarray(k) / float(dx) ** int(o)))
         cs.append(int(-off[0]))
     return ks, cs
 
 
-def Gaussian(dim_shape, sigma=1.0, truncate=3.0, order=0, mode="constant"):
+def Gaussian(dim_shape, sigma=1.0, truncate=3.0, order=0, mode="constant",
+             sampling=1.0):
     """(Derivative-of-)Gaussian filter (reference: filter.py:187-313)."""
     dim_shape = as_canonical_shape(dim_shape)
     D = len(dim_shape)
-    ks, cs = _gauss_axis_kernels(D, sigma, truncate, order)
+    ks, cs = _gauss_axis_kernels(D, sigma, truncate, order, sampling)
     op = Stencil(dim_shape, ks, cs, mode=mode) if D > 1 else \
         Stencil(dim_shape, ks[0], cs[0], mode=mode)
     op._name = "Gaussian"
@@ -83,31 +86,35 @@ def Gaussian(dim_shape, sigma=1.0, truncate=3.0, order=0, mode="constant"):
 
 
 def DifferenceOfGaussians(dim_shape, low_sigma=1.0, high_sigma=None,
-                          low_truncate=3.0, high_truncate=3.0, mode="constant"):
+                          low_truncate=3.0, high_truncate=3.0, mode="constant",
+                          sampling=1.0):
     """DoG band-pass (reference: filter.py:314-442)."""
     dim_shape = as_canonical_shape(dim_shape)
     if high_sigma is None:
         sigmas = _per_axis(low_sigma, len(dim_shape))
         high_sigma = tuple(1.6 * s for s in sigmas)
-    lo = Gaussian(dim_shape, sigma=low_sigma, truncate=low_truncate, mode=mode)
-    hi = Gaussian(dim_shape, sigma=high_sigma, truncate=high_truncate, mode=mode)
+    lo = Gaussian(dim_shape, sigma=low_sigma, truncate=low_truncate,
+                  mode=mode, sampling=sampling)
+    hi = Gaussian(dim_shape, sigma=high_sigma, truncate=high_truncate,
+                  mode=mode, sampling=sampling)
     op = lo - hi
     op._name = "DifferenceOfGaussians"
     return op
 
 
-def Laplace(dim_shape, mode="constant"):
-    """Discrete Laplace filter: sum of [1, -2, 1] along each axis
-    (reference: filter.py:443-535)."""
+def Laplace(dim_shape, mode="constant", sampling=1.0):
+    """Discrete Laplace filter: sum of [1, -2, 1]/sampling along each axis
+    (reference: filter.py:443-535 scales each axis kernel by 1/sampling)."""
     dim_shape = as_canonical_shape(dim_shape)
     D = len(dim_shape)
+    samps = _per_axis(sampling, D)
     k = np.zeros((3,) * D)
     for ax in range(D):
         idx = [1] * D
         for v, val in ((0, 1.0), (1, -2.0), (2, 1.0)):
             j = list(idx)
             j[ax] = v
-            k[tuple(j)] += val
+            k[tuple(j)] += val / float(samps[ax])
     op = Stencil(dim_shape, jnp.asarray(k), (1,) * D, mode=mode)
     op._name = "Laplace"
     return op
@@ -156,9 +163,12 @@ def _edge_family(name, smooth):
     return factory
 
 
-Sobel = _edge_family("Sobel", [1.0, 2.0, 1.0])
-Prewitt = _edge_family("Prewitt", [1.0, 1.0, 1.0])
-Scharr = _edge_family("Scharr", [3.0, 10.0, 3.0])
+# normalized smoothing kernels like the reference (filter.py:623, 722, 820:
+# [1,2,1]/4, [1,1,1]/3, [3,10,3]/16) — unnormalized taps scale every output
+# by 4x/3x/16x per smoothing axis
+Sobel = _edge_family("Sobel", [0.25, 0.5, 0.25])
+Prewitt = _edge_family("Prewitt", [1 / 3, 1 / 3, 1 / 3])
+Scharr = _edge_family("Scharr", [3 / 16, 10 / 16, 3 / 16])
 
 
 class StructureTensor(DiffMap):

@@ -69,7 +69,9 @@ class TestSobelSingleAxis(ConformanceSuite):
     def test_matches_scipy(self, rng, fdtype):
         op = Sobel((6, 6), axis=0, mode="symmetric")
         x = rng.standard_normal((6, 6))
-        want = snd.sobel(x, axis=0, mode="reflect")
+        # reference pyxu normalizes the smoothing kernel ([1,2,1]/4,
+        # filter.py:623); scipy's sobel is unnormalized
+        want = snd.sobel(x, axis=0, mode="reflect") / 4.0
         assert np.allclose(op.apply(jnp.asarray(x, fdtype)), want, atol=1e-4)
 
 
@@ -77,8 +79,8 @@ def test_sobel_magnitude():
     rng = np.random.default_rng(3)
     x = rng.standard_normal((6, 6))
     op = Sobel((6, 6), mode="symmetric")
-    g0 = snd.sobel(x, axis=0, mode="reflect")
-    g1 = snd.sobel(x, axis=1, mode="reflect")
+    g0 = snd.sobel(x, axis=0, mode="reflect") / 4.0
+    g1 = snd.sobel(x, axis=1, mode="reflect") / 4.0
     want = np.sqrt(g0**2 + g1**2) / np.sqrt(2)
     assert np.allclose(op.apply(jnp.asarray(x)), want, atol=1e-4)
 

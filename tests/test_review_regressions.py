@@ -354,3 +354,123 @@ def test_from_sciop_matches_dense_batched():
     y = jnp.asarray(rng.standard_normal((7, 5)), jnp.float32)
     np.testing.assert_allclose(np.asarray(op.adjoint(y)),
                                np.asarray(y) @ A, atol=1e-5)
+
+
+# -------------------------------------- directional/filter parity fixes ----
+
+def test_directional_derivative_normalizes_and_defaults_fd():
+    from pyxu_tpu.operator.linop.diff import DirectionalDerivative
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8)), jnp.float32)
+    d1 = DirectionalDerivative((8, 8), 1, jnp.asarray([1.0, 0.0]))
+    d2 = DirectionalDerivative((8, 8), 1, jnp.asarray([2.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(d1.apply(x)),
+                               np.asarray(d2.apply(x)), atol=1e-6)
+    # backward-compatible (shape, directions) call
+    d3 = DirectionalDerivative((8, 8), jnp.asarray([1.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(d3.apply(x)),
+                               np.asarray(d1.apply(x)), atol=1e-6)
+
+
+def test_directional_laplacian_sign_matches_laplacian():
+    """Axis-aligned directions: the reference's DirectionalLaplacian equals
+    the ordinary (negative-definite) Laplacian — NOT its negation
+    (reference diff.py:2475-2545 computes sum w_d v^T H v)."""
+    from pyxu_tpu.operator.linop.diff import DirectionalLaplacian, Laplacian
+    shape = (10, 10)
+    dl = DirectionalLaplacian(shape, directions=[jnp.asarray([1.0, 0.0]),
+                                                 jnp.asarray([0.0, 1.0])])
+    lap = Laplacian(shape)
+    x = jnp.asarray(np.random.default_rng(1).random(shape), jnp.float32)
+    np.testing.assert_allclose(np.asarray(dl.apply(x)),
+                               np.asarray(lap.apply(x)), atol=1e-5)
+
+
+def test_directional_laplacian_weights_validated():
+    from pyxu_tpu.operator.linop.diff import DirectionalLaplacian
+    with pytest.raises(ValueError, match="weights and directions"):
+        DirectionalLaplacian((6, 6),
+                             directions=[jnp.asarray([1.0, 0.0]),
+                                         jnp.asarray([0.0, 1.0])],
+                             weights=[1.0])
+
+
+def test_second_directional_derivative_order2():
+    """order=2: v^T H v; for v = e_x it is d^2/dx^2."""
+    from pyxu_tpu.operator.linop.diff import (DirectionalDerivative,
+                                              PartialDerivative)
+    shape = (12,)
+    dd = DirectionalDerivative(shape, 2, jnp.asarray([1.0]))
+    pd2 = PartialDerivative.finite_difference(shape, order=(2,),
+                                              scheme="central", accuracy=2)
+    x = jnp.asarray(np.random.default_rng(2).random(shape), jnp.float32)
+    np.testing.assert_allclose(np.asarray(dd.apply(x)),
+                               np.asarray(pd2.apply(x)), atol=1e-5)
+
+
+def test_directional_hessian_no_field_differentiation():
+    """Varying fields pointwise-weight the Hessian (reference: 'no
+    differentiation is performed for this parameter')."""
+    from pyxu_tpu.operator.linop.diff import DirectionalHessian, Hessian
+    shape = (9, 9)
+    v = np.zeros((2,) + shape, np.float32)
+    v[0] = 1.0   # constant e_x field, but in 'varying' format
+    dh = DirectionalHessian(shape, directions=[jnp.asarray(v)])
+    hs = Hessian(shape)
+    x = jnp.asarray(np.random.default_rng(3).random(shape), jnp.float32)
+    got = np.asarray(dh.apply(x))         # (1, *shape): e_x^T H e_x = H_00
+    want = np.asarray(hs.apply(x))[0]
+    np.testing.assert_allclose(got[0], want, atol=1e-5)
+
+
+def test_hessian_accepts_pair_and_all():
+    from pyxu_tpu.operator.linop.diff import Hessian
+    x = jnp.asarray(np.random.default_rng(4).random((8, 8)), jnp.float32)
+    h_pair = Hessian((8, 8), directions=(0, 1))
+    assert h_pair.codim_shape[0] == 1
+    h_all = Hessian((8, 8), directions="all")
+    assert h_all.codim_shape[0] == 3
+    np.testing.assert_allclose(np.asarray(h_pair.apply(x))[0],
+                               np.asarray(h_all.apply(x))[1], atol=1e-6)
+
+
+def test_edge_filters_normalized_like_reference():
+    """Sobel/Prewitt/Scharr smooth kernels are [1,2,1]/4, [1,1,1]/3,
+    [3,10,3]/16 (reference filter.py:623, 722, 820)."""
+    from pyxu_tpu.operator.linop.filter import Prewitt, Scharr, Sobel
+    shape = (9, 9)
+    imp = np.zeros(shape, np.float32); imp[4, 4] = 1.0
+    x = jnp.asarray(imp)
+    for fac, smooth in ((Sobel, [0.25, 0.5, 0.25]),
+                        (Prewitt, [1/3, 1/3, 1/3]),
+                        (Scharr, [3/16, 10/16, 3/16])):
+        out = np.asarray(fac(shape, axis=0).apply(x))
+        # correlation impulse response = flipped kernel
+        want = np.outer([1.0, 0.0, -1.0], smooth)
+        np.testing.assert_allclose(out[3:6, 3:6], want, atol=1e-6)
+
+
+def test_gaussian_laplace_sampling_kwarg():
+    from pyxu_tpu.operator.linop.filter import Gaussian, Laplace
+    shape = (16,)
+    x = jnp.asarray(np.random.default_rng(5).random(shape), jnp.float32)
+    # sigma is in physical units: sigma=2 at spacing 0.5 equals sigma=4 in
+    # pixels (reference filter.py:303: sigma_pix = sigma / sampling)
+    ga = Gaussian(shape, sigma=2.0, sampling=0.5)
+    gb = Gaussian(shape, sigma=4.0, sampling=1.0)
+    np.testing.assert_allclose(np.asarray(ga.apply(x)),
+                               np.asarray(gb.apply(x)), atol=1e-6)
+    l1 = Laplace(shape, sampling=2.0)
+    l2 = Laplace(shape)
+    np.testing.assert_allclose(np.asarray(l1.apply(x)) * 2.0,
+                               np.asarray(l2.apply(x)), atol=1e-6)
+
+
+def test_stack_cache_actually_caches():
+    from pyxu_tpu.operator import blocks as B
+    from pyxu_tpu.operator.linop.base import DiagonalOp
+    B._STACK_CACHE.clear()
+    ops = tuple(DiagonalOp(jnp.full(4, float(i + 1))) for i in range(3))
+    t1 = B._stack_ops(ops)
+    assert len(B._STACK_CACHE) == 1
+    t2 = B._stack_ops(ops)
+    assert t2[1][0] is t1[1][0]   # same stacked leaf object => cache hit
