@@ -74,6 +74,33 @@ class Solver:
         }
 
     # ------------------------------------------------------------ subclass --
+    def _hyper_key(self):
+        """Hashable fingerprint of scalar hyperparameters (tau/sigma/rho/
+        variant/restart/...) that m_step reads off ``self`` and which
+        therefore become TRACE CONSTANTS of the compiled segment: a re-fit
+        that changes one must not reuse a program compiled with the old
+        value baked in."""
+        def scalarish(v):
+            if isinstance(v, (bool, int, float, str)) or v is None:
+                return True
+            if isinstance(v, tuple):
+                return all(scalarish(e) for e in v)
+            return False
+
+        items = []
+        for k, v in self.__dict__.items():
+            if k in ("_mstate", "_history", "_seg_cache", "_step_cache",
+                     "_metric_keys", "_astate", "_segment"):
+                continue
+            if isinstance(v, dict):
+                if all(isinstance(kk, str) and scalarish(vv)
+                       for kk, vv in v.items()):
+                    items.append((k, tuple(sorted(v.items()))))
+                continue
+            if scalarish(v):
+                items.append((k, v))
+        return tuple(sorted(items, key=lambda t: t[0]))
+
     def m_init(self, **kwargs) -> dict:
         raise NotImplementedError
 
@@ -135,11 +162,22 @@ class Solver:
         self._track_objective = bool(track_objective)
         cadence = [s for s in (self._writeback_rate, self._verbosity) if s]
         self._segment = int(segment_size or (min(cadence) if cadence else self._max_iter))
+        if segment_size is None and stop.has_host_part():
+            # wall-clock/carbon budgets only fire between segments: a
+            # whole-solve segment would make them unenforceable (and on
+            # remote TPU runtimes minutes-long programs can crash the
+            # worker) — bound the segment so the host is consulted
+            self._segment = min(self._segment, max(self._stop_rate, 50))
         if self._folder is not None:
             wb = pathlib.Path(self._folder).expanduser().resolve()
             wb.mkdir(parents=True, exist_ok=self._exist_ok)
         elif self._writeback_rate is not None:
-            wb = pathlib.Path(tempfile.mkdtemp(prefix="pyxu_tpu_"))
+            # one auto tempdir per solver (not per fit: parameter sweeps
+            # would otherwise leak a dir + file handle per re-fit)
+            wb = getattr(self, "_auto_wb_dir", None)
+            if wb is None:
+                wb = pathlib.Path(tempfile.mkdtemp(prefix="pyxu_tpu_"))
+                self._auto_wb_dir = wb
         else:
             wb = None
         self._astate["wb_dir"] = wb
@@ -148,6 +186,11 @@ class Solver:
         logger = logging.getLogger(
             f"pyxu_tpu.{type(self).__name__}.{id(self):x}.{wb or 'nolog'}")
         logger.setLevel(logging.DEBUG)
+        prev = self._astate.get("logger")
+        if prev is not None and prev is not logger:
+            for h in list(prev.handlers):   # close the old fit's handlers
+                h.close()
+                prev.removeHandler(h)
         if wb is not None and not logger.handlers:
             fh = logging.FileHandler(wb / "solver.log")
             fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
@@ -267,7 +310,7 @@ class Solver:
         # The stop criterion contributes its STRUCTURAL key, so inline
         # fresh-but-identical instances (MaxIter(200) per fit) still hit.
         key = (stop.cache_key(), self._stop_rate, self._max_iter,
-               self._track_objective)
+               self._track_objective, self._hyper_key())
         cached = getattr(self, "_seg_cache", None)
         if cached is not None and cached[0] == key:
             seg_fn, make_hist = cached[1], cached[2]
@@ -276,6 +319,7 @@ class Solver:
             self._seg_cache = (key, seg_fn, make_hist)
         hist = make_hist()
         ops = self._op_operands()
+        host_records = []   # (history row, host metric dict) per segment
         mstate, k, stopped, hist_n = self._mstate, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)
         while True:
             k_end = min(int(k) + self._segment, self._max_iter)
@@ -310,6 +354,9 @@ class Solver:
             # latch host-side firing into the device carry so composed
             # criteria (& / |) see it on the next segment
             cstate = stop.refresh_host(cstate)
+            hm = stop.host_metrics()
+            if hm:
+                host_records.append((max(int(hist_n) - 1, 0), hm))
             host_stop = stop.host_check()
             if stopped_host or host_stop or k_host >= self._max_iter:
                 break
@@ -317,7 +364,8 @@ class Solver:
                 break
         self._mstate = mstate
         try:
-            self._history = self._assemble_history(hist, int(hist_n))
+            self._history = self._assemble_history(hist, int(hist_n),
+                                                   host_records)
             if self._astate["wb_dir"] is not None:
                 self.writeback()
         except Exception:
@@ -327,9 +375,21 @@ class Solver:
                              traceback.format_exc())
             self._history = None
 
-    def _assemble_history(self, hist, n):
+    def _assemble_history(self, hist, n, host_records=None):
         names = list(self._metric_keys)
         arrays = {name: np.asarray(jax.device_get(hist[name][:n])) for name in names}
+        # host-side criterion metrics (duration / carbon_kg, reference
+        # opt/stop.py records them via info()) — one sample per segment,
+        # NaN elsewhere
+        host_cols = {}
+        for idx, hm in (host_records or []):
+            for hname, hval in hm.items():
+                col = host_cols.setdefault(
+                    hname, np.full(n, np.nan, np.float64))
+                if 0 <= idx < n:
+                    col[idx] = float(hval)
+        arrays.update(host_cols)
+        names = names + [h for h in host_cols if h not in names]
         dtypes = [(name, arrays[name].dtype) for name in names]
         out = np.empty(n, dtype=dtypes)
         for name in names:
@@ -344,13 +404,22 @@ class Solver:
         stop.host_init()
         cstate = stop.init_state(self._mstate)
 
-        @jax.jit
-        def one(ops, mstate, cstate, k):
-            def run():
-                m = self.m_step(mstate)
-                cs, stop_now, metrics = stop.update(cstate, m, k + 1)
-                return m, cs, stop_now, metrics
-            return self._with_ops(ops, run)
+        # MANUAL steps reuse a cached jitted step like BLOCK segments do
+        # (a fresh @jax.jit closure per call would recompile every session)
+        key = ("manual", stop.cache_key(), self._hyper_key())
+        cached = getattr(self, "_step_cache", None)
+        if cached is not None and cached[0] == key:
+            one = cached[1]
+        else:
+            @jax.jit
+            def one(ops, mstate, cstate, k):
+                def run():
+                    m = self.m_step(mstate)
+                    cs, stop_now, metrics = stop.update(cstate, m, k + 1)
+                    return m, cs, stop_now, metrics
+                return self._with_ops(ops, run)
+
+            self._step_cache = (key, one)
 
         ops = self._op_operands()
         k = 0

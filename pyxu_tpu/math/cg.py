@@ -41,7 +41,9 @@ def cg_solve(matvec, b, x0=None, *, rtol: float = 1e-6, atol: float = 0.0,
     def bcast(s):
         return s.reshape(s.shape + (1,) * core_ndim)
 
-    x = jnp.zeros_like(b) if x0 is None else jnp.broadcast_to(jnp.asarray(x0, b.dtype), b.shape)
+    from pyxu_tpu.utils.misc import asarray_astype
+    x = jnp.zeros_like(b) if x0 is None else \
+        jnp.broadcast_to(asarray_astype(x0, b.dtype), b.shape)
     r = b - matvec(x)
     p = r
     rs = dot(r, r)

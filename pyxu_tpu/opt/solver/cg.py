@@ -25,7 +25,9 @@ class CG(Solver):
     def m_init(self, b, x0=None, restart_rate: int = None):
         b = jnp.asarray(b)
         self._restart = int(restart_rate) if restart_rate else self._A.dim_size
-        x = jnp.zeros_like(b) if x0 is None else jnp.broadcast_to(jnp.asarray(x0, b.dtype), b.shape)
+        from pyxu_tpu.utils.misc import asarray_astype
+        x = jnp.zeros_like(b) if x0 is None else \
+            jnp.broadcast_to(asarray_astype(x0, b.dtype), b.shape)
         r = b - self._A.apply(x)
         return {"x": x, "b": b, "r": r, "p": r,
                 "rs": self._dot(r, r), "k": jnp.asarray(0, jnp.int32)}

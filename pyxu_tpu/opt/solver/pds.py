@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from pyxu_tpu.abc.solver import Solver
 from pyxu_tpu.opt.stop import RelError
+from pyxu_tpu.utils.misc import asarray_astype as _asarray_astype
 
 __all__ = [
     "CondatVu",
@@ -130,7 +131,7 @@ class _PrimalDualSplitting(Solver):
                           + tuple(self._K.codim_shape if self._K is not None
                                   else self._dim_shape))
                 z0 = jnp.zeros(zshape, x0.dtype)
-            mst["z"] = jnp.asarray(z0, x0.dtype)
+            mst["z"] = _asarray_astype(z0, x0.dtype)
         return self._m_init_extra(mst)
 
     def _m_init_extra(self, mst):
@@ -256,12 +257,12 @@ class DouglasRachford(_PrimalDualSplitting):
     def __init__(self, g=None, h=None, **kwargs):
         super().__init__(f=None, g=g, h=h, K=None, **kwargs)
 
-    def m_init(self, x0, z0=None, tau: float = 1.0, **kw):
+    def m_init(self, x0, z0=None, tau: float = 1.0):
         x0 = jnp.asarray(x0)
         self._tau = float(tau)
         self._sigma = 1.0 / self._tau
         self._rho = 1.0
-        z0 = x0 if z0 is None else jnp.asarray(z0, x0.dtype)
+        z0 = x0 if z0 is None else _asarray_astype(z0, x0.dtype)
         return {"x": x0, "z": z0}
 
     def m_step(self, mst):
@@ -344,14 +345,28 @@ class ADMM(_PrimalDualSplitting):
             if "rtol" in self._solver_kwargs:
                 f._prox_rtol = float(self._solver_kwargs["rtol"])
 
-    def m_init(self, x0, z0=None, u0=None, tau: float = None, **kw):
+    def m_init(self, x0, z0=None, u0=None, tau: float = None):
+        from pyxu_tpu.abc.operator import Property as P
         x0 = jnp.asarray(x0)
         if tau is None:
             tau = 1.0
         self._tau = float(tau)
+        # GD x-update step size must be computed HOST-SIDE here: inside the
+        # jitted segment self._f/self._K hold tracer leaves and the
+        # estimate_*lipschitz power iterations would trace-crash (and be
+        # swallowed by the crash-proof segment loop, returning x0)
+        needs_gd = (not self._f.has(P.QUADRATIC)
+                    and not (self._K is None and self._f.has(P.PROXIMABLE)))
+        if needs_gd and self._f.has(P.DIFFERENTIABLE):
+            beta = self._f.diff_lipschitz
+            if not _math.isfinite(beta):
+                beta = self._f.estimate_diff_lipschitz()
+            LK = self._norm_K()
+            self._gd_step = 1.0 / (max(float(beta), 1e-12)
+                                   + float(LK) ** 2 / self._tau)
         Kx = self._K.apply(x0) if self._K is not None else x0
-        z0 = Kx if z0 is None else jnp.asarray(z0, x0.dtype)
-        u0 = jnp.zeros_like(z0) if u0 is None else jnp.asarray(u0, x0.dtype)
+        z0 = Kx if z0 is None else _asarray_astype(z0, x0.dtype)
+        u0 = jnp.zeros_like(z0) if u0 is None else _asarray_astype(u0, x0.dtype)
         return {"x": x0, "z": z0, "u": u0}
 
     def _x_update(self, x, v):
@@ -375,13 +390,10 @@ class ADMM(_PrimalDualSplitting):
                             maxiter=self._solver_kwargs.get("maxiter", 50),
                             core_ndim=len(self._dim_shape))
         # differentiable f: fixed number of gradient-descent steps on
-        # F(x) = f(x) + ‖Kx − v‖²/(2τ)
+        # F(x) = f(x) + ‖Kx − v‖²/(2τ); step size precomputed host-side in
+        # m_init (Lipschitz estimation cannot run on traced operators)
         n_steps = self._solver_kwargs.get("maxiter", 20)
-        beta = self._f.diff_lipschitz
-        if not _math.isfinite(beta):
-            beta = self._f.estimate_diff_lipschitz()  # inf would zero the step
-        LK = self._norm_K()
-        step = 1.0 / (max(beta, 1e-12) + LK**2 / tau)
+        step = self._gd_step
         for _ in range(n_steps):
             grad = self._f.grad(x) + self._Kt(self._Kf(x) - v) / tau
             x = x - step * grad

@@ -65,6 +65,12 @@ class StoppingCriterion:
     def host_metrics(self) -> dict:
         return {}
 
+    def has_host_part(self) -> bool:
+        """True when the criterion (or a sub-criterion) can only fire on the
+        host (wall-clock / carbon budgets): the solver bounds its segment
+        size so the budget is actually consulted mid-solve."""
+        return False
+
     def cache_key(self):
         """Structural identity for the solver's compiled-segment cache: two
         criteria with equal keys trace to the same device program, so a
@@ -104,7 +110,13 @@ class _Combined(StoppingCriterion):
         fl = jnp.logical_or(sl, host_flags[0])
         fr = jnp.logical_or(sr, host_flags[1])
         stop = jnp.logical_and(fl, fr) if self._all else jnp.logical_or(fl, fr)
-        metrics = {**ml, **mr}
+        # deterministic disambiguation: identical metric names from both
+        # sides (e.g. two RelError[x] legs) must not silently overwrite
+        metrics = dict(ml)
+        for name, val in mr.items():
+            while name in metrics:
+                name = name + "'"
+            metrics[name] = val
         return (cl, cr, host_flags), stop, metrics
 
     def host_init(self):
@@ -124,6 +136,9 @@ class _Combined(StoppingCriterion):
 
     def host_metrics(self) -> dict:
         return {**self._lhs.host_metrics(), **self._rhs.host_metrics()}
+
+    def has_host_part(self) -> bool:
+        return self._lhs.has_host_part() or self._rhs.has_host_part()
 
     def cache_key(self):
         return (type(self), self._lhs.cache_key(), self._rhs.cache_key(),
@@ -167,6 +182,9 @@ class MaxDuration(StoppingCriterion):
 
     def host_metrics(self) -> dict:
         return {"duration": time.monotonic() - (self._t0 or time.monotonic())}
+
+    def has_host_part(self) -> bool:
+        return True
 
     def cache_key(self):
         # host-only criterion: the traced device program does not depend on
@@ -273,7 +291,10 @@ class RelError(StoppingCriterion):
         v = jnp.asarray(mstate[self._var])
         if self._f is not None:
             v = self._f(v)
-        return {"prev": jnp.full_like(v, jnp.nan)}
+        # explicit first-iteration flag: a NaN sentinel in `prev` would be
+        # indistinguishable from a DIVERGED iterate (NaN x), which must not
+        # disable the criterion and burn the full max_iter on device
+        return {"prev": jnp.zeros_like(v), "have": jnp.asarray(False)}
 
     def update(self, cstate, mstate, k):
         v = jnp.asarray(mstate[self._var])
@@ -284,12 +305,17 @@ class RelError(StoppingCriterion):
         num = _batched_norm(v - prev, rank, self._norm)
         den = _batched_norm(prev, rank, self._norm)
         val = num / jnp.maximum(den, jnp.finfo(v.dtype).tiny)
-        valid = jnp.logical_not(jnp.any(jnp.isnan(prev)))
+        valid = cstate["have"]
         stop_elem = val <= self._eps
         stop = jnp.all(stop_elem) if self._all else jnp.any(stop_elem)
         stop = jnp.logical_and(stop, valid)
+        # a diverged iterate (NaN/Inf) can never satisfy the tolerance —
+        # stop instead of burning the remaining max_iter on device
+        diverged = jnp.logical_not(jnp.all(jnp.isfinite(v)))
+        stop = jnp.logical_or(stop, jnp.logical_and(diverged, valid))
         metric = jnp.where(valid, jnp.max(val), jnp.inf)
-        return {"prev": v}, stop, {f"RelError[{self._var}]": metric}
+        return ({"prev": v, "have": jnp.asarray(True)}, stop,
+                {f"RelError[{self._var}]": metric})
 
     def cache_key(self):
         if self._f is not None:  # arbitrary callable: identity only

@@ -134,3 +134,15 @@ def infer_composition_shape(sh1, sh2):
     if as_canonical_shape(di1) != as_canonical_shape(co2):
         raise ValueError(f"composition of {sh1} and {sh2} operators forbidden")
     return (as_canonical_shape(co1), as_canonical_shape(di2))
+
+
+def asarray_astype(arr, dtype):
+    """``jnp.asarray(arr, dtype)`` that casts HOST inputs host-side first —
+    a dtype-converting asarray of a host array transfers the raw bytes then
+    converts ON DEVICE (CLAUDE.md gotcha: 2x bytes over slow relays)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    if not isinstance(arr, jax.Array):
+        return jnp.asarray(np.asarray(arr).astype(dtype))
+    return jnp.asarray(arr, dtype)

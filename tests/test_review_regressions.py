@@ -474,3 +474,118 @@ def test_stack_cache_actually_caches():
     assert len(B._STACK_CACHE) == 1
     t2 = B._stack_ops(ops)
     assert t2[1][0] is t1[1][0]   # same stacked leaf object => cache hit
+
+
+# ----------------------------------------------- solver-engine review fixes --
+
+def test_refit_with_new_tau_takes_effect():
+    """The compiled-segment cache key must include hyperparameters: a re-fit
+    with a different tau previously reused the program with the OLD tau
+    baked in as a trace constant (silent wrong results)."""
+    from pyxu_tpu.operator.func import SquaredL2Norm
+    from pyxu_tpu.opt.solver import PGD
+    from pyxu_tpu.opt.stop import MaxIter
+    y = jnp.asarray([2.0, -3.0, 1.0])
+    f = SquaredL2Norm((3,)).asloss(y)
+    slv = PGD(f=f)
+    slv.fit(x0=jnp.zeros(3), stop_crit=MaxIter(1), max_iter=1, tau=0.1,
+            acceleration=False)
+    x_small = np.asarray(slv.solution())
+    slv.fit(x0=jnp.zeros(3), stop_crit=MaxIter(1), max_iter=1, tau=0.5,
+            acceleration=False)
+    x_big = np.asarray(slv.solution())
+    # one gradient step from 0: x = tau * 2 * y -> scales linearly with tau
+    np.testing.assert_allclose(x_small * 5.0, x_big, atol=1e-5)
+
+
+def test_relerror_stops_on_divergence():
+    from pyxu_tpu.operator.func import SquaredL2Norm
+    from pyxu_tpu.opt.solver import PGD
+    from pyxu_tpu.opt.stop import RelError
+    f = SquaredL2Norm((4,)).asloss(jnp.ones(4))
+    slv = PGD(f=f, stop_rate=1)
+    # absurd step size -> divergence to inf/NaN; must stop early, not burn
+    # the full max_iter
+    slv.fit(x0=jnp.ones(4) * 100.0, stop_crit=RelError(1e-12), max_iter=5000,
+            tau=1e6, segment_size=50)
+    _, hist = slv.stats()
+    assert hist is not None and hist["iteration"][-1] < 5000
+
+
+def test_maxduration_enforced_mid_solve():
+    import datetime as dt
+    import time as _time
+    from pyxu_tpu.operator.func import SquaredL2Norm
+    from pyxu_tpu.opt.solver import PGD
+    from pyxu_tpu.opt.stop import MaxDuration
+    f = SquaredL2Norm((64,)).asloss(jnp.ones(64))
+    slv = PGD(f=f, stop_rate=1)
+    t0 = _time.monotonic()
+    slv.fit(x0=jnp.zeros(64), stop_crit=MaxDuration(dt.timedelta(seconds=0.2)),
+            max_iter=2_000_000, tau=1e-4)
+    assert _time.monotonic() - t0 < 30.0
+    _, hist = slv.stats()
+    assert hist["iteration"][-1] < 2_000_000
+    # host metric recorded into the history (reference records duration)
+    assert "duration" in hist.dtype.names
+
+
+def test_combined_duplicate_metric_keys_kept():
+    from pyxu_tpu.opt.stop import RelError
+    crit = RelError(1e-3, var="x") | RelError(1e-6, var="x")
+    cs = crit.init_state({"x": jnp.ones(3)})
+    cs, stop, metrics = crit.update(cs, {"x": jnp.ones(3) * 2}, 1)
+    assert "RelError[x]" in metrics and "RelError[x]'" in metrics
+
+
+def test_admm_gd_xupdate_inside_jit():
+    """Non-quadratic differentiable f with K: the GD x-update's step size is
+    now computed host-side in m_init (was estimating Lipschitz constants on
+    traced operators, crashing inside the segment and silently returning
+    x0)."""
+    from pyxu_tpu.abc.operator import DiffFunc
+    from pyxu_tpu.operator.func import L1Norm
+    from pyxu_tpu.operator.interop import from_source
+    from pyxu_tpu.operator.linop.base import ExplicitLinOp
+    from pyxu_tpu.opt.solver import ADMM
+    from pyxu_tpu.opt.stop import MaxIter
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    # smooth non-quadratic loss: sum log cosh(x - y)
+    f = from_source(
+        DiffFunc, (4,),
+        apply=lambda x: jnp.sum(jnp.log(jnp.cosh(x - y)), -1),
+        grad=lambda x: jnp.tanh(x - y),
+        diff_lipschitz=1.0)
+    K = ExplicitLinOp(jnp.asarray(rng.standard_normal((5, 4)), jnp.float32))
+    slv = ADMM(f=f, h=0.01 * L1Norm((5,)), K=K)
+    slv.fit(x0=jnp.zeros(4), stop_crit=MaxIter(60), max_iter=60, tau=1.0)
+    x = np.asarray(slv.solution())
+    # must have moved toward y (x0 would indicate the swallowed-crash path)
+    assert np.linalg.norm(x - np.asarray(y)) < 0.8 * np.linalg.norm(np.asarray(y))
+
+
+def test_admm_rejects_typo_kwargs():
+    from pyxu_tpu.operator.func import L1Norm, SquaredL2Norm
+    from pyxu_tpu.opt.solver import ADMM
+    from pyxu_tpu.opt.stop import MaxIter
+    slv = ADMM(f=SquaredL2Norm((3,)).asloss(jnp.ones(3)), h=L1Norm((3,)))
+    with pytest.raises(TypeError):
+        slv.fit(x0=jnp.zeros(3), stop_crit=MaxIter(2), max_iter=2, tau0=0.1)
+
+
+def test_manual_steps_jit_cached():
+    from pyxu_tpu.operator.func import SquaredL2Norm
+    from pyxu_tpu.opt.solver import PGD
+    from pyxu_tpu.opt.stop import MaxIter
+    from pyxu_tpu.abc.solver import Mode
+    f = SquaredL2Norm((3,)).asloss(jnp.ones(3))
+    slv = PGD(f=f)
+    gen = slv.fit(x0=jnp.zeros(3), mode=Mode.MANUAL, stop_crit=MaxIter(3),
+                  max_iter=3, tau=0.1)
+    next(gen)
+    fn1 = slv._step_cache[1]
+    gen2 = slv.fit(x0=jnp.zeros(3), mode=Mode.MANUAL, stop_crit=MaxIter(3),
+                   max_iter=3, tau=0.1)
+    next(gen2)
+    assert slv._step_cache[1] is fn1
