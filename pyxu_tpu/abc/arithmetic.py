@@ -448,7 +448,9 @@ class ChainMixin:
         self._name = "Chain"
         if _finite(lhs._lipschitz) and _finite(rhs._lipschitz):
             self._lipschitz = lhs._lipschitz * rhs._lipschitz
-        if rhs.has(P.LINEAR) and _finite(lhs._diff_lipschitz) and _finite(rhs._lipschitz):
+        if lhs.has(P.LINEAR) and rhs.has(P.LINEAR):
+            self._diff_lipschitz = 0.0   # constant Jacobian, exactly
+        elif rhs.has(P.LINEAR) and _finite(lhs._diff_lipschitz) and _finite(rhs._lipschitz):
             self._diff_lipschitz = lhs._diff_lipschitz * rhs._lipschitz**2
         elif lhs.has(P.LINEAR) and _finite(lhs._lipschitz) and _finite(rhs._diff_lipschitz):
             self._diff_lipschitz = lhs._lipschitz * rhs._diff_lipschitz
@@ -503,10 +505,12 @@ class ChainMixin:
         return self._lipschitz
 
     def estimate_diff_lipschitz(self, **kw):
-        """dL bounds through composition (reference ChainRule semantics):
-        linear chain -> 0; f o K with K linear -> dL_f . ||K||^2;
-        K o g with K linear -> ||K|| . dL_g; general case has no clean
-        bound -> product heuristic of the operands' estimates."""
+        """dL bounds through composition (reference ChainRule semantics,
+        arithmetic.py:1073-1077): linear chain -> 0; f o K with K linear ->
+        dL_f . ||K||^2; K o g with K linear -> ||K|| . dL_g; nonlinear o
+        nonlinear has NO finite bound -> infinity (a product "heuristic"
+        would under-report, e.g. (x^2/2) o (x^2/2) = x^4/8 is not
+        diff-Lipschitz at all, and a 1/dL step size would diverge)."""
         if self.has(P.LINEAR):
             self._diff_lipschitz = 0.0
         elif self._rhs.has(P.LINEAR):
@@ -516,10 +520,7 @@ class ChainMixin:
             Ll = self._lhs.estimate_lipschitz(**kw)
             self._diff_lipschitz = Ll * self._rhs.estimate_diff_lipschitz(**kw)
         else:
-            self._diff_lipschitz = (
-                self._lhs.estimate_diff_lipschitz(**kw)
-                * self._rhs.estimate_diff_lipschitz(**kw)
-            )
+            self._diff_lipschitz = _math.inf
         return self._diff_lipschitz
 
     def asarray(self, dtype=None):
@@ -711,7 +712,10 @@ class CastMixin:
     def _quad_spec(self):
         if self._op.has(P.QUADRATIC):
             return self._op._quad_spec()
-        raise NotImplementedError
+        raise NotImplementedError(
+            f"{self._name}: cast target is quadratic but the inner operator "
+            "carries no quadratic spec — asop(QuadraticFunc) requires a "
+            "QUADRATIC operand")
 
     def estimate_lipschitz(self, **kw):
         if self.has(P.LINEAR) and not self._op.has(P.LINEAR):
@@ -720,6 +724,14 @@ class CastMixin:
             L = self._op.estimate_lipschitz(**kw)
         self._lipschitz = L
         return L
+
+    def estimate_diff_lipschitz(self, **kw):
+        # delegate to the inner operator: the cast class's own estimator may
+        # dereference data fields (e.g. QuadraticFunc._Q) that a cast never
+        # sets
+        dL = self._op.estimate_diff_lipschitz(**kw)
+        self._diff_lipschitz = dL
+        return dL
 
 
 def cast_op(op: Operator, cast_to: type) -> Operator:

@@ -37,8 +37,6 @@ import enum
 import functools
 import math as _math
 import types
-import typing as typ
-import warnings
 
 import jax
 import jax.numpy as jnp
@@ -228,9 +226,6 @@ class Operator:
         return frozenset(props) <= self.properties()
 
     # -- batch helpers -----------------------------------------------------
-    def _batch_shape_of(self, arr, rank: int) -> tuple:
-        return jnp.shape(arr)[: jnp.ndim(arr) - rank]
-
     def _map_batched(self, fn, arr, in_rank: int, out_shape: tuple):
         """Apply single-sample ``fn`` over arbitrary leading batch axes."""
         arr = jnp.asarray(arr)
@@ -335,7 +330,18 @@ class Operator:
 
     def argshift(self, shift) -> "Operator":
         from pyxu_tpu.abc import arithmetic
-        return arithmetic.argshift(self, jnp.asarray(shift))
+        # host inputs stay host-side until placement: an eager complex
+        # device transfer poisons some TPU runtimes (CLAUDE.md)
+        if not isinstance(shift, jax.Array):
+            shift = np.asarray(shift)
+            if np.iscomplexobj(shift):
+                from pyxu_tpu.utils.complex import view_as_real
+                raise ValueError(
+                    "argshift with complex host data: convert to the real "
+                    "(..., 2) view first (view_as_real) — eager complex "
+                    "device transfers are unsupported on some TPU runtimes")
+            shift = jnp.asarray(shift)
+        return arithmetic.argshift(self, shift)
 
 
 class Map(Operator):
@@ -387,7 +393,10 @@ class Func(Map):
         """f(x) -> f(x - data) (reference: operator/func/loss.py:8-29)."""
         if data is None:
             return self
-        return self.argshift(-jnp.asarray(data))
+        # negate host-side for host inputs (no eager device round-trip)
+        if not isinstance(data, jax.Array):
+            return self.argshift(np.negative(np.asarray(data)))
+        return self.argshift(-data)
 
 
 class DiffMap(Map):
@@ -635,13 +644,17 @@ class LinOp(DiffMap):
         mv = lambda x: gram.apply(x) + damp * x
         # same dtype/size guard as QuadraticFunc.prox: sub-precision rtol +
         # unbounded maxiter = a device program that runs for minutes
+        unknown = set(kwargs) - {"rtol", "maxiter"}
+        assert not unknown, f"unknown pinv kwargs: {unknown}"
         rtol = kwargs.get("rtol")
         if rtol is None:
             rtol = max(100.0 * float(jnp.finfo(b.dtype).eps), 1e-6)
         maxiter = kwargs.get("maxiter")
         if maxiter is None:
             maxiter = min(max(2 * self.dim_size, 20), 1000)
-        return cg_solve(mv, b, rtol=rtol, maxiter=maxiter)
+        x0 = (kwargs_init or {}).get("x0")   # warm start (reference
+        # kwargs_init feeds the nested CG solver, abc/operator.py:1664-1746)
+        return cg_solve(mv, b, x0=x0, rtol=rtol, maxiter=maxiter)
 
     def dagger(self, damp: float = 0.0, **kwargs) -> "LinOp":
         """The pseudo-inverse as a LinOp (reference: abc/operator.py:1747-1800)."""
@@ -830,8 +843,11 @@ class LinFunc(ProxDiffFunc, LinOp):
         return self._lipschitz
 
     def svdvals(self, k: int = 1, **kwargs):
-        assert k == 1
-        return jnp.array([self.estimate_lipschitz()], dtype=default_fdtype())
+        # rank-1 spectrum, padded with zeros, ascending (svds contract)
+        s1 = self.estimate_lipschitz()
+        out = np.zeros(k, dtype=default_fdtype())
+        out[-1] = s1
+        return jnp.asarray(out)
 
     def asarray(self, dtype=None):
         dtype = np.dtype(dtype) if dtype is not None else default_fdtype()

@@ -589,3 +589,65 @@ def test_manual_steps_jit_cached():
                    max_iter=3, tau=0.1)
     next(gen2)
     assert slv._step_cache[1] is fn1
+
+
+# ----------------------------------------------- core-algebra review fixes --
+
+def test_nonlinear_chain_diff_lipschitz_is_inf():
+    """(x^2/2) o (x^2/2) = x^4/8 has no finite diff-Lipschitz; the reference
+    ChainRule reports infinity (a product heuristic under-reports and a
+    1/dL step size diverges)."""
+    import math
+    sq = from_source(DiffFunc, (3,),
+                     apply=lambda x: jnp.sum(0.5 * x ** 2, -1),
+                     grad=lambda x: x, diff_lipschitz=1.0)
+    sq_map = from_source(
+        __import__("pyxu_tpu.abc.operator", fromlist=["DiffMap"]).DiffMap,
+        (3,), (3,), apply=lambda x: 0.5 * x ** 2)
+    comp = sq * sq_map
+    assert math.isinf(comp.estimate_diff_lipschitz())
+
+
+def test_linear_chain_diff_lipschitz_zero():
+    from pyxu_tpu.operator.linop.base import ExplicitLinOp
+    A = ExplicitLinOp(jnp.eye(3))
+    B = ExplicitLinOp(jnp.eye(3))
+    comp = A * B
+    assert float(comp.diff_lipschitz) == 0.0
+
+
+def test_cast_estimate_diff_lipschitz_delegates():
+    from pyxu_tpu.abc.operator import ProxDiffFunc, QuadraticFunc
+    from pyxu_tpu.operator.linop.base import DiagonalOp
+    qf = QuadraticFunc((4,), Q=DiagonalOp(jnp.asarray([1.0, 2.0, 3.0, 4.0])))
+    cast = qf.asop(ProxDiffFunc)
+    dL = cast.estimate_diff_lipschitz()
+    assert abs(float(dL) - 4.0) < 1e-3
+
+
+def test_asloss_host_data_stays_host_side():
+    """asloss(np_array) must not require an eager device round-trip of the
+    negated data (poison hazard on some TPU runtimes)."""
+    y = np.asarray([1.0, -2.0, 3.0], np.float32)
+    f = SquaredL2Norm((3,)).asloss(y)
+    x = jnp.asarray([1.0, -2.0, 3.0], jnp.float32)
+    assert abs(float(f.apply(x))) < 1e-6
+
+
+def test_pinv_warm_start_and_typo_rejection():
+    from pyxu_tpu.operator.linop.base import ExplicitLinOp
+    rng = np.random.default_rng(0)
+    A = ExplicitLinOp(jnp.asarray(rng.standard_normal((5, 4)), jnp.float32))
+    y = jnp.asarray(rng.standard_normal(5), jnp.float32)
+    x1 = A.pinv(y, maxiter=60)
+    x2 = A.pinv(y, kwargs_init={"x0": x1}, maxiter=60)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+    with pytest.raises(AssertionError, match="unknown pinv"):
+        A.pinv(y, rtoll=1e-3)
+
+
+def test_linfunc_svdvals_padded():
+    from pyxu_tpu.operator.linop import ExplicitLinFunc
+    w = jnp.asarray([3.0, 4.0])
+    s = np.asarray(ExplicitLinFunc(w).svdvals(k=2))
+    np.testing.assert_allclose(s, [0.0, 5.0], atol=1e-6)
