@@ -36,15 +36,23 @@ class ConsensusADMM(Solver):
         kwargs.setdefault("log_var", ("z",))
         super().__init__(**kwargs)
         from pyxu_tpu.operator.blocks import block_diag
-        if isinstance(fs, (list, tuple)):
-            self._B = len(fs)
-            self._fsum = block_diag(list(fs))   # separable sum with vmap prox
-            self._dim_shape = fs[0].dim_shape
-        else:
+        if not isinstance(fs, (list, tuple)):
             raise TypeError("fs must be a list of per-block functionals")
+        if not fs:
+            raise ValueError("fs must be non-empty")
+        self._B = len(fs)
+        self._fsum = block_diag(list(fs))   # separable sum with vmap prox
+        self._dim_shape = fs[0].dim_shape
         self._g = g
         self._mesh = mesh
         self._mesh_axis = mesh_axis or (mesh.axis_names[0] if mesh else None)
+        if mesh is not None:
+            n_dev = mesh.shape[self._mesh_axis]
+            if self._B % n_dev != 0:
+                raise ValueError(
+                    f"ConsensusADMM: {self._B} blocks are not divisible by "
+                    f"the {n_dev} devices on mesh axis {self._mesh_axis!r} — "
+                    "pad fs to a multiple or use a smaller mesh axis")
 
     def m_init(self, z0, tau: float = 1.0):
         z0 = jnp.asarray(z0)
@@ -53,11 +61,10 @@ class ConsensusADMM(Solver):
         x = jnp.broadcast_to(z0, (B,) + z0.shape)
         u = jnp.zeros_like(x)
         if self._mesh is not None:
-            blk = NamedSharding(self._mesh, P(self._mesh_axis))
-            rep = NamedSharding(self._mesh, P())
-            x = jax.device_put(x, blk)
-            u = jax.device_put(u, blk)
-            z0 = jax.device_put(z0, rep)
+            from pyxu_tpu.parallel.mesh import replicate, shard
+            x = shard(x, self._mesh, P(self._mesh_axis))
+            u = shard(u, self._mesh, P(self._mesh_axis))
+            z0 = replicate(z0, self._mesh)
         return {"x": x, "u": u, "z": z0}
 
     def m_step(self, mst):

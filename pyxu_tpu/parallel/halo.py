@@ -33,6 +33,8 @@ def halo_exchange(x, lo: int, hi: int, axis: int, axis_name: str,
     local block padded to ``n_local + lo + hi`` along ``axis``.
     ``mode='constant'``: zeros at the global edges; ``'wrap'``: ring.
     """
+    assert mode in ("constant", "wrap"), \
+        f"halo_exchange supports 'constant'/'wrap' boundaries, got {mode!r}"
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
 
@@ -142,13 +144,18 @@ class ShardedStencil(SquareOp):
         return self._run(arr, self._kernels, self._centers)
 
     def adjoint(self, arr):
-        flipped = tuple(jnp.flip(k, axis=tuple(range(k.ndim)))
-                        for k in reversed(self._kernels))
-        centers = tuple(
-            tuple(k.shape[d] - 1 - c[d] for d in range(k.ndim))
-            for k, c in zip(reversed(self._kernels), reversed(self._centers))
-        )
-        return self._run(arr, flipped, centers)
+        # static data: flip kernels / mirror centers once, not per call
+        cached = getattr(self, "_adj_cache", None)
+        if cached is None:
+            flipped = tuple(jnp.flip(k, axis=tuple(range(k.ndim)))
+                            for k in reversed(self._kernels))
+            centers = tuple(
+                tuple(k.shape[d] - 1 - c[d] for d in range(k.ndim))
+                for k, c in zip(reversed(self._kernels),
+                                reversed(self._centers))
+            )
+            cached = self._adj_cache = (flipped, centers)
+        return self._run(arr, *cached)
 
     def _expr(self):
         return (f"ShardedStencil[{self._mode}, axis={self._ax}@{self._mname}]",)

@@ -27,9 +27,11 @@ def auto_mesh(*axis_sizes, axis_names=None, devices=None) -> Mesh:
     devs = np.asarray(devices if devices is not None else jax.devices())
     if not axis_sizes:
         axis_sizes = (devs.size,)
-    axis_names = axis_names or tuple(f"ax{i}" for i in range(len(axis_sizes)))
-    if len(axis_sizes) == 1 and axis_names == ("ax0",):
-        axis_names = ("s",)
+    if axis_names is None:
+        axis_names = ("s",) if len(axis_sizes) == 1 else \
+            tuple(f"ax{i}" for i in range(len(axis_sizes)))
+    else:
+        axis_names = tuple(axis_names)
     n = int(np.prod(axis_sizes))
     assert n <= devs.size, f"need {n} devices, have {devs.size}"
     return Mesh(devs[:n].reshape(axis_sizes), axis_names=axis_names)

@@ -13,18 +13,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pyxu_tpu.abc.operator import LinOp, Operator, Property
+from pyxu_tpu.abc.operator import (LinOp, Operator, Property,
+                                    infer_operator_class)
 
 __all__ = ["with_sharding", "sharded_block_diag"]
 
 
-class _ShardedOp(LinOp):
-    """op with sharding constraints on inputs/outputs (GSPMD partitioning)."""
+class _ShardedMixin:
+    """op with sharding constraints on inputs/outputs (GSPMD partitioning).
+    Composed with the operator class matching the wrapped op's PROPERTIES —
+    subclassing LinOp unconditionally would claim LINEAR for nonlinear ops
+    (wrong jacobian fast path) and drop PROXIMABLE/DIFFERENTIABLE."""
 
     _data_fields = ("_op",)
 
     def __init__(self, op: Operator, mesh: Mesh, in_spec, out_spec):
-        super().__init__(op.dim_shape, op.codim_shape)
+        Operator.__init__(self, op.dim_shape, op.codim_shape)
         self._op = op
         self._mesh = mesh
         self._in_spec = in_spec
@@ -52,15 +56,30 @@ class _ShardedOp(LinOp):
         return jax.lax.with_sharding_constraint(out, self._shardings(self._in_spec, b))
 
     def grad(self, arr):
-        return self._op.grad(arr)
+        # grad lives in dim space on both sides: constrain like apply so the
+        # partitioning intent reaches the methods solvers actually call
+        arr = jnp.asarray(arr)
+        b = arr.ndim - self.dim_rank
+        arr = jax.lax.with_sharding_constraint(arr, self._shardings(self._in_spec, b))
+        out = self._op.grad(arr)
+        return jax.lax.with_sharding_constraint(out, self._shardings(self._in_spec, b))
 
     def prox(self, arr, tau):
-        return self._op.prox(arr, tau)
+        arr = jnp.asarray(arr)
+        b = arr.ndim - self.dim_rank
+        arr = jax.lax.with_sharding_constraint(arr, self._shardings(self._in_spec, b))
+        out = self._op.prox(arr, tau)
+        return jax.lax.with_sharding_constraint(out, self._shardings(self._in_spec, b))
 
     def estimate_lipschitz(self, **kw):
         L = self._op.estimate_lipschitz(**kw)
         self._lipschitz = L
         return L
+
+    def estimate_diff_lipschitz(self, **kw):
+        dL = self._op.estimate_diff_lipschitz(**kw)
+        self._diff_lipschitz = dL
+        return dL
 
     def _expr(self):
         return (f"sharded[{self._in_spec}->{self._out_spec}]", self._op)
@@ -76,7 +95,20 @@ def with_sharding(op: Operator, mesh: Mesh, in_spec, out_spec=None) -> Operator:
     in_spec = tuple(in_spec)
     if out_spec is None:
         out_spec = in_spec if len(in_spec) == op.codim_rank else (None,) * op.codim_rank
-    return _ShardedOp(op, mesh, in_spec, tuple(out_spec))
+    return _sharded_op(op, mesh, in_spec, tuple(out_spec))
+
+
+import functools as _functools
+
+
+@_functools.cache
+def _sharded_class(base: type) -> type:
+    return type(f"Sharded[{base.__name__}]", (_ShardedMixin, base), {})
+
+
+def _sharded_op(op, mesh, in_spec, out_spec):
+    base = infer_operator_class(op.properties())
+    return _sharded_class(base)(op, mesh, in_spec, out_spec)
 
 
 def sharded_block_diag(ops, mesh: Mesh, mesh_axis: str = None) -> Operator:
@@ -86,6 +118,11 @@ def sharded_block_diag(ops, mesh: Mesh, mesh_axis: str = None) -> Operator:
     from pyxu_tpu.operator.blocks import block_diag
     op = block_diag(ops)
     mesh_axis = mesh_axis or mesh.axis_names[0]
-    rank = op.dim_rank
-    spec = (mesh_axis,) + (None,) * (rank - 1)
-    return _ShardedOp(op, mesh, spec, spec)
+    in_spec = (mesh_axis,) + (None,) * (op.dim_rank - 1)
+    # the output may have a different rank (rank-reducing blocks) or be a
+    # scalar (functional blocks): build its spec from codim_rank
+    if op.codim_rank == 0:
+        out_spec = ()
+    else:
+        out_spec = (mesh_axis,) + (None,) * (op.codim_rank - 1)
+    return _sharded_op(op, mesh, in_spec, out_spec)

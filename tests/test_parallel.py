@@ -350,3 +350,54 @@ class TestShardedMMPath:
         wr = np.stack([want.real, want.imag], -1)
         np.testing.assert_allclose(np.asarray(op.apply(a)), wr,
                                    atol=2e-4 * np.abs(wr).max())
+
+
+class TestParallelReviewFixes:
+    """Regression tests for the parallel-layer review findings."""
+
+    def test_sharded_block_diag_rank_reducing_and_functional(self):
+        from pyxu_tpu.operator.linop import Sum
+        ops = [Sum((4, 3), axis=-1) for _ in range(8)]
+        op = sharded_block_diag(ops, auto_mesh())
+        x = jnp.asarray(rng0.standard_normal((8, 4, 3)), jnp.float32)
+        got = np.asarray(jax.jit(op.apply)(x))
+        want = np.asarray(x).sum(-1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        fs = [SquaredL2Norm((4,)) for _ in range(8)]
+        fop = sharded_block_diag(fs, auto_mesh())
+        xf = jnp.asarray(rng0.standard_normal((8, 4)), jnp.float32)
+        got_f = float(jax.jit(fop.apply)(xf))
+        np.testing.assert_allclose(got_f, float((np.asarray(xf) ** 2).sum()),
+                                   rtol=1e-5)
+
+    def test_with_sharding_preserves_properties(self):
+        from pyxu_tpu.abc.operator import Property
+        mesh = auto_mesh()
+        w = with_sharding(SquaredL2Norm((8,)), mesh, in_spec=("s",))
+        assert not w.has(Property.LINEAR)
+        assert w.has(Property.PROXIMABLE)
+        assert w.has(Property.DIFFERENTIABLE)
+        x = jnp.asarray(rng0.standard_normal(8), jnp.float32)
+        np.testing.assert_allclose(np.asarray(jax.jit(w.grad)(x)),
+                                   2 * np.asarray(x), atol=1e-5)
+        p = np.asarray(jax.jit(lambda v: w.prox(v, 0.5))(x))
+        np.testing.assert_allclose(p, np.asarray(x) / 2.0, atol=1e-5)
+
+    def test_halo_exchange_rejects_unknown_mode(self):
+        from pyxu_tpu.parallel import halo_exchange
+        with pytest.raises(AssertionError, match="constant"):
+            jax.shard_map(
+                lambda x: halo_exchange(x, 1, 1, 0, "s", mode="reflect"),
+                mesh=auto_mesh(), in_specs=P("s"), out_specs=P("s"),
+            )(jnp.ones(16))
+
+    def test_consensus_validates_block_count(self):
+        fs = [SquaredL2Norm((4,)).asloss(jnp.ones(4)) for _ in range(6)]
+        with pytest.raises(ValueError, match="divisible"):
+            ConsensusADMM(fs, mesh=auto_mesh())
+        with pytest.raises(ValueError, match="non-empty"):
+            ConsensusADMM([], mesh=None)
+
+    def test_auto_mesh_keeps_explicit_axis_name(self):
+        m = auto_mesh(8, axis_names=("ax0",))
+        assert m.axis_names == ("ax0",)
