@@ -200,14 +200,20 @@ class LInfinityNorm(_NormFunc):
     (norm.py:263-293) — identical result, jit-compatible.
     """
 
+    def __init__(self, dim_shape):
+        super().__init__(dim_shape)
+        self._lipschitz = 1.0   # reference norm.py:248
+
     def apply(self, arr):
         return jnp.max(jnp.abs(jnp.asarray(arr)), axis=self._axes)
 
     def prox(self, arr, tau):
         arr = jnp.asarray(arr)
         tau = jnp.asarray(tau, dtype=arr.dtype)
-        proj = _project_l1_ball(arr / tau, 1.0, self.dim_rank)
-        return arr - tau * proj
+        # tau -> 0 limit is the identity; a bare division would emit NaN
+        safe = jnp.maximum(tau, jnp.finfo(arr.dtype).tiny)
+        proj = _project_l1_ball(arr / safe, 1.0, self.dim_rank)
+        return jnp.where(tau > 0, arr - tau * proj, arr)
 
 
 class L21Norm(_NormFunc):
@@ -219,7 +225,15 @@ class L21Norm(_NormFunc):
         dim_shape = as_canonical_shape(dim_shape)
         super().__init__(dim_shape)
         l2_axis = (l2_axis,) if isinstance(l2_axis, int) else tuple(l2_axis)
-        self._l2_axis = tuple(a % len(dim_shape) for a in l2_axis)
+        rank = len(dim_shape)
+        for a in l2_axis:
+            if not (-rank <= a < rank):
+                raise ValueError(
+                    f"l2_axis entry {a} out of range for rank-{rank} input")
+        canon = tuple(a % rank for a in l2_axis)
+        if len(set(canon)) != len(canon):
+            raise ValueError(f"duplicate axes in l2_axis: {l2_axis}")
+        self._l2_axis = canon
 
     def _core_axes(self, arr):
         off = jnp.ndim(arr) - self.dim_rank

@@ -174,7 +174,11 @@ class DiagonalOp(SelfAdjointOp):
     _data_fields = ("_vec",)
 
     def __new__(cls, vec, dim_shape=None, enable_warnings: bool = True):
-        if cls is DiagonalOp:
+        if cls is DiagonalOp and not isinstance(vec, jax.core.Tracer):
+            # eager posdef probe (host-side, like the reference) — skipped
+            # for TRACED inputs (jacobian of a ufunc inside jit): a
+            # device_get on a tracer crashes, and class selection must be
+            # static anyway
             v = np.asarray(jax.device_get(jnp.asarray(vec)))
             if v.size and np.all(v > 0):
                 return object.__new__(_PosDefDiagonalOp)

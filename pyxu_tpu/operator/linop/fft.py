@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math as _math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,17 +57,30 @@ class FFT(LinOp):
         D = len(self._sp)
         return tuple(zndim - D + a for a in self._axes)
 
-    def apply(self, arr):
-        arr = jnp.asarray(arr)
+    def _apply_impl(self, arr):
         z = arr if self._real else view_as_complex(arr)
         out = jnp.fft.fftn(z, axes=self._fft_axes(z.ndim))
         return view_as_real(out)
 
-    def adjoint(self, arr):
-        arr = jnp.asarray(arr)
+    def _adjoint_impl(self, arr):
         z = view_as_complex(arr)
         out = jnp.fft.ifftn(z, axes=self._fft_axes(z.ndim)) * self._N
         return out.real if self._real else view_as_real(out)
+
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+        if not isinstance(arr, jax.core.Tracer):
+            # eager complex arithmetic is UNIMPLEMENTED on some TPU runtimes
+            # and poisons the client (CLAUDE.md) — run the complex pipeline
+            # under jit even for eager calls
+            return _fft_apply_jit(self, arr)
+        return self._apply_impl(arr)
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+        if not isinstance(arr, jax.core.Tracer):
+            return _fft_adjoint_jit(self, arr)
+        return self._adjoint_impl(arr)
 
     def estimate_lipschitz(self, **kw) -> float:
         return self._lipschitz
@@ -99,3 +113,8 @@ class FFT(LinOp):
 
     def _expr(self):
         return (f"FFT[axes={self._axes}, real={self._real}]",)
+
+
+# module-level jitted dispatch for eager calls (op rides as a pytree arg)
+_fft_apply_jit = jax.jit(lambda op, a: op._apply_impl(a))
+_fft_adjoint_jit = jax.jit(lambda op, a: op._adjoint_impl(a))

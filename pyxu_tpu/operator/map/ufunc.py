@@ -212,11 +212,11 @@ class _SoftMaxJac(_SelfAdjointOp):
 
 def _functional(cls):
     @functools.wraps(cls, updated=())
-    def f(op, **kwargs):
+    def f(op, *args, **kwargs):
         from pyxu_tpu.abc.operator import Operator
         if isinstance(op, Operator):
-            return cls(op.codim_shape, **kwargs) * op
-        return cls(op, **kwargs)  # called with a shape
+            return cls(op.codim_shape, *args, **kwargs) * op
+        return cls(op, *args, **kwargs)  # called with a shape
     return f
 
 

@@ -651,3 +651,58 @@ def test_linfunc_svdvals_padded():
     w = jnp.asarray([3.0, 4.0])
     s = np.asarray(ExplicitLinFunc(w).svdvals(k=2))
     np.testing.assert_allclose(s, [0.0, 5.0], atol=1e-6)
+
+
+# --------------------------------------------- ufunc/norm/fft review fixes --
+
+def test_ufunc_jacobian_inside_jit():
+    """DiagonalOp's eager posdef probe must not concretize traced jacobian
+    diagonals (all 23 differentiable ufuncs crashed inside jit)."""
+    from pyxu_tpu.operator.map.ufunc import Sin
+    op = Sin((4,))
+    x = jnp.asarray([0.1, 0.5, 1.0, 2.0])
+    got = jax.jit(lambda v: op.jacobian(v).apply(v))(x)
+    want = np.cos(np.asarray(x)) * np.asarray(x)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_fft_eager_apply_routes_through_jit():
+    """Eager FFT applies run the complex pipeline under jit (eager complex
+    arithmetic poisons some TPU runtimes); result matches numpy."""
+    from pyxu_tpu.operator.linop import FFT
+    from pyxu_tpu.utils.complex import view_as_complex, view_as_real
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((4, 5)) + 1j * rng.standard_normal((4, 5))
+    op = FFT((4, 5))
+    out = view_as_complex(np.asarray(op.apply(
+        jnp.asarray(view_as_real(z.astype(np.complex64))))))
+    np.testing.assert_allclose(out, np.fft.fftn(z), atol=1e-4)
+
+
+def test_linf_norm_lipschitz_and_tau0_prox():
+    from pyxu_tpu.operator.func import LInfinityNorm
+    f = LInfinityNorm((4,))
+    assert float(f.lipschitz) == 1.0   # reference norm.py:248
+    x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_allclose(np.asarray(f.prox(x, 0.0)), np.asarray(x))
+    # and normal tau still soft-shrinks the max
+    p = np.asarray(f.prox(x, 1.0))
+    assert p.max() < 4.0 and np.isfinite(p).all()
+
+
+def test_l21_axis_validation():
+    from pyxu_tpu.operator.func import L21Norm
+    with pytest.raises(ValueError, match="duplicate"):
+        L21Norm((3, 4), l2_axis=(0, -2))
+    with pytest.raises(ValueError, match="out of range"):
+        L21Norm((3, 4), l2_axis=(5,))
+
+
+def test_ufunc_functional_positional_args():
+    from pyxu_tpu.operator.map import ufunc
+    from pyxu_tpu.operator.map.ufunc import Sin
+    op = ufunc.clip(Sin((4,)), 0.0, 0.5)
+    x = jnp.asarray([0.1, 1.0, -1.0, 2.0])
+    got = np.asarray(op.apply(x))
+    np.testing.assert_allclose(got, np.clip(np.sin(np.asarray(x)), 0.0, 0.5),
+                               atol=1e-6)
