@@ -213,6 +213,43 @@ class Operator:
     def codim_rank(self) -> int:
         return len(self._codim_shape)
 
+    # -- flat-API compatibility (reference abc/operator.py:108-128) ---------
+    @property
+    def dim(self) -> int:
+        """Flattened domain size — reference ``Operator.dim``
+        (abc/operator.py:115-120).  The reference operates on flattened
+        ``(..., dim)`` arrays; here ``dim`` is the product of ``dim_shape``."""
+        return self.dim_size
+
+    @property
+    def codim(self) -> int:
+        """Flattened co-domain size — reference ``Operator.codim``
+        (abc/operator.py:122-127)."""
+        return self.codim_size
+
+    @property
+    def shape(self) -> tuple:
+        """``(codim, dim)`` pair — reference ``Operator.shape``
+        (abc/operator.py:108-113)."""
+        return (self.codim_size, self.dim_size)
+
+    def unravel(self, arr):
+        """Reshape a flat-last-axis output ``(..., codim)`` into the
+        structured ``(..., *codim_shape)`` this API produces natively
+        (reference diff/filter-op ``unravel``, e.g. diff.py:1113-1267: the
+        reference flattens operator outputs; here the helper exists for
+        migrating code that still carries flat arrays)."""
+        arr = jnp.asarray(arr)
+        return arr.reshape(arr.shape[:-1] + tuple(self._codim_shape))
+
+    def ravel(self, arr):
+        """Flatten a structured output ``(..., *codim_shape)`` back to
+        ``(..., codim)`` — inverse of :meth:`unravel` (reference ``ravel``)."""
+        arr = jnp.asarray(arr)
+        rank = len(self._codim_shape)
+        batch = arr.shape[:arr.ndim - rank] if rank else arr.shape
+        return arr.reshape(batch + (self.codim_size,))
+
     @property
     def name(self) -> str:
         return self._name

@@ -485,6 +485,24 @@ class Solver:
     def workdir(self):
         return self._astate["wb_dir"]
 
+    @property
+    def logfile(self):
+        """Path of the per-fit log file (reference: abc/solver.py:424-432);
+        None when no workdir is configured."""
+        wd = self.workdir
+        return None if wd is None else pathlib.Path(wd) / "solver.log"
+
+    @property
+    def datafile(self):
+        """Path of the checkpoint file written by :meth:`writeback`
+        (reference: abc/solver.py:434-443).  For the orbax backend this is
+        the ``ckpt/`` directory instead of ``data.npz``."""
+        wd = self.workdir
+        if wd is None:
+            return None
+        wd = pathlib.Path(wd)
+        return wd / ("ckpt" if self._ckpt_backend == "orbax" else "data.npz")
+
     @staticmethod
     def read_checkpoint(folder):
         """Load a ``writeback()`` checkpoint: returns (mstate dict, history).

@@ -2,6 +2,7 @@
 
 __all__ = [
     "PyxuTpuWarning",
+    "PyxuWarning",
     "AutoInferenceWarning",
     "BackendWarning",
     "DenseWarning",
@@ -14,6 +15,11 @@ __all__ = [
 
 class PyxuTpuWarning(UserWarning):
     """Base class for all framework warnings."""
+
+
+# Migration alias — the reference names its root warning ``PyxuWarning``
+# (reference: src/pyxu/info/warning.py:6-8).
+PyxuWarning = PyxuTpuWarning
 
 
 class AutoInferenceWarning(PyxuTpuWarning):

@@ -29,6 +29,7 @@ view_as_real convention.
 
 from __future__ import annotations
 
+import collections as _collections
 import math as _math
 
 import jax
@@ -39,7 +40,7 @@ from pyxu_tpu.abc.operator import LinOp
 from pyxu_tpu.utils.complex import complex_dtype, view_as_complex, view_as_real
 from pyxu_tpu.utils.misc import next_fast_len
 
-__all__ = ["NUFFT", "nudft1", "nudft2", "nudft3"]
+__all__ = ["NUFFT", "ES_kernel", "nudft1", "nudft2", "nudft3"]
 
 
 # ----------------------------------------------------------- ES kernel -----
@@ -66,6 +67,92 @@ def _es_kernel(z, beta):
     t = jnp.clip(1.0 - z * z, 0.0, None)
     val = jnp.exp(beta * (jnp.sqrt(t) - 1.0))
     return jnp.where(jnp.abs(z) <= 1.0, val, 0.0)
+
+
+def ES_kernel(z, beta: float) -> np.ndarray:
+    """Exponential-of-Semi-Circle kernel phi_beta(z) = exp(beta(sqrt(1-z^2)-1))
+    on |z|<=1, 0 outside — the public host-side evaluator (reference:
+    nufft.py:45-83, [FINUFFT] eq. (1.8))."""
+    assert beta > 0
+    z = np.asarray(z, np.float64)
+    phi = np.zeros_like(z)
+    mask = np.abs(z) <= 1
+    phi[mask] = np.exp(beta * (np.sqrt(1.0 - z[mask] ** 2) - 1.0))
+    return phi
+
+
+NUFFT_PARAMS = _collections.namedtuple(
+    "finufft_params",
+    ["upsample_factor", "kernel_width", "kernel_beta", "fft_shape",
+     "dilation_factor"],
+)
+
+
+class _NUFFTDiagnostics:
+    """Plan-introspection mixin shared by all NUFFT variants (reference
+    NUFFT base diagnostics, nufft.py:925-1123: `ascomplexarray`, `mesh`,
+    `plot_kernel`, `params`)."""
+
+    def params(self) -> NUFFT_PARAMS:
+        """Internal plan parameters (reference `params`, nufft.py:1075-1123)."""
+        gamma = getattr(self, "_gamma", None)
+        return NUFFT_PARAMS(
+            upsample_factor=getattr(self, "_upsampfac", 2.0),
+            kernel_width=self._w,
+            kernel_beta=self._beta,
+            fft_shape=tuple(self._nf),
+            dilation_factor=None if gamma is None else tuple(float(g) for g in gamma),
+        )
+
+    def plot_kernel(self, ax=None, **kwargs):
+        """Plot the spreading kernel per dimension on its support (reference
+        `plot_kernel`, nufft.py:1015-1074).  Requires matplotlib."""
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        z = np.linspace(-1, 1, 100)
+        for dd, n in zip(range(self._d), self._nf):
+            alpha = np.pi * self._w / n
+            ax.plot(z / alpha, ES_kernel(z, self._beta),
+                    label=rf"$\phi_{dd}$", **kwargs)
+        if self._d > 1:
+            ax.legend()
+        return ax
+
+    def _unit_mesh(self, N, dtype):
+        axes = [np.arange(-(n // 2), (n - 1) // 2 + 1, dtype=dtype) for n in N]
+        return np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+
+    def mesh(self, dtype=None, scale: str = "unit",
+             upsampled: bool = False) -> np.ndarray:
+        """(N1,...,Nd,d) mode/sample grid (reference `mesh`,
+        nufft.py:951-1014).  ``scale``: 'unit' (integer mode indices) or
+        'source' (grid mapped to [-pi, pi)^d)."""
+        dtype = np.float64 if dtype is None else dtype
+        N = tuple(self._nf) if upsampled else tuple(self._N)
+        grid = self._unit_mesh(N, dtype)
+        if scale == "unit":
+            return grid
+        if scale == "source":
+            return grid * (2 * np.pi / np.asarray(N, dtype))
+        raise ValueError(f"scale={scale!r}")
+
+    def ascomplexarray(self, dtype=None) -> np.ndarray:
+        """Dense complex matrix of the transform, host-side numpy (reference
+        `ascomplexarray`, nufft.py:925-950): type-1 (prod(N), M), type-2
+        (M, prod(N)), type-3 (K, M).  Diagnostic only — O(rows.cols) memory."""
+        dtype = np.complex128 if dtype is None else dtype
+        return self._dense_complex().astype(dtype)
+
+
+def _mode_grid_flat(N) -> np.ndarray:
+    """(prod(N), d) centered integer mode grid, row-major."""
+    A = np.meshgrid(*[np.arange(-(n // 2), (n - 1) // 2 + 1) for n in N],
+                    indexing="ij")
+    return np.stack(A, axis=0).reshape((len(N), -1)).T
 
 
 def _phi_hat(n_modes: int, n_f: int, w: int, beta: float):
@@ -524,7 +611,7 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
 
 # ------------------------------------------------------------ type 1 / 2 ---
 
-class _NUFFT12(LinOp):
+class _NUFFT12(_NUFFTDiagnostics, LinOp):
     r"""Type-1 operator (nonuniform -> uniform modes); type 2 is its
     transpose-conjugate (reference `_NUFFT1` pairing, nufft.py:1409-1695).
 
@@ -566,6 +653,7 @@ class _NUFFT12(LinOp):
         self._M, self._d, self._N = M, d, N
         self._isign = int(np.sign(isign)) or 1
         self._w, self._beta, self._eps = w, beta, float(eps)
+        self._upsampfac = float(upsampfac)
         self._real_in = bool(real_in)
         self._nf = tuple(max(next_fast_len(int(np.ceil(upsampfac * n))),
                              2 * w + 1) for n in N)
@@ -677,12 +765,18 @@ class _NUFFT12(LinOp):
 
         return self._map_batched(single, arr, self._d + 1, self.dim_shape)
 
+    def _dense_complex(self) -> np.ndarray:
+        """(prod(N), M) type-1 matrix exp(i.s.<k, x_j>)."""
+        x = np.asarray(jax.device_get(self._x), np.float64)
+        B = _mode_grid_flat(self._N)
+        return np.exp(1j * self._isign * (B @ x.T))
+
     def _expr(self):
         return (f"NUFFT1[d={self._d}, M={self._M}, N={self._N}, "
                 f"isign={self._isign}, eps={self._eps}]",)
 
 
-class _NUFFT2(LinOp):
+class _NUFFT2(_NUFFTDiagnostics, LinOp):
     """Type-2 as a first-class operator: transpose-conj of a _NUFFT12 with
     flipped isign (reference type2 = adjoint machinery, nufft.py:438-549)."""
 
@@ -692,10 +786,30 @@ class _NUFFT2(LinOp):
                  upsampfac: float = 2.0):
         self._t1op = _NUFFT12(x, N, isign=-isign, eps=eps,
                               upsampfac=upsampfac)
+        self._isign = int(np.sign(isign)) or -1
         N_ = self._t1op._N
         super().__init__(N_ + (2,), (self._t1op._M, 2))
         self._lipschitz = self._t1op._lipschitz
         self._name = f"NUFFT2[d={self._t1op._d}]"
+
+    # plan introspection delegates to the underlying type-1 plan
+    @property
+    def _w(self): return self._t1op._w          # noqa: E704
+    @property
+    def _beta(self): return self._t1op._beta    # noqa: E704
+    @property
+    def _nf(self): return self._t1op._nf        # noqa: E704
+    @property
+    def _N(self): return self._t1op._N          # noqa: E704
+    @property
+    def _d(self): return self._t1op._d          # noqa: E704
+    @property
+    def _upsampfac(self): return self._t1op._upsampfac  # noqa: E704
+
+    def _dense_complex(self) -> np.ndarray:
+        """(M, prod(N)) type-2 matrix exp(i.s.<k, x_j>) with this op's
+        isign — the transpose of its type-1 pair's matrix."""
+        return self._t1op._dense_complex().T
 
     def apply(self, arr):
         return self._t1op.adjoint(arr)
@@ -709,7 +823,7 @@ class _NUFFT2(LinOp):
 
 # ----------------------------------------------------------------- type 3 --
 
-class _NUFFT3(LinOp):
+class _NUFFT3(_NUFFTDiagnostics, LinOp):
     r"""f_k = sum_j c_j exp(s i <z_k, x_j>) for arbitrary x_j, z_k in R^d
     (reference `_NUFFT3`, nufft.py:1696-2026).
 
@@ -885,6 +999,30 @@ class _NUFFT3(LinOp):
 
         return self._map_batched(single, arr, 2, self.dim_shape)
 
+    def _dense_complex(self) -> np.ndarray:
+        """(K, M) type-3 matrix exp(i.s.<z_k, x_j>)."""
+        x = np.asarray(jax.device_get(self._x), np.float64)
+        z = np.asarray(jax.device_get(self._z), np.float64)
+        return np.exp(1j * self._isign * (z @ x.T))
+
+    def mesh(self, dtype=None, scale: str = "unit",
+             upsampled: bool = False) -> np.ndarray:
+        """Type-3 grids (reference nufft.py:1882-1920): 'unit' = integer
+        fine-grid indices; 'source'/'target' = the grid mapped onto the
+        centered source/target bounding box."""
+        dtype = np.float64 if dtype is None else dtype
+        N = tuple(self._nf)
+        grid = self._unit_mesh(N, dtype)
+        if scale == "unit":
+            return grid
+        if scale not in ("source", "target"):
+            raise ValueError(f"scale={scale!r}")
+        pts = np.asarray(jax.device_get(
+            self._x if scale == "source" else self._z), np.float64)
+        c = 0.5 * (pts.max(axis=0) + pts.min(axis=0))
+        hw = np.maximum(0.5 * (pts.max(axis=0) - pts.min(axis=0)), 1e-9)
+        return grid / (np.asarray(N, dtype) / 2.0) * hw + c
+
     def _expr(self):
         return (f"NUFFT3[d={self._d}, M={self._M}, K={self._K}]",)
 
@@ -943,7 +1081,7 @@ def _balanced_parts_np(pts, n_parts: int):
     return rec(np.arange(pts.shape[0]), n_parts)
 
 
-class _NUFFT3Chunked(LinOp):
+class _NUFFT3Chunked(_NUFFTDiagnostics, LinOp):
     r"""Domain-partitioned type-3 (reference `_NUFFT3_chunked`,
     nufft.py:2027-2213): the x-domain is split into P clusters and the
     z-domain into Q clusters by recursive coordinate bisection (the
@@ -1019,6 +1157,34 @@ class _NUFFT3Chunked(LinOp):
         )
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3Chunked[{len(self._x_parts)}x{len(self._z_parts)}]"
+
+    # plan introspection (mixin) reports the first sub-block's plan; the
+    # reference's chunked `params` reports the monolithic-equivalent plan
+    # (nufft.py:1104-1110) — here per-block grids are the meaningful ones.
+    @property
+    def _w(self): return self._blocks[0][0]._w        # noqa: E704
+    @property
+    def _beta(self): return self._blocks[0][0]._beta  # noqa: E704
+    @property
+    def _nf(self): return self._blocks[0][0]._nf      # noqa: E704
+    @property
+    def _d(self): return self._blocks[0][0]._d        # noqa: E704
+
+    def _clouds(self):
+        """Reassemble the original (x, z) point clouds from the blocks."""
+        d = self._blocks[0][0]._x.shape[1]
+        x = np.zeros((self.dim_shape[0], d))
+        z = np.zeros((self.codim_shape[0], d))
+        for pi, ip in enumerate(self._x_parts):
+            x[list(ip)] = np.asarray(jax.device_get(self._blocks[0][pi]._x))
+        for qi, iq in enumerate(self._z_parts):
+            z[list(iq)] = np.asarray(jax.device_get(self._blocks[qi][0]._z))
+        return x, z
+
+    def _dense_complex(self) -> np.ndarray:
+        x, z = self._clouds()
+        s = self._blocks[0][0]._isign
+        return np.exp(1j * s * (z @ x.T))
 
     def stats(self) -> dict:
         """Per-block partition info (reference: nufft.py:1270-1363)."""

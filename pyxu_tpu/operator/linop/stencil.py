@@ -149,6 +149,41 @@ class Stencil(SquareOp):
     def center(self):
         return self._centers if len(self._centers) > 1 else self._centers[0]
 
+    def _axis_centers(self) -> tuple:
+        """Per-axis scalar center, collapsing the separable representation."""
+        if len(self._centers) == 1:
+            return self._centers[0]
+        return tuple(self._centers[ax][ax] for ax in range(self.dim_rank))
+
+    @property
+    def relative_indices(self) -> list:
+        """Relative kernel indices per dimension (reference:
+        stencil.py:726-755)."""
+        ctr = self._axis_centers()
+        if len(self._kernels_arr) == 1:
+            sizes = self._kernels_arr[0].shape
+        else:
+            sizes = tuple(self._kernels_arr[ax].shape[ax]
+                          for ax in range(self.dim_rank))
+        return [np.arange(s) - c for c, s in zip(ctr, sizes)]
+
+    def visualize(self) -> str:
+        """Stringified D-dimensional kernel with the center in parentheses
+        (reference: stencil.py:757-788)."""
+        kernel = np.asarray(jax.device_get(self._kernels_arr[0]))
+        for k in self._kernels_arr[1:]:
+            kernel = kernel * np.asarray(jax.device_get(k))
+        kernel = kernel.astype(str)
+        ctr = self._axis_centers()
+        kernel[ctr] = "(" + kernel[ctr] + ")"
+        return np.array2string(kernel).replace("'", "")
+
+    def configure_dispatcher(self, **kwargs):
+        """No-op on TPU (reference: stencil.py:463-511 tunes the CUDA
+        thread/block dispatcher for CuPy kernels; XLA/Mosaic schedule their
+        own grids).  Returns self for call-chaining."""
+        return self
+
     def _pallas_eligible(self, arr):
         """Fused Pallas path: 2-D separable f32 constant-mode stencils on TPU
         (opt-in via PYXU_TPU_PALLAS=1)."""

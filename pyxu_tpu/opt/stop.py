@@ -79,6 +79,39 @@ class StoppingCriterion:
         recompiling.  Default: object identity (always safe)."""
         return id(self)
 
+    # -- reference-protocol adapter (eager, host-side) ----------------------
+    # The reference's StoppingCriterion API is ``clear() / stop(state) /
+    # info()`` evaluated on host every stop-check (reference:
+    # abc/solver.py:37-95).  The solver engine here uses the device
+    # protocol above; these adapters run the same criterion eagerly so
+    # reference-style driver loops port unchanged.
+    def clear(self) -> None:
+        """Reset state before a fresh fit (reference: abc/solver.py:58-66)."""
+        self.host_init()
+        self._eager = {"cstate": None, "k": 0, "metrics": {}}
+
+    def stop(self, state: dict) -> bool:
+        """Eagerly evaluate the criterion on a math-state dict
+        (reference: abc/solver.py:68-81)."""
+        if getattr(self, "_eager", None) is None:
+            self.clear()
+        e = self._eager
+        if e["cstate"] is None:
+            e["cstate"] = self.init_state(state)
+        cs = self.refresh_host(e["cstate"])
+        cs, s, m = self.update(cs, state, e["k"])
+        e["cstate"] = cs
+        e["k"] += 1
+        e["metrics"] = {k: np.asarray(v) for k, v in m.items()}
+        e["metrics"].update(self.host_metrics())
+        return bool(s) or bool(self.host_check())
+
+    def info(self) -> dict:
+        """Stats of the last :meth:`stop` call, one scalar per history column
+        (reference: abc/solver.py:83-94)."""
+        e = getattr(self, "_eager", None) or {"metrics": {}}
+        return {k: float(np.asarray(v)) for k, v in e["metrics"].items()}
+
     def __and__(self, other: "StoppingCriterion") -> "StoppingCriterion":
         return _Combined(self, other, all_of=True)
 

@@ -136,3 +136,154 @@ def test_dog_alias():
 
 def test_to_numpy_alias():
     assert ut.to_NUMPY is ut.to_numpy
+
+
+class TestFlatAPICompat:
+    """Round-2 parity: reference v1 flat-API aliases (abc/operator.py:108-128)."""
+
+    def test_dim_codim_shape(self):
+        g = op.Gradient((4, 5))
+        assert g.dim == 20 and g.codim == 40
+        assert g.shape == (40, 20)
+
+    def test_ravel_unravel(self):
+        g = op.Gradient((4, 5))
+        y = g.apply(jnp.ones((3, 4, 5)))
+        flat = g.ravel(y)
+        assert flat.shape == (3, 40)
+        assert g.unravel(flat).shape == (3, 2, 4, 5)
+        np.testing.assert_allclose(np.asarray(g.unravel(flat)), np.asarray(y))
+
+    def test_functional_shape(self):
+        f = op.L1Norm((6,))
+        assert f.shape == (1, 6) and f.dim == 6 and f.codim == 1
+
+
+class TestStoppingCriterionEagerProtocol:
+    """Reference clear/stop/info protocol (abc/solver.py:37-95) adapter."""
+
+    def test_maxiter_stop_info(self):
+        import pyxu_tpu.opt.stop as st
+        sc = st.MaxIter(3)
+        sc.clear()
+        state = {"x": jnp.ones(4)}
+        fires = [sc.stop(state) for _ in range(5)]
+        assert fires == [False, False, False, True, True]
+        assert sc.info()["N_iter"] == 4.0
+
+    def test_combined_with_host_leg(self):
+        import datetime as dt
+        import pyxu_tpu.opt.stop as st
+        sc = st.MaxDuration(dt.timedelta(seconds=1e4)) & st.MaxIter(1)
+        sc.clear()
+        assert sc.stop({"x": jnp.ones(2)}) is False
+        assert sc.stop({"x": jnp.ones(2)}) is False  # duration leg not fired
+
+    def test_relerror_eager(self):
+        import pyxu_tpu.opt.stop as st
+        sc = st.RelError(1e-9)
+        sc.clear()
+        assert not sc.stop({"x": jnp.ones(3)})
+        assert sc.stop({"x": jnp.ones(3)})  # identical iterate => rel err 0
+
+
+class TestStencilIntrospection:
+    """relative_indices/visualize/configure_dispatcher (stencil.py:463-788)."""
+
+    def test_relative_indices_separable(self):
+        S = op.Stencil((5, 6), [np.r_[3.0, 2, 1], np.r_[2.0, -1, 3, 1]],
+                       center=(1, 2))
+        ri = S.relative_indices
+        np.testing.assert_array_equal(ri[0], [-1, 0, 1])
+        np.testing.assert_array_equal(ri[1], [-2, -1, 0, 1])
+
+    def test_visualize_marks_center(self):
+        S = op.Stencil((5, 6), [np.r_[3.0, 2, 1], np.r_[2.0, -1, 3, 1]],
+                       center=(1, 2))
+        s = S.visualize()
+        assert "(6.0)" in s
+
+    def test_configure_dispatcher_noop(self):
+        S = op.Stencil((5,), np.r_[1.0, -2, 1], center=(1,))
+        assert S.configure_dispatcher(threads_per_block=64) is S
+
+
+class TestDevHelpers:
+    """experimental._dev parity: Masking + dense NUDFT builders."""
+
+    def test_masking(self):
+        import pyxu_tpu.experimental._dev as dev
+        m = dev.Masking(5, [True, False, True, False, True])
+        y = m.apply(jnp.arange(5.0))
+        np.testing.assert_allclose(np.asarray(y), [0, 2, 4])
+        np.testing.assert_allclose(np.asarray(m.adjoint(y)), [0, 0, 2, 0, 4])
+
+    def test_nudft_arrays(self):
+        import pyxu_tpu.experimental._dev as dev
+        x = np.random.default_rng(0).uniform(-np.pi, np.pi, (7, 2))
+        A = dev.NUFFT1_array(x, (3, 4), +1)
+        assert A.shape == (12, 7)
+        assert dev.NUFFT2_array(x, (3, 4), -1).shape == (7, 12)
+        z = np.random.default_rng(1).normal(size=(5, 2))
+        assert dev.NUFFT3_array(x, z, +1).shape == (5, 7)
+
+
+class TestNUFFTDiagnostics:
+    """NUFFT params/mesh/plot_kernel/ascomplexarray (nufft.py:925-1123)."""
+
+    def test_type1_dense_matches_apply(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-np.pi, np.pi, (20, 2))
+        A = op.NUFFT.type1(x, N=(5, 4), eps=1e-7)
+        p = A.params()
+        assert p.upsample_factor == 2.0 and p.kernel_width >= 2
+        M = A.ascomplexarray()
+        assert M.shape == (20, 20)
+        c = rng.normal(size=20) + 1j * rng.normal(size=20)
+        got = np.asarray(A.apply(
+            jnp.stack([jnp.asarray(c.real), jnp.asarray(c.imag)], -1)
+            .astype(jnp.float32)))
+        gotc = got[..., 0] + 1j * got[..., 1]
+        want = (M @ c).reshape(5, 4)
+        assert np.abs(gotc - want).max() / np.abs(want).max() < 1e-5
+
+    def test_mesh_scales(self):
+        x = np.random.default_rng(0).uniform(-np.pi, np.pi, (9, 1))
+        A = op.NUFFT.type1(x, N=3, eps=1e-3)
+        np.testing.assert_array_equal(A.mesh()[..., 0], [-1, 0, 1])
+        assert A.mesh(upsampled=True).shape[0] == A.params().fft_shape[0]
+
+    def test_type3_params_and_dense(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-2, 2, (15, 2))
+        z = rng.uniform(-3, 3, (11, 2))
+        A = op.NUFFT.type3(x, z, eps=1e-6)
+        p = A.params()
+        assert p.dilation_factor is not None and len(p.dilation_factor) == 2
+        D = A.ascomplexarray()
+        assert D.shape == (11, 15)
+        c = rng.normal(size=15) + 1j * rng.normal(size=15)
+        got = np.asarray(A.apply(
+            jnp.stack([jnp.asarray(c.real), jnp.asarray(c.imag)], -1)
+            .astype(jnp.float32)))
+        gotc = got[..., 0] + 1j * got[..., 1]
+        want = D @ c
+        assert np.abs(gotc - want).max() / np.abs(want).max() < 1e-4
+
+    def test_es_kernel_public(self):
+        from pyxu_tpu.operator.linop.nufft import ES_kernel
+        z = np.linspace(-1.5, 1.5, 11)
+        phi = ES_kernel(z, 10.0)
+        assert phi[0] == 0.0 and phi[-1] == 0.0 and phi[5] == 1.0
+
+
+class TestSolverFileProps:
+    def test_logfile_datafile(self, tmp_path):
+        import pyxu_tpu.opt.solver as sol
+        import pyxu_tpu.opt.stop as st
+        f = op.SquaredL2Norm((4,)).asloss(jnp.zeros(4))
+        g = op.L1Norm((4,))
+        s = sol.PGD(f=f, g=g, folder=tmp_path / "w", exist_ok=True)
+        s.fit(x0=jnp.ones(4), stop_crit=st.MaxIter(3))
+        assert s.logfile is not None and s.logfile.name == "solver.log"
+        assert s.datafile.name == "data.npz"
