@@ -26,3 +26,8 @@ from pyxu_tpu.info.deps import (  # noqa: F401
     supported_sparse_types,
 )
 from pyxu_tpu.info import warnings  # noqa: F401
+from pyxu_tpu.info.plugin import (  # noqa: F401
+    PLUGIN_GROUPS,
+    discover_plugins,
+    load_plugins,
+)

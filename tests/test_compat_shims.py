@@ -287,3 +287,50 @@ class TestSolverFileProps:
         s.fit(x0=jnp.ones(4), stop_crit=st.MaxIter(3))
         assert s.logfile is not None and s.logfile.name == "solver.log"
         assert s.datafile.name == "data.npz"
+
+
+class TestPluginLoader:
+    """FAIR-ecosystem entry-point loader (reference doc/fair/index.rst:219)."""
+
+    class _EP:
+        def __init__(self, name, obj, fail=False):
+            self.name = name
+            self._obj = obj
+            self._fail = fail
+
+        def load(self):
+            if self._fail:
+                raise RuntimeError("boom")
+            return self._obj
+
+    def test_inject_and_override_rules(self, monkeypatch):
+        import pyxu_tpu.info.plugin as pl
+        import pyxu_tpu.operator as mod
+        sentinel = object()
+        eps = {
+            "pyxu_tpu.operator": {
+                "BrandNewOp": self._EP("BrandNewOp", sentinel),
+                "L1Norm": self._EP("L1Norm", sentinel),        # refused
+                "_Gradient": self._EP("_Gradient", sentinel),  # override
+                "Broken": self._EP("Broken", None, fail=True),
+            },
+        }
+        monkeypatch.setattr(pl, "discover_plugins", lambda group=None: eps)
+        orig_l1, orig_grad = mod.L1Norm, mod.Gradient
+        try:
+            with pytest.warns(info.warnings.BackendWarning):
+                loaded = pl.load_plugins()
+            assert mod.BrandNewOp is sentinel
+            assert mod.L1Norm is orig_l1          # shadowing refused
+            assert mod.Gradient is sentinel       # explicit override applied
+            assert "pyxu_tpu.operator.BrandNewOp" in loaded
+            assert "pyxu_tpu.operator.Broken" not in loaded
+        finally:
+            del mod.BrandNewOp
+            mod.Gradient = orig_grad
+
+    def test_discover_empty(self):
+        import pyxu_tpu.info.plugin as pl
+        found = pl.discover_plugins()
+        assert set(found) == set(pl.PLUGIN_GROUPS)
+        assert all(isinstance(v, dict) for v in found.values())
