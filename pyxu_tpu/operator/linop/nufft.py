@@ -177,10 +177,22 @@ def _phi_hat(n_modes: int, n_f: int, w: int, beta: float):
 # ------------------------------------------------- spread / interp (XLA) ---
 
 def _tap_weights_np(x_nd, n_fs, w, beta):
-    """Host-side (numpy) tap precompute — plan construction must not issue
-    eager device ops (each costs an RPC on remote backends)."""
+    """Host-side tap precompute — plan construction must not issue eager
+    device ops (each costs an RPC on remote backends).  Large point sets
+    route through the native C++/OpenMP planner (pyxu_tpu.native, the
+    FINUFFT-plan analog — reference nufft.py:275-277); numpy otherwise."""
     x_nd = np.asarray(x_nd, np.float64)
-    d = x_nd.shape[1]
+    M, d = x_nd.shape
+    if M >= 16384:
+        from pyxu_tpu import native
+        if native.available():
+            idxs, wts = [], []
+            for ax in range(d):
+                out = native.tap_weights(
+                    x_nd, ax, 2 * np.pi / n_fs[ax], n_fs[ax], w, beta)
+                idxs.append(out[0])
+                wts.append(out[1])
+            return idxs, wts
     idxs, wts = [], []
     t = np.arange(w)
     for ax in range(d):
@@ -363,6 +375,13 @@ def _slab_partition_np(base, n1: int, w: int, chunk: int,
     Mp = -(-Mp_raw // chunk) * chunk
     if S * Mp > max(max_blowup * M, M + S * chunk):
         return None
+    starts = (np.arange(S, dtype=np.int32) * T)
+    if M >= 16384:
+        from pyxu_tpu import native
+        out = native.slab_permutation(slab, counts, Mp)
+        if out is not None:  # counting sort, O(M) vs argsort O(M log M)
+            perm, inv = out
+            return perm, starts, inv.astype(np.int64), T, S * T + w, chunk
     order = np.argsort(slab, kind="stable")
     perm = np.full((S, Mp), M, np.int32)       # M = dummy point id
     off = 0
@@ -370,7 +389,6 @@ def _slab_partition_np(base, n1: int, w: int, chunk: int,
         c = counts[p]
         perm[p, :c] = order[off:off + c]
         off += c
-    starts = (np.arange(S, dtype=np.int32) * T)
     flat = perm.ravel()
     pos = np.flatnonzero(flat < M)
     inv = np.empty(M, np.int64)
@@ -461,19 +479,28 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK):
         return None
     perm, starts, inv, T, n1ext, chunk = part
 
-    def padrow(a, fill):
-        return np.concatenate(
-            [a, np.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+    from pyxu_tpu import native
+    use_native = M >= 16384 and native.available()
 
-    rows = base.astype(np.int32)[:, None] + np.arange(w, dtype=np.int32)
-    l0 = padrow(rows, -(1 << 20))[perm] - starts[:, None, None]
-    w0 = padrow(wts[0], 0.0)[perm]
-    i1 = padrow(idxs[1], 0)[perm]
-    w1 = padrow(wts[1], 0.0)[perm]
+    def padrow_perm(a, fill):
+        """padrow(a)[perm] — slab-ordered gather with dummy fill rows."""
+        if use_native and a.dtype in (np.float64, np.int32):
+            out = native.gather_rows(a, perm, fill)
+            if out is not None:
+                return out
+        return np.concatenate(
+            [a, np.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)[perm]
+
+    rows = np.ascontiguousarray(
+        base.astype(np.int32)[:, None] + np.arange(w, dtype=np.int32))
+    l0 = padrow_perm(rows, -(1 << 20)) - starts[:, None, None]
+    w0 = padrow_perm(np.ascontiguousarray(wts[0]), 0.0)
+    i1 = padrow_perm(np.ascontiguousarray(idxs[1]), 0)
+    w1 = padrow_perm(np.ascontiguousarray(wts[1]), 0.0)
     i2 = w2 = None
     if d == 3:
-        i2 = jnp.asarray(padrow(idxs[2], 0)[perm])
-        w2 = jnp.asarray(padrow(wts[2], 0.0)[perm])
+        i2 = jnp.asarray(padrow_perm(np.ascontiguousarray(idxs[2]), 0))
+        w2 = jnp.asarray(padrow_perm(np.ascontiguousarray(wts[2]), 0.0))
     return _SlabPlan(jnp.asarray(perm), jnp.asarray(l0), jnp.asarray(w0),
                      jnp.asarray(i1), jnp.asarray(w1), i2, w2,
                      jnp.asarray(inv.astype(np.int32)), T, n1ext, chunk)
