@@ -885,7 +885,8 @@ class _NUFFT3(_NUFFTDiagnostics, LinOp):
                     "_dx", "_ds", "_mm3_x", "_mm3_s", "_ph_x", "_ph_z")
 
     def __init__(self, x, z, isign: int = +1, eps: float = 1e-6,
-                 nf: tuple = None, mm3: bool = True, dx=None):
+                 nf: tuple = None, mm3: bool = True, dx=None,
+                 real_in: bool = False):
         # host-side plan (no eager device RPCs; see _tap_weights_np)
         x = np.asarray(jax.device_get(x), np.float64)
         z = np.asarray(jax.device_get(z), np.float64)
@@ -897,6 +898,7 @@ class _NUFFT3(_NUFFTDiagnostics, LinOp):
         K, d2 = z.shape
         assert d == d2 <= 3
         self._M, self._K, self._d = M, K, d
+        self._real_in = bool(real_in)
         self._isign = int(np.sign(isign)) or 1
         w, beta = _es_params(eps)
         self._w, self._beta, self._eps = w, beta, float(eps)
@@ -981,7 +983,7 @@ class _NUFFT3(_NUFFTDiagnostics, LinOp):
                 _slab_base_np(np.mod(xp[:, 0], 2 * np.pi), nf[0], w),
                 idxs_x, wts_x, nf[0])
             self._mm3_s = _slab_plan(s_base, idxs_s, wts_s, nf[0])
-        super().__init__((M, 2), (K, 2))
+        super().__init__((M,) if real_in else (M, 2), (K, 2))
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3[d={d}]"
 
@@ -1012,17 +1014,23 @@ class _NUFFT3(_NUFFTDiagnostics, LinOp):
 
     def apply(self, arr):
         arr = jnp.asarray(arr)
+        rank = 1 if self._real_in else 2
 
         def single(a):
-            return view_as_real(self._fw(view_as_complex(a)))
+            c = a.astype(complex_dtype(a.dtype)) if self._real_in \
+                else view_as_complex(a)
+            return view_as_real(self._fw(c))
 
-        return self._map_batched(single, arr, 2, self.codim_shape)
+        return self._map_batched(single, arr, rank, self.codim_shape)
 
     def adjoint(self, arr):
         arr = jnp.asarray(arr)
 
         def single(a):
-            return view_as_real(self._bw(view_as_complex(a)))
+            c = self._bw(view_as_complex(a))
+            if self._real_in:
+                return c.real
+            return view_as_real(c)
 
         return self._map_batched(single, arr, 2, self.dim_shape)
 
@@ -1308,28 +1316,60 @@ class NUFFT:
 
     @staticmethod
     def type1(x, N, isign: int = +1, eps: float = 1e-6, real: bool = False,
-              upsampfac: float = 2.0):
+              upsampfac: float = 2.0, **plan_kwargs):
         """upsampfac: FINUFFT's fine-grid oversampling sigma — 2.0
         (default) or 1.25 (4x/d smaller FFT, wider kernel; wins when the
         FFT dominates, e.g. 3-D transforms)."""
+        _ignore_finufft_kwargs(plan_kwargs)
         return _NUFFT12(x, N, isign=isign, eps=eps, real_in=real,
                         upsampfac=upsampfac)
 
     @staticmethod
     def type2(x, N, isign: int = -1, eps: float = 1e-6,
-              upsampfac: float = 2.0):
+              upsampfac: float = 2.0, **plan_kwargs):
+        _ignore_finufft_kwargs(plan_kwargs)
         return _NUFFT2(x, N, isign=isign, eps=eps, upsampfac=upsampfac)
 
     @staticmethod
-    def type3(x, z, isign: int = +1, eps: float = 1e-6, chunked: bool = False,
-              fft_mem_mb: float = 64.0, max_blocks: int = 16):
+    def type3(x, z, isign: int = +1, eps: float = 1e-6, real: bool = False,
+              chunked: bool = False, fft_mem_mb: float = 64.0,
+              max_blocks: int = 16, **plan_kwargs):
         """chunked=True: domain-partitioned plan with per-block FFT-memory
         budget (reference `_NUFFT3_chunked` + `auto_chunk`/`allocate`,
         nufft.py:1124-1269, 2027-2213)."""
+        _ignore_finufft_kwargs(plan_kwargs)
         if chunked:
+            assert not real, "chunked type-3 is complex-input only"
             return _NUFFT3Chunked(x, z, isign=isign, eps=eps,
                                   fft_mem_mb=fft_mem_mb, max_blocks=max_blocks)
-        return _NUFFT3(x, z, isign=isign, eps=eps)
+        return _NUFFT3(x, z, isign=isign, eps=eps, real_in=real)
+
+
+_FINUFFT_ONLY_KWARGS = {
+    "n_trans", "nthreads", "debug", "spread_debug", "showwarn", "fftw",
+    "spread_sort", "spread_kerevalmeth", "spread_kerpad", "chkbnds",
+    "modeord", "gpu_method", "gpu_sort", "plan_fp", "enable_warnings",
+    "parallel",
+}
+
+
+def _ignore_finufft_kwargs(kwargs: dict) -> None:
+    """Tolerate reference-only plan options so reference call sites port
+    unchanged: batching (n_trans) falls out of vmap/leading batch axes,
+    threading/debug/fftw options are FINUFFT-backend specific (reference
+    nufft.py:337-660 forwards them to finufft.Plan).  Unknown names raise."""
+    import warnings as _warnings
+
+    from pyxu_tpu.info.warnings import PerformanceWarning
+    unknown = set(kwargs) - _FINUFFT_ONLY_KWARGS
+    if unknown:
+        raise TypeError(f"unknown NUFFT plan option(s): {sorted(unknown)}")
+    if kwargs:
+        _warnings.warn(
+            f"NUFFT plan options ignored on this backend: "
+            f"{sorted(kwargs)} (batching is automatic via leading batch "
+            f"axes; threading/debug are FINUFFT-specific)",
+            PerformanceWarning, stacklevel=3)
 
 
 # ------------------------------------------------- direct (test) evaluators -

@@ -296,3 +296,39 @@ class TestUpsampfac:
             jnp.asarray(view_as_real(f.astype(np.complex64))))))
         fd = nudft2(f, x, (20, 18))
         assert _rel(got, fd) < 5e-4
+
+
+class TestType3RealAndKwargs:
+    """Round-2 parity: type-3 `real=` input (reference nufft.py:550-660) and
+    tolerated FINUFFT-only plan options."""
+
+    def test_type3_real_matches_dense(self):
+        from pyxu_tpu.experimental._dev import NUFFT3_array
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-2, 2, (25, 2))
+        z = rng.uniform(-3, 3, (18, 2))
+        A = NUFFT.type3(x, z, eps=1e-7, real=True)
+        assert A.dim_shape == (25,)
+        c = rng.normal(size=25).astype(np.float32)
+        got = np.asarray(A.apply(jnp.asarray(c)))
+        want = NUFFT3_array(x, z, +1) @ c
+        gotc = got[:, 0] + 1j * got[:, 1]
+        assert np.abs(gotc - want).max() / np.abs(want).max() < 1e-5
+        # adjoint is real-valued and passes the dot test
+        f = rng.normal(size=(18, 2)).astype(np.float32)
+        adj = np.asarray(A.adjoint(jnp.asarray(f)))
+        assert adj.shape == (25,)
+        lhs = float(np.sum(got * f))
+        rhs = float(np.sum(c * adj))
+        assert abs(lhs - rhs) / abs(lhs) < 1e-4
+
+    def test_finufft_only_kwargs_tolerated(self):
+        import warnings
+        from pyxu_tpu.info.warnings import PerformanceWarning
+        x = np.random.default_rng(1).uniform(-np.pi, np.pi, (9, 1))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            NUFFT.type1(x, 8, eps=1e-4, n_trans=3, nthreads=4)
+        assert any(isinstance(r.message, PerformanceWarning) for r in rec)
+        with pytest.raises(TypeError):
+            NUFFT.type2(x, 8, not_an_option=True)
