@@ -195,6 +195,56 @@ def run_extra_workloads():
     return out
 
 
+def run_scaling(y, k1, single_dev_iter_per_s, n_iters=100):
+    """Workload 5 of BASELINE.json: the same TV solve with image rows
+    sharded over ALL visible devices (halo-exchange stencil via shard_map +
+    ppermute).  Runs only when >1 device is visible (multi-chip rounds) or
+    PYXU_BENCH_SCALING=1 forces it; reports iter/s and strong-scaling
+    efficiency vs the single-device headline."""
+    import os
+    n_forced = os.environ.get("PYXU_BENCH_SCALING") == "1"
+    import jax
+    n_dev = len(jax.devices())
+    if n_dev < 2 and not n_forced:
+        return {}
+    try:
+        import jax.numpy as jnp
+
+        from pyxu_tpu.operator.func import L21Norm, SquaredL2Norm
+        from pyxu_tpu.operator.linop import Gradient
+        from pyxu_tpu.opt.solver import CondatVu
+        from pyxu_tpu.opt.stop import MaxIter
+        from pyxu_tpu.parallel import P, ShardedStencil, auto_mesh, shard
+
+        mesh = auto_mesh()
+        c = (KSIZE - 1) // 2
+        K = ShardedStencil((H, W), [jnp.asarray(k1), jnp.asarray(k1)],
+                           [c, c], mesh, shard_axis=0, mode="constant")
+        ys = K.apply(shard(jnp.asarray(y), mesh, P("s", None)))
+        f = 0.5 * SquaredL2Norm((H, W)).asloss(ys) * K
+        D = Gradient((H, W), mode="constant")
+        h = LAM * L21Norm((2, H, W), l2_axis=0)
+        slv = CondatVu(f=f, h=h, K=D, stop_rate=n_iters)
+        crit = MaxIter(n_iters)
+        x0 = shard(jnp.asarray(y), mesh, P("s", None))
+        slv.fit(x0=x0, stop_crit=crit, max_iter=n_iters,
+                segment_size=n_iters)
+        jax.block_until_ready(slv.solution())
+        t0 = time.perf_counter()
+        slv.fit(x0=x0, stop_crit=crit, max_iter=n_iters,
+                segment_size=n_iters)
+        jax.block_until_ready(slv.solution())
+        it_s = n_iters / (time.perf_counter() - t0)
+        return {
+            "n_devices": n_dev,
+            "iter_per_s": round(it_s, 2),
+            "strong_scaling_efficiency": round(
+                it_s / (n_dev * single_dev_iter_per_s), 3),
+        }
+    except Exception as e:  # never let the scaling leg kill the bench
+        return {"n_devices": n_dev, "error": type(e).__name__}
+
+
 def main():
     y, k1 = make_data()
     ours, _ = run_tpu(y, k1, N_ITERS)
@@ -203,13 +253,17 @@ def main():
     sigma = 1.0 / np.sqrt(8.0)
     base = run_numpy(y, k1, N_ITERS_BASE, tau, sigma)
     extra = run_extra_workloads()
-    print(json.dumps({
+    out = {
         "metric": "tv_deconv_4k_condatvu",
         "value": round(ours, 3),
         "unit": "iter/s",
         "vs_baseline": round(ours / base, 2),
         "extra_iter_per_s": extra,
-    }))
+    }
+    scaling = run_scaling(y, k1, ours)
+    if scaling:
+        out["multi_device"] = scaling
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
