@@ -183,6 +183,71 @@ class ConformanceSuite:
         y = op.apply(x)
         assert np.allclose(op.apply(y), y, atol=atol_for(fdtype) * 100)
 
+    def test_gram_cogram(self, op, rng, fdtype):
+        """gram = A^T A, cogram = A A^T, both self-adjoint
+        (reference: LinOpT gram/cogram cross-checks, conftest.py:1013-1761)."""
+        if not op.has(Property.LINEAR) or op.dim_size > 512 or op.codim_size > 512:
+            pytest.skip("not linear / too large")
+        x = self._point(op, rng, fdtype)
+        y = self._copoint(op, rng, fdtype)
+        g = op.gram()
+        cg = op.cogram()
+        tol = atol_for(fdtype) * 100
+        assert np.allclose(g.apply(x), op.adjoint(op.apply(x)), atol=tol)
+        assert np.allclose(cg.apply(y), op.apply(op.adjoint(y)), atol=tol)
+        assert np.allclose(g.apply(x), g.adjoint(x), atol=tol)
+        assert self._dot(x, g.apply(x)) >= -tol  # PSD
+
+    def test_pinv_normal_equations(self, op, rng, fdtype):
+        """A^T A pinv(y) == A^T y (damped Moore-Penrose system; reference:
+        LinOpT pinv checks, conftest.py:1013-1761)."""
+        if not op.has(Property.LINEAR) or op.dim_size > 256 or op.codim_size > 256:
+            pytest.skip("not linear / too large")
+        if fdtype.itemsize == 4:
+            pytest.skip("normal-equation residual check in f64 only")
+        damp = 0.1  # keeps the system well-posed for rank-deficient ops
+        y = self._copoint(op, rng, fdtype)
+        xhat = op.pinv(y, damp=damp)
+        lhs = op.adjoint(op.apply(xhat)) + damp * xhat
+        rhs = op.adjoint(y)
+        scale = max(float(jnp.abs(rhs).max()), 1.0)
+        assert np.allclose(lhs, rhs, atol=1e-5 * scale)
+
+    def test_svdvals_vs_dense(self, op, rng, fdtype):
+        """Largest singular values match the dense SVD (reference: LinOpT
+        svdvals checks)."""
+        if not op.has(Property.LINEAR) or op.dim_size > 256 or op.codim_size > 256:
+            pytest.skip("not linear / too large")
+        if fdtype.itemsize == 4:
+            pytest.skip("spectral check in f64 only")
+        A = np.asarray(op.asarray(dtype=np.float64)).reshape(
+            op.codim_size, op.dim_size)
+        if not A.size:
+            pytest.skip("empty")
+        true = np.linalg.svd(A, compute_uv=False)
+        k = min(2, min(A.shape))
+        got = np.sort(np.asarray(op.svdvals(k=k, maxiter=512)))[::-1]
+        # subspace iteration may not fully separate clustered values; the
+        # dominant value must match tightly, trailing ones loosely
+        assert np.allclose(got[0], true[0], rtol=1e-2, atol=1e-8)
+        assert got[-1] <= true[0] * (1 + 1e-6) + 1e-9
+
+    def test_quad_spec(self, op, rng, fdtype):
+        """f(x) == 0.5 <x, Qx> + <c, x> + t from _quad_spec (reference:
+        QuadraticFuncT, conftest.py:930)."""
+        spec = getattr(op, "_quad_spec", None)
+        if spec is None or not callable(spec):
+            pytest.skip("no quadratic spec")
+        try:
+            Q, c, t = spec()
+        except Exception:
+            pytest.skip("spec not materializable")
+        x = self._point(op, rng, fdtype)
+        lin = float(c.apply(x)) if hasattr(c, "apply") else self._dot(c, x)
+        want = 0.5 * self._dot(x, Q.apply(x)) + lin + float(t)
+        got = float(op.apply(x))
+        assert np.allclose(got, want, atol=atol_for(fdtype) * 100 * max(1, abs(want)))
+
     # ---- differential checks -------------------------------------------
     def test_grad_matches_autodiff(self, op, rng, fdtype):
         if not op.has(Property.DIFFERENTIABLE_FUNCTION):
