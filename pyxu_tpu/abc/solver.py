@@ -355,10 +355,12 @@ class Solver:
         hist = make_hist()
         ops = None if self._operand_mode == "static" else self._op_operands()
         host_records = []   # (history row, host metric dict) per segment
-        histn_host = 0      # host mirror of hist_n (synced via `packed`)
+        # host mirrors of (k, hist_n), synced via `packed` — int(k) here
+        # would be a SECOND device fetch per segment (~40 ms on relays)
+        k_host, histn_host = 0, 0
         mstate, k, stopped, hist_n = self._mstate, jnp.asarray(0), jnp.asarray(False), jnp.asarray(0)
         while True:
-            k_end = min(int(k) + self._segment, self._max_iter)
+            k_end = min(k_host + self._segment, self._max_iter)
             try:
                 # dispatch is async: a runtime failure inside the segment
                 # surfaces at the first blocking host read below, so the

@@ -43,9 +43,9 @@ def discover_plugins(group: str = None) -> dict:
     """Map ``group -> {name: entry_point}`` for installed plugin wheels
     (nothing is imported yet)."""
     groups = PLUGIN_GROUPS if group is None else (group,)
+    eps = importlib.metadata.entry_points()  # scan metadata once
     found = {}
     for g in groups:
-        eps = importlib.metadata.entry_points()
         try:  # py3.10+: selectable entry points
             sel = eps.select(group=g)
         except AttributeError:  # pragma: no cover - py3.9 dict API
@@ -63,8 +63,7 @@ def load_plugins(group: str = None) -> dict:
     for g, eps in discover_plugins(group).items():
         if not eps:
             continue
-        mod = importlib.import_module(g if g != "pyxu_tpu.math"
-                                      else "pyxu_tpu.math")
+        mod = importlib.import_module(g)
         for name, ep in eps.items():
             try:
                 obj = ep.load()

@@ -37,10 +37,13 @@ def _build_and_load():
     cache.mkdir(parents=True, exist_ok=True)
     so = cache / f"_planner_{tag}.so"
     if not so.exists():
+        # unique temp per process: concurrent first-use builds (parallel
+        # pytest workers) must not clobber each other's half-written .so
+        tmp = so.with_suffix(f".tmp.{os.getpid()}")
         cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC",
-               str(_SRC), "-o", str(so) + ".tmp"]
+               str(_SRC), "-o", str(tmp)]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(str(so) + ".tmp", so)
+        os.replace(tmp, so)  # atomic: last writer wins, all identical
     lib = ctypes.CDLL(str(so))
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

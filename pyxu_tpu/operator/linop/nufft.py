@@ -116,7 +116,8 @@ class _NUFFTDiagnostics:
         z = np.linspace(-1, 1, 100)
         for dd, n in zip(range(self._d), self._nf):
             alpha = np.pi * self._w / n
-            ax.plot(z / alpha, ES_kernel(z, self._beta),
+            x = z / alpha
+            ax.plot(x, ES_kernel(x, self._beta),
                     label=rf"$\phi_{dd}$", **kwargs)
         if self._d > 1:
             ax.legend()
@@ -130,14 +131,17 @@ class _NUFFTDiagnostics:
              upsampled: bool = False) -> np.ndarray:
         """(N1,...,Nd,d) mode/sample grid (reference `mesh`,
         nufft.py:951-1014).  ``scale``: 'unit' (integer mode indices) or
-        'source' (grid mapped to [-pi, pi)^d)."""
+        'source' (the n DFT sample positions over [-pi, pi), i.e.
+        linspace(-pi, pi, n, endpoint=False) per axis — reference
+        nufft.py:1612-1640)."""
         dtype = np.float64 if dtype is None else dtype
         N = tuple(self._nf) if upsampled else tuple(self._N)
-        grid = self._unit_mesh(N, dtype)
         if scale == "unit":
-            return grid
+            return self._unit_mesh(N, dtype)
         if scale == "source":
-            return grid * (2 * np.pi / np.asarray(N, dtype))
+            axes = [np.linspace(-np.pi, np.pi, num=n, endpoint=False,
+                                dtype=dtype) for n in N]
+            return np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
         raise ValueError(f"scale={scale!r}")
 
     def ascomplexarray(self, dtype=None) -> np.ndarray:
@@ -810,12 +814,14 @@ class _NUFFT2(_NUFFTDiagnostics, LinOp):
     _data_fields = ("_t1op",)
 
     def __init__(self, x, N, isign: int = -1, eps: float = 1e-6,
-                 upsampfac: float = 2.0):
+                 upsampfac: float = 2.0, real_in: bool = False):
         self._t1op = _NUFFT12(x, N, isign=-isign, eps=eps,
                               upsampfac=upsampfac)
         self._isign = int(np.sign(isign)) or -1
+        self._real_in = bool(real_in)
         N_ = self._t1op._N
-        super().__init__(N_ + (2,), (self._t1op._M, 2))
+        super().__init__(N_ if real_in else N_ + (2,),
+                         (self._t1op._M, 2))
         self._lipschitz = self._t1op._lipschitz
         self._name = f"NUFFT2[d={self._t1op._d}]"
 
@@ -835,14 +841,21 @@ class _NUFFT2(_NUFFTDiagnostics, LinOp):
 
     def _dense_complex(self) -> np.ndarray:
         """(M, prod(N)) type-2 matrix exp(i.s.<k, x_j>) with this op's
-        isign — the transpose of its type-1 pair's matrix."""
-        return self._t1op._dense_complex().T
+        isign — the conjugate transpose of its type-1 pair's matrix (the
+        pair was planned with the opposite isign)."""
+        return self._t1op._dense_complex().conj().T
 
     def apply(self, arr):
+        if self._real_in:
+            arr = jnp.asarray(arr)
+            arr = jnp.stack([arr, jnp.zeros_like(arr)], axis=-1)
         return self._t1op.adjoint(arr)
 
     def adjoint(self, arr):
-        return self._t1op.apply(arr)
+        out = self._t1op.apply(arr)
+        if self._real_in:
+            return out[..., 0]
+        return out
 
     def _expr(self):
         return (f"NUFFT2[{self._t1op._expr()[0]}]",)
@@ -1221,6 +1234,25 @@ class _NUFFT3Chunked(_NUFFTDiagnostics, LinOp):
         s = self._blocks[0][0]._isign
         return np.exp(1j * s * (z @ x.T))
 
+    def mesh(self, dtype=None, scale: str = "unit",
+             upsampled: bool = False) -> np.ndarray:
+        """Grids of the chunked transform: 'unit' = the first sub-block's
+        fine grid; 'source'/'target' = the ORIGINAL (reassembled) point
+        clouds' bounding boxes (reference chunked type-3 reports
+        monolithic-equivalent geometry, nufft.py:2332-2360)."""
+        dtype = np.float64 if dtype is None else dtype
+        N = tuple(self._nf)
+        grid = self._unit_mesh(N, dtype)
+        if scale == "unit":
+            return grid
+        if scale not in ("source", "target"):
+            raise ValueError(f"scale={scale!r}")
+        x, z = self._clouds()
+        pts = x if scale == "source" else z
+        c = 0.5 * (pts.max(axis=0) + pts.min(axis=0))
+        hw = np.maximum(0.5 * (pts.max(axis=0) - pts.min(axis=0)), 1e-9)
+        return grid / (np.asarray(N, dtype) / 2.0) * hw + c
+
     def stats(self) -> dict:
         """Per-block partition info (reference: nufft.py:1270-1363)."""
         return {
@@ -1325,10 +1357,11 @@ class NUFFT:
                         upsampfac=upsampfac)
 
     @staticmethod
-    def type2(x, N, isign: int = -1, eps: float = 1e-6,
+    def type2(x, N, isign: int = -1, eps: float = 1e-6, real: bool = False,
               upsampfac: float = 2.0, **plan_kwargs):
         _ignore_finufft_kwargs(plan_kwargs)
-        return _NUFFT2(x, N, isign=isign, eps=eps, upsampfac=upsampfac)
+        return _NUFFT2(x, N, isign=isign, eps=eps, upsampfac=upsampfac,
+                       real_in=real)
 
     @staticmethod
     def type3(x, z, isign: int = +1, eps: float = 1e-6, real: bool = False,
@@ -1345,22 +1378,35 @@ class NUFFT:
         return _NUFFT3(x, z, isign=isign, eps=eps, real_in=real)
 
 
+# performance-only FINUFFT/reference options: safe to ignore (results
+# identical), warned about once per call site
 _FINUFFT_ONLY_KWARGS = {
     "n_trans", "nthreads", "debug", "spread_debug", "showwarn", "fftw",
     "spread_sort", "spread_kerevalmeth", "spread_kerpad", "chkbnds",
-    "modeord", "gpu_method", "gpu_sort", "plan_fp", "enable_warnings",
-    "parallel",
+    "gpu_method", "gpu_sort", "plan_fp", "enable_warnings", "parallel",
+    "plan_fw", "plan_bw",
+}
+# options that CHANGE THE RESULT: refusing beats silently-wrong outputs
+_FINUFFT_SEMANTIC_KWARGS = {
+    "modeord": "FFT-ordered output modes are not supported; outputs are "
+               "centered (modeord=0).  np.fft.ifftshift the result instead.",
 }
 
 
 def _ignore_finufft_kwargs(kwargs: dict) -> None:
-    """Tolerate reference-only plan options so reference call sites port
-    unchanged: batching (n_trans) falls out of vmap/leading batch axes,
-    threading/debug/fftw options are FINUFFT-backend specific (reference
-    nufft.py:337-660 forwards them to finufft.Plan).  Unknown names raise."""
+    """Tolerate reference-only PERFORMANCE plan options so reference call
+    sites port unchanged: batching (n_trans) falls out of vmap/leading
+    batch axes, threading/debug/fftw/plan_fw/plan_bw are FINUFFT-backend
+    specific (reference nufft.py:337-660 forwards them to finufft.Plan).
+    Options that alter results (modeord) raise NotImplementedError rather
+    than being silently swallowed; unknown names raise TypeError."""
     import warnings as _warnings
 
     from pyxu_tpu.info.warnings import PerformanceWarning
+    for name, msg in _FINUFFT_SEMANTIC_KWARGS.items():
+        if kwargs.get(name):  # modeord=0 is our behavior already
+            raise NotImplementedError(f"{name}={kwargs[name]!r}: {msg}")
+        kwargs.pop(name, None)
     unknown = set(kwargs) - _FINUFFT_ONLY_KWARGS
     if unknown:
         raise TypeError(f"unknown NUFFT plan option(s): {sorted(unknown)}")

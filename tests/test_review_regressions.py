@@ -706,3 +706,82 @@ def test_ufunc_functional_positional_args():
     got = np.asarray(op.apply(x))
     np.testing.assert_allclose(got, np.clip(np.sin(np.asarray(x)), 0.0, 0.5),
                                atol=1e-6)
+
+
+class TestRound2ReviewFixes:
+    """Round-2 code-review regressions (NUFFT diagnostics + engine fetch)."""
+
+    def test_type2_dense_not_conjugated(self):
+        from pyxu_tpu.operator import NUFFT
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-np.pi, np.pi, (15, 2))
+        A2 = NUFFT.type2(x, (5, 4), isign=-1, eps=1e-8)
+        D = A2.ascomplexarray()
+        f = rng.normal(size=(5, 4)) + 1j * rng.normal(size=(5, 4))
+        fr = jnp.asarray(np.stack([f.real, f.imag], -1).astype(np.float32))
+        got = np.asarray(A2.apply(fr))
+        gotc = got[:, 0] + 1j * got[:, 1]
+        want = D @ f.ravel()
+        assert np.abs(gotc - want).max() / np.abs(want).max() < 1e-5
+
+    def test_chunked_mesh_no_attribute_error(self):
+        from pyxu_tpu.operator import NUFFT
+        rng = np.random.default_rng(1)
+        x = rng.uniform(-1, 1, (40, 2)) + 5.0
+        z = rng.uniform(-4, 4, (30, 2))
+        C = NUFFT.type3(x, z, chunked=True, fft_mem_mb=0.05)
+        for scale in ("unit", "source", "target"):
+            g = C.mesh(scale=scale)
+            assert g.ndim == 3 and g.shape[-1] == 2
+
+    def test_modeord_refused_not_swallowed(self):
+        from pyxu_tpu.operator import NUFFT
+        x = np.random.default_rng(2).uniform(-np.pi, np.pi, (9, 1))
+        with pytest.raises(NotImplementedError):
+            NUFFT.type1(x, 8, modeord=1)
+        NUFFT.type1(x, 8, modeord=0)  # our behavior already: accepted
+
+    def test_source_mesh_odd_axis(self):
+        from pyxu_tpu.operator import NUFFT
+        x = np.random.default_rng(3).uniform(-np.pi, np.pi, (5, 1))
+        m = NUFFT.type1(x, 3, eps=1e-3).mesh(scale="source")[..., 0]
+        np.testing.assert_allclose(
+            m, np.linspace(-np.pi, np.pi, 3, endpoint=False))
+
+    def test_type2_real_input(self):
+        from pyxu_tpu.operator import NUFFT
+        rng = np.random.default_rng(4)
+        x = rng.uniform(-np.pi, np.pi, (12, 2))
+        A = NUFFT.type2(x, (4, 3), real=True)
+        assert A.dim_shape == (4, 3)
+        f = rng.normal(size=(4, 3)).astype(np.float32)
+        got = np.asarray(A.apply(jnp.asarray(f)))
+        want = A.ascomplexarray() @ f.ravel().astype(np.float64)
+        gotc = got[:, 0] + 1j * got[:, 1]
+        assert np.abs(gotc - want).max() / np.abs(want).max() < 1e-5
+        adj = np.asarray(A.adjoint(jnp.asarray(got)))
+        assert adj.shape == (4, 3)
+        lhs = float(np.sum(got * got))
+        rhs = float(np.sum(f * adj))
+        assert abs(lhs - rhs) / abs(lhs) < 1e-4
+
+    def test_multisegment_fit_converges(self):
+        """Multi-segment fits drive k_end off the host mirror (one packed
+        fetch per segment); 4 segments of 5 == one segment of 20."""
+        from pyxu_tpu.operator import L1Norm, SquaredL2Norm
+        from pyxu_tpu.opt.solver import PGD
+        from pyxu_tpu.opt.stop import MaxIter
+        y = jnp.asarray(np.random.default_rng(5).standard_normal(16),
+                        jnp.float32)
+        f = SquaredL2Norm((16,)).asloss(y)
+        g = 0.1 * L1Norm((16,))
+        a = PGD(f=f, g=g)
+        a.fit(x0=jnp.zeros(16), stop_crit=MaxIter(20), max_iter=20,
+              segment_size=5)
+        b = PGD(f=f, g=g)
+        b.fit(x0=jnp.zeros(16), stop_crit=MaxIter(20), max_iter=20,
+              segment_size=20)
+        np.testing.assert_allclose(np.asarray(a.solution()),
+                                   np.asarray(b.solution()), atol=1e-6)
+        _, hist = a.stats()
+        assert hist["iteration"][-1] == 20

@@ -52,20 +52,25 @@ class TestWarmStart:
 
     def test_update_operands_same_structure_no_recompile(self):
         rng = np.random.default_rng(1)
-        y1 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
-        y2 = jnp.asarray(rng.standard_normal(32).astype(np.float32))
-        f1, g = _lasso(y1)
-        f2, _ = _lasso(y2)
+        ys = [jnp.asarray(rng.standard_normal(32).astype(np.float32))
+              for _ in range(3)]
+        f1, g = _lasso(ys[0])
         slv = PGD(f=f1, g=g)
         crit = MaxIter(8)
         slv.fit(x0=jnp.zeros(32), stop_crit=crit, max_iter=8)
-        seg_fn = slv._seg_cache[1]
-        n_compiles = seg_fn._cache_size()
-        slv.update_operands(f=f2)
+        # first swap flips static->dynamic: the NEXT fit builds the
+        # dynamic-mode segment (one expected retrace) ...
+        slv.update_operands(f=_lasso(ys[1])[0])
         slv.fit(x0=jnp.zeros(32), stop_crit=crit, max_iter=8)
+        seg_fn = slv._seg_cache[1]           # the dynamic-mode segment
+        n_compiles = seg_fn._cache_size()
+        # ... and every LATER same-structure swap reuses it: no retrace
+        slv.update_operands(f=_lasso(ys[2])[0])
+        slv.fit(x0=jnp.zeros(32), stop_crit=crit, max_iter=8)
+        assert slv._seg_cache[1] is seg_fn
         assert seg_fn._cache_size() == n_compiles  # hot swap, no retrace
-        # and the answer matches a cold solve against y2
-        ref = PGD(f=f2, g=g)
+        # and the answer matches a cold solve against ys[2]
+        ref = PGD(f=_lasso(ys[2])[0], g=g)
         ref.fit(x0=jnp.zeros(32), stop_crit=MaxIter(8), max_iter=8)
         np.testing.assert_allclose(np.asarray(slv.solution()),
                                    np.asarray(ref.solution()), atol=1e-6)
