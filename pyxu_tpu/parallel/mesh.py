@@ -13,9 +13,29 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["auto_mesh", "shard", "replicate", "P"]
+__all__ = ["auto_mesh", "shard", "replicate", "P", "init_distributed"]
 
 P = PartitionSpec
+
+
+def init_distributed(coordinator_address: str = None, num_processes: int = None,
+                     process_id: int = None, **kwargs) -> int:
+    """Multi-host bring-up: initialize the JAX distributed runtime so
+    ``jax.devices()`` spans every host's chips and :func:`auto_mesh` builds
+    slice-wide meshes (SURVEY §2.4: replaces the reference's
+    ``dask.distributed`` cluster connection; reference setup.cfg:33).
+
+    On TPU pods the arguments are auto-detected from the environment —
+    call with no arguments.  Returns the global device count.  Idempotent:
+    a second call is a no-op (jax raises if already initialized; that is
+    swallowed here so library code can call it defensively).
+    """
+    if not jax.distributed.is_initialized():
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id, **kwargs)
+    return len(jax.devices())
 
 
 def auto_mesh(*axis_sizes, axis_names=None, devices=None) -> Mesh:

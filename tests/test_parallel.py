@@ -401,3 +401,23 @@ class TestParallelReviewFixes:
     def test_auto_mesh_keeps_explicit_axis_name(self):
         m = auto_mesh(8, axis_names=("ax0",))
         assert m.axis_names == ("ax0",)
+
+
+def test_init_distributed_idempotent():
+    """Multi-host bring-up wrapper (SURVEY §2.4): single-process init works
+    and a second call is a no-op.  Runs in a subprocess — distributed init
+    must precede XLA backend init, which this pytest session already did."""
+    import subprocess
+    import sys
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from pyxu_tpu.parallel import init_distributed\n"
+        "n = init_distributed(coordinator_address='localhost:12397',"
+        " num_processes=1, process_id=0)\n"
+        "assert n == len(jax.devices()), n\n"
+        "assert init_distributed() == n\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr
