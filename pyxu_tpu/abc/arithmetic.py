@@ -568,11 +568,34 @@ def compose(lhs: Operator, rhs: Operator) -> Operator:
     props = _chain_properties(lhs, rhs)
     if P.QUADRATIC in props and lhs.has(P.QUADRATIC):
         Q, c, t = lhs._quad_spec()
-        KT = transpose(rhs)
-        Q_new = compose(KT, compose(Q, rhs)).asop(PosDefOp)
+        cst = _homothety_cst(Q)
+        if cst is not None and cst > 0:
+            # Q == cst*I, so Q_new = cst * K^T K.  Route through K.gram() so
+            # operators with a fast normal-operator form (e.g. the NUFFT's
+            # Toeplitz-embedding gram: two FFTs, no spread/interp) feed it to
+            # every QuadraticFunc.prox / grad / pinv CG solve.  For operators
+            # without a custom gram this is the identical K^T(K .) program.
+            Q_new = scale(rhs.gram(), cst).asop(PosDefOp)
+        else:
+            KT = transpose(rhs)
+            Q_new = compose(KT, compose(Q, rhs)).asop(PosDefOp)
         c_new = compose(c, rhs)
         return QuadraticFunc(rhs.dim_shape, Q=Q_new, c=c_new, t=t)
     return _make(ChainMixin, props, lhs, rhs)
+
+
+def _homothety_cst(Q: Operator):
+    """cst if Q == cst * Identity (Identity / Homothety / scale-wrappers
+    thereof), else None."""
+    from pyxu_tpu.operator.linop.base import HomothetyOp, IdentityOp
+    if isinstance(Q, IdentityOp):
+        return 1.0
+    if isinstance(Q, HomothetyOp):
+        return Q._cst
+    if isinstance(Q, ScaleMixin):
+        inner = _homothety_cst(Q._op)
+        return None if inner is None else Q._cst * inner
+    return None
 
 
 def _null_like(lhs, rhs):

@@ -332,3 +332,92 @@ class TestType3RealAndKwargs:
         assert any(isinstance(r.message, PerformanceWarning) for r in rec)
         with pytest.raises(TypeError):
             NUFFT.type2(x, 8, not_an_option=True)
+
+
+class TestToeplitzGram:
+    """NUFFT normal operator via Toeplitz/circulant embedding: gram/cogram
+    match the synthesized ``A.T * A`` composition (reference semantics,
+    abc/operator.py:1618-1663) while applying with two FFTs and no
+    spread/interp."""
+
+    @pytest.mark.parametrize("d,N", [(1, (8,)), (2, (6, 7))])
+    @pytest.mark.parametrize("isign", [+1, -1])
+    def test_gram_cogram_match_dense(self, d, N, isign):
+        from pyxu_tpu.operator.linop.nufft import _NUFFTToeplitz
+        M = 23
+        x = _pts(M, d)
+        A2 = NUFFT.type2(x, N, isign=isign, eps=1e-7)
+        G = A2.gram()
+        assert isinstance(G, _NUFFTToeplitz)
+        Gm = np.asarray(G.asarray()).reshape(G.codim_size, G.dim_size)
+        ref = np.asarray((A2.T * A2).asarray()).reshape(G.codim_size, G.dim_size)
+        assert np.abs(Gm - ref).max() / np.abs(ref).max() < 2e-4
+        assert np.abs(Gm - Gm.T).max() / np.abs(ref).max() < 2e-4  # symmetric
+        A1 = NUFFT.type1(x, N, isign=isign, eps=1e-7)
+        C = A1.cogram()
+        Cm = np.asarray(C.asarray()).reshape(C.codim_size, C.dim_size)
+        ref1 = np.asarray((A1 * A1.T).asarray()).reshape(C.codim_size, C.dim_size)
+        assert np.abs(Cm - ref1).max() / np.abs(ref1).max() < 2e-4
+
+    def test_real_input_gram(self):
+        M, N = 21, (6, 5)
+        x = _pts(M, 2)
+        A = NUFFT.type2(x, N, eps=1e-7, real=True)
+        G = A.gram()
+        assert G.dim_shape == N and G.codim_shape == N
+        Gm = np.asarray(G.asarray()).reshape(G.codim_size, G.dim_size)
+        ref = np.asarray((A.T * A).asarray()).reshape(G.codim_size, G.dim_size)
+        assert np.abs(Gm - ref).max() / np.abs(ref).max() < 2e-4
+
+    def test_quadratic_chain_picks_up_toeplitz(self):
+        """0.5*||A x - y||^2 must carry the Toeplitz gram as its Q so
+        QuadraticFunc.prox / ADMM x-updates run spread-free."""
+        from pyxu_tpu.operator.func import SquaredL2Norm
+        from pyxu_tpu.operator.linop.nufft import _NUFFTToeplitz
+        M, N = 23, (8, 8)
+        x = _pts(M, 2)
+        A = NUFFT.type2(x, N, eps=1e-6)
+        rng = np.random.default_rng(5)
+        y = view_as_real(nudft2(
+            rng.standard_normal(N) + 1j * rng.standard_normal(N), x, N))
+        y = jnp.asarray(np.asarray(y, np.float32))
+        f = 0.5 * SquaredL2Norm((M, 2)).asloss(y) * A
+        Q, _, _ = f._quad_spec()
+        leaf = Q
+        while hasattr(leaf, "_op"):
+            leaf = leaf._op
+        assert isinstance(leaf, _NUFFTToeplitz)
+        # grad through the Toeplitz path == A^H (A x - y)
+        xt = jnp.asarray(rng.standard_normal(N + (2,)).astype(np.float32))
+        g1 = np.asarray(f.grad(xt))
+        g2 = np.asarray(A.adjoint(A.apply(xt) - y))
+        assert np.abs(g1 - g2).max() / max(np.abs(g2).max(), 1e-30) < 1e-4
+        # prox solves (I + tau Q)p = b: check optimality via the gradient
+        tau = 0.37
+        p = f.prox(xt, tau)
+        resid = np.asarray(p + tau * f.grad(p) - xt)
+        assert np.abs(resid).max() < 1e-3
+
+    def test_trace_and_lipschitz(self):
+        M, N = 19, (6, 6)
+        A = NUFFT.type2(_pts(M, 2), N, eps=1e-6)
+        G = A.gram()
+        dense = np.asarray(G.asarray()).reshape(G.dim_size, G.dim_size)
+        assert abs(G.trace() - np.trace(dense)) / abs(np.trace(dense)) < 1e-4
+        # constructor bound is a valid upper bound; power iteration refines
+        true_norm = np.linalg.norm(dense, 2)
+        assert G.lipschitz >= true_norm * (1 - 1e-4)
+        est = G.estimate_lipschitz(maxiter=128)
+        assert est <= G.trace()  # sane
+        assert abs(est - true_norm) / true_norm < 0.05
+
+    def test_batched_apply(self):
+        M, N = 17, (5, 6)
+        A = NUFFT.type2(_pts(M, 2), N, eps=1e-6)
+        G = A.gram()
+        xb = jnp.asarray(np.random.default_rng(3)
+                         .standard_normal((3, 2) + N + (2,)).astype(np.float32))
+        out = np.asarray(G.apply(xb))
+        assert out.shape == (3, 2) + N + (2,)
+        one = np.asarray(G.apply(xb[1, 0]))
+        assert np.abs(out[1, 0] - one).max() < 1e-5
