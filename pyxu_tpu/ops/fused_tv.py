@@ -1,0 +1,659 @@
+r"""Fused Condat-Vu TV-deconvolution iteration.
+
+The headline workload's iteration (reference call stack: pds.py:429 m_step
+-> stencil/pad applies, each a separate bandwidth-bound pass) is a chain of
+small-halo stencil passes + BLAS-1 + a pointwise prox.  Evaluated through
+the operator stack each piece round-trips HBM (~20 frame-traffics per
+iteration at 4K); fusing the whole iteration into one band-partitioned
+Pallas kernel cuts that to ~7 (x, z0, z1, b read once + x, z0, z1 written
+once, plus halo overlap), which is the remaining ~2x of headroom measured
+in BASELINE.md's per-op budget.
+
+Pattern handled (the TV-deconvolution family, BASELINE workload 2):
+
+    min_x 0.5*cst*||K x||^2 + <b, x> (+ const) + lam*||D x||_{2,1}
+
+* ``K``: 2-D separable correlation, boundary mode ``symmetric`` or
+  ``constant`` (pyxu Stencil semantics: pad -> valid corr; adjoint = full
+  corr with flipped taps -> pad fold-back; reference stencil.py:564-607 and
+  pad.py:84-130);
+* ``D``: first-order forward-difference gradient, same boundary modes
+  (reference diff.py:446-520);
+* prox: per-pixel L21 block soft-threshold over the 2 gradient components
+  (reference norm.py:296-366).
+
+Two implementations with matching numerics:
+
+* :func:`tv_step_xla` — full-frame jnp expression of one iteration (the
+  operator semantics hand-inlined; CPU/fallback path and test oracle);
+* :func:`tv_step_pallas` — band-partitioned Pallas TPU kernel.  Every input
+  band is DMA'd with halo rows and then *virtualized*: re-indexed so local
+  row ``j`` always corresponds to virtual image row ``band_start - top + j``
+  with the boundary extension (symmetric reflection / zeros) materialized
+  in VMEM.  All downstream indexing is static and identical across bands;
+  image-boundary operator rules (fold-backs, gradient edge rows) are the
+  only predicated pieces.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["tv_step_xla", "tv_step_pallas", "match_fused_tv"]
+
+
+# ---------------------------------------------------------------- helpers --
+
+def _fwd_axis(x, k, c, ax, mode):
+    """Stencil forward along one axis: pad(mode) -> valid correlation."""
+    L = int(k.shape[0])
+    lo, hi = c, L - 1 - c
+    pads = [(0, 0)] * x.ndim
+    pads[ax] = (lo, hi)
+    xp = jnp.pad(x, pads) if mode == "constant" else jnp.pad(x, pads, mode=mode)
+    n = x.shape[ax]
+    out = None
+    for t in range(L):
+        term = k[t] * jax.lax.slice_in_dim(xp, t, t + n, axis=ax)
+        out = term if out is None else out + term
+    return out
+
+
+def _adj_axis(r, k, c, ax, mode):
+    """Stencil adjoint along one axis: full correlation with the flipped
+    kernel, then the Pad fold-back (pad.py adjoint semantics)."""
+    L = int(k.shape[0])
+    lo, hi = c, L - 1 - c
+    n = r.shape[ax]
+    pads = [(0, 0)] * r.ndim
+    pads[ax] = (L - 1, L - 1)
+    rp = jnp.pad(r, pads)
+    out = None
+    for t in range(L):
+        term = k[L - 1 - t] * jax.lax.slice_in_dim(rp, t, t + n + L - 1, axis=ax)
+        out = term if out is None else out + term
+    core = jax.lax.slice_in_dim(out, lo, lo + n, axis=ax)
+    if mode == "constant" or (lo == 0 and hi == 0):
+        return core
+    assert mode == "symmetric"
+    if lo:
+        ghost = jnp.flip(jax.lax.slice_in_dim(out, 0, lo, axis=ax), axis=ax)
+        pad_spec = [(0, 0)] * r.ndim
+        pad_spec[ax] = (0, n - lo)
+        core = core + jnp.pad(ghost, pad_spec)
+    if hi:
+        ghost = jnp.flip(
+            jax.lax.slice_in_dim(out, lo + n, lo + n + hi, axis=ax), axis=ax)
+        pad_spec = [(0, 0)] * r.ndim
+        pad_spec[ax] = (n - hi, 0)
+        core = core + jnp.pad(ghost, pad_spec)
+    return core
+
+
+def _fdiff(v, ax, mode):
+    """Forward difference with boundary pad (Gradient semantics)."""
+    n = v.shape[ax]
+    nxt = jax.lax.slice_in_dim(v, 1, n, axis=ax)
+    cur = jax.lax.slice_in_dim(v, 0, n - 1, axis=ax)
+    d = nxt - cur
+    pad_spec = [(0, 0)] * v.ndim
+    pad_spec[ax] = (0, 1)
+    if mode == "symmetric":        # ghost = edge copy -> last diff 0
+        return jnp.pad(d, pad_spec)
+    # constant: ghost = 0 -> last diff = -v[n-1]
+    last = -jax.lax.slice_in_dim(v, n - 1, n, axis=ax)
+    return jnp.concatenate([d, last], axis=ax)
+
+
+def _fdiff_adjoint(g, ax, mode):
+    """Adjoint of _fdiff: d[0] = -g[0]; d[i] = g[i-1] - g[i]; symmetric
+    fold adds g[n-1] back onto d[n-1]."""
+    n = g.shape[ax]
+    prev = jax.lax.slice_in_dim(g, 0, n - 1, axis=ax)
+    cur = jax.lax.slice_in_dim(g, 1, n, axis=ax)
+    inner = prev - cur
+    first = -jax.lax.slice_in_dim(g, 0, 1, axis=ax)
+    out = jnp.concatenate([first, inner], axis=ax)
+    if mode == "symmetric":
+        lastfix = jax.lax.slice_in_dim(g, n - 1, n, axis=ax)
+        pad_spec = [(0, 0)] * g.ndim
+        pad_spec[ax] = (n - 1, 0)
+        out = out + jnp.pad(lastfix, pad_spec)
+    return out
+
+
+def _l21_fenchel(zt0, zt1, lam):
+    """z - sigma*prox_{lam/sigma L21}(z/sigma) collapsed to the direct form
+    zt * min(1, lam/||zt||) (matches L21Norm.prox + Moreau identity)."""
+    nrm = jnp.sqrt(zt0 * zt0 + zt1 * zt1)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, zt0.dtype)
+    shrink = jnp.maximum(1.0 - lam / jnp.maximum(nrm, tiny), 0.0)
+    return zt0 * (1.0 - shrink), zt1 * (1.0 - shrink)
+
+
+# ----------------------------------------------------------- XLA reference --
+
+def tv_step_xla(x, z0, z1, b, k0, k1, c0, c1, *, cst, lam, tau, sigma, rho,
+                mode_k="symmetric", mode_d="symmetric"):
+    """One Condat-Vu iteration of the TV-deconvolution family, full-frame.
+
+    Matches ``CondatVu.m_step`` on (f = 0.5*cst*||K.||^2 + <b,.> + t,
+    g = None, h = lam*L21, K = Gradient) up to float reassociation.
+    """
+    Kx = _fwd_axis(_fwd_axis(x, k0, c0, 0, mode_k), k1, c1, 1, mode_k)
+    KtKx = _adj_axis(_adj_axis(Kx, k1, c1, 1, mode_k), k0, c0, 0, mode_k)
+    gf = cst * KtKx + b
+    dtz = _fdiff_adjoint(z0, 0, mode_d) + _fdiff_adjoint(z1, 1, mode_d)
+    xp = x - tau * (gf + dtz)
+    v = 2.0 * xp - x
+    zt0 = z0 + sigma * _fdiff(v, 0, mode_d)
+    zt1 = z1 + sigma * _fdiff(v, 1, mode_d)
+    zp0, zp1 = _l21_fenchel(zt0, zt1, lam)
+    if rho == 1.0:
+        return xp, zp0, zp1
+    return (x + rho * (xp - x), z0 + rho * (zp0 - z0), z1 + rho * (zp1 - z1))
+
+
+# ------------------------------------------------------------ Pallas kernel --
+
+def _band_size(H, target=48):
+    """Largest divisor of H <= target, preferring multiples of 8."""
+    best = 1
+    for r in range(1, min(H, target) + 1):
+        if H % r == 0 and (r % 8 == 0, r) >= (best % 8 == 0, best):
+            best = r
+    return best
+
+
+def tv_step_pallas(x, z, b, *, k0, k1, c0, c1, cst, lam, tau, sigma,
+                   rho, mode_k="symmetric", mode_d="symmetric",
+                   band=None, interpret=False):
+    """Band-partitioned Pallas version of :func:`tv_step_xla`.
+
+    ``z`` is the stacked dual state ``(2, H, W)`` (CondatVu's mstate layout)
+    and the return is ``(x_new, z_new)`` with the same shapes — passing the
+    stacked array straight through avoids 4 frame-copies per iteration that
+    slicing/stacking around the pallas_call would cost.
+
+    ``k0``/``k1`` are tap TUPLES (host floats), the rest plan scalars.  Grid
+    over row bands; per band, DMA x/z/b windows with halo rows from HBM
+    into VMEM scratch, virtualize their row indexing, run the whole
+    iteration in VMEM, and write the (x, z) output bands.
+
+    Deliberately NOT wrapped in jax.jit: an effectful (DMA-semaphore)
+    closed_call nested inside an outer jit trips XLA's lowering cache;
+    callers trace this inline and the pallas_call object is memoised on the
+    static configuration instead.
+    """
+    return _build_tv_pallas(
+        x.shape, str(x.dtype), tuple(float(v) for v in k0),
+        tuple(float(v) for v in k1), int(c0), int(c1), float(cst),
+        float(lam), float(tau), float(sigma), float(rho), mode_k, mode_d,
+        band, interpret)(x, z, b)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
+                     rho, mode_k, mode_d, band, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = shape
+    ka0 = np.asarray(k0, np.float32)
+    ka1 = np.asarray(k1, np.float32)
+    L0, L1 = ka0.shape[0], ka1.shape[0]
+    lo0, hi0 = c0, L0 - 1 - c0
+    lo1, hi1 = c1, L1 - 1 - c1
+    hk = lo0 + hi0                     # one-pass row halo of K
+    sym_k = mode_k == "symmetric"
+    sym_d = mode_d == "symmetric"
+    assert mode_k in ("symmetric", "constant")
+    assert mode_d in ("symmetric", "constant")
+
+    R = band or _band_size(H)
+    nb = H // R
+    assert H % R == 0 and nb >= 2, (H, R)
+    # virtual windows per input (rows [a0-T, a0-T+N)):
+    TX = hk + lo0
+    NX = R + 2 * hk + lo0 + hi0 + 1    # x rows [a0-hk-lo0, a0+R+hk+hi0+1)
+    TZ = 1
+    NZ = R + 2                         # z rows [a0-1, a0+R+1)
+    TB = 0
+    NB_ = R + 1                        # b rows [a0, a0+R+1)
+    KR = R + 1 + 2 * hk                # Kx rows [a0-hk, a0+R+1+hk)
+    dtype = jnp.dtype(dtype_str)
+
+    def _revrows(a, n):
+        """First n rows of ``a`` in reverse order (Mosaic has no `rev`
+        lowering; n is small — static concat of single rows)."""
+        return jnp.concatenate([a[j:j + 1] for j in range(n - 1, -1, -1)],
+                               axis=0)
+
+    # ---- column operator (pad -> valid corr along axis 1) as band+edge ----
+    # The axis-1 stencil stage is a structured WxW matrix F = B + E: B the
+    # banded zero-pad correlation (diagonal d = t-lo1, coefficient k1[t]),
+    # E the boundary-pad coupling (symmetric reflections land on <= lo1+hi1
+    # edge source columns).  B is applied with pltpu.roll + wrap masking
+    # (Mosaic lowers neither `rev` nor lane-unaligned concatenate, so the
+    # reflect-pad-concat formulation is out); E as per-source-column
+    # broadcasts against host-precomputed coefficient rows.  The adjoint
+    # stage is exactly F^T = B^T + E^T.
+    edge_fwd = {}                      # src col -> (W,) coefficient row
+    if sym_k and (lo1 or hi1):
+        for cc in list(range(lo1)) + list(range(W - hi1, W)):
+            for t in range(L1):
+                src = cc + t - lo1
+                if 0 <= src < W:
+                    continue
+                m = -1 - src if src < 0 else 2 * W - 1 - src
+                edge_fwd.setdefault(m, np.zeros(W, np.float32))[cc] += ka1[t]
+    edge_ms = sorted(edge_fwd)
+    n_edge = len(edge_ms)
+    if n_edge:
+        E_rows = np.stack([edge_fwd[m] for m in edge_ms])          # (n, W)
+        O_rows = np.zeros((n_edge, W), np.float32)
+        for j, m in enumerate(edge_ms):
+            O_rows[j, m] = 1.0
+    else:
+        E_rows = O_rows = None
+
+    def _shift_cols(a, d):
+        """out[:, c] = a[:, c+d], zeros shifted in (static d)."""
+        from jax.experimental.pallas import tpu as _pltpu
+        if d == 0:
+            return a
+        Wa = a.shape[1]
+        rolled = _pltpu.roll(a, (-d) % Wa, 1)   # pltpu.roll wants shift >= 0
+        ids = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        if d > 0:
+            return jax.lax.select(ids >= Wa - d, jnp.zeros_like(a), rolled)
+        return jax.lax.select(ids < -d, jnp.zeros_like(a), rolled)
+
+    def _col_fwd(a, E, O):
+        """Axis-1 stencil stage: pad(mode) -> valid correlation.  ``E``/``O``
+        are the (n_edge, W) coefficient/onehot rows, passed as kernel inputs
+        (pallas kernels cannot capture array constants)."""
+        out = None
+        for t in range(L1):
+            term = float(ka1[t]) * _shift_cols(a, t - lo1)
+            out = term if out is None else out + term
+        for j, m in enumerate(edge_ms):
+            out = out + a[:, m:m + 1] * E[j:j + 1, :]
+        return out
+
+    def _col_adj(a, E, O):
+        """Transpose of :func:`_col_fwd` (full corr w/ flipped taps + pad
+        fold-back, collapsed to B^T + E^T)."""
+        out = None
+        for t in range(L1):
+            term = float(ka1[t]) * _shift_cols(a, lo1 - t)
+            out = term if out is None else out + term
+        for j in range(n_edge):
+            contrib = jnp.sum(a * E[j:j + 1, :], axis=1, keepdims=True)
+            out = out + contrib * O[j:j + 1, :]
+        return out
+
+    def _virtualize(buf, N, T, i, reflect):
+        """Re-index a clamp-DMA'd band so local j == virtual row a0-T+j.
+
+        Interior bands are untouched (their window was in range).  First
+        band: window was [0, N); wanted [-T, N-T) -> top T rows become the
+        boundary extension.  Last band: window was [H-N, H); wanted
+        [a0-T, a0-T+N) with a0 = H-R -> shift by B = N-R-T and fill the
+        bottom B rows.  Fill = symmetric reflection or zeros (constant) —
+        zeros also stand in where the value is provably unused (see call
+        sites), since select() never propagates the unselected branch.
+        """
+        B = N - R - T
+
+        def fix_first(bb):
+            top = _revrows(bb, T) if (reflect and T) else \
+                jnp.zeros((T, W), dtype)
+            return jnp.concatenate([top, bb[:N - T]], axis=0) if T else bb
+
+        def fix_last(bb):
+            bot = _revrows(bb[N - B:], B) if (reflect and B) else \
+                jnp.zeros((B, W), dtype)
+            return jnp.concatenate([bb[B:], bot], axis=0) if B else bb
+
+        return jax.lax.cond(
+            i == 0, fix_first,
+            lambda t: jax.lax.cond(i == nb - 1, fix_last, lambda u: u, t),
+            buf)
+
+    def _corr_rows(a, taps, flip, out_rows, off):
+        """axis-0 valid correlation at static offset."""
+        L = taps.shape[0]
+        out = None
+        for t in range(L):
+            coef = float(taps[L - 1 - t] if flip else taps[t])
+            term = coef * jax.lax.slice_in_dim(a, off + t, off + t + out_rows,
+                                               axis=0)
+            out = term if out is None else out + term
+        return out
+
+    def kernel(x_hbm, z_hbm, b_hbm, e_ref, o_ref, xo_ref, zo_ref,
+               xs, zs, bs, sems):
+        i = pl.program_id(0)
+        a0 = i * R
+
+        # ---- DMA input bands (clamped starts) -----------------------------
+        xstart = jax.lax.clamp(jnp.int32(0), a0 - jnp.int32(TX), jnp.int32(H - NX))
+        zstart = jax.lax.clamp(jnp.int32(0), a0 - jnp.int32(TZ), jnp.int32(H - NZ))
+        bstart = jax.lax.clamp(jnp.int32(0), a0 - jnp.int32(TB), jnp.int32(H - NB_))
+        cp_x = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(xstart, NX), :], xs, sems.at[0])
+        cp_z = pltpu.make_async_copy(
+            z_hbm.at[:, pl.ds(zstart, NZ), :], zs, sems.at[1])
+        cp_b = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(bstart, NB_), :], bs, sems.at[2])
+        cp_x.start()
+        cp_z.start()
+        cp_b.start()
+        cp_x.wait()
+        cp_z.wait()
+        cp_b.wait()
+
+        xb = _virtualize(xs[...], NX, TX, i, sym_k)
+        z0b = _virtualize(zs[0], NZ, TZ, i, False)
+        z1b = _virtualize(zs[1], NZ, TZ, i, False)
+        bb = _virtualize(bs[...], NB_, TB, i, False)
+        # (z/b fills are zeros: the affected rows are the gradient edge rows
+        # handled by select, or the virtual row a0+R == H whose values only
+        # reach u0's overridden last row.)
+
+        # ---- K x: rows [a0-hk, a0+R+1+hk) ----------------------------------
+        t0 = _corr_rows(xb, ka0, False, KR, 0)  # x row (a0-hk-lo0)+0 aligns
+        E = e_ref[...]
+        O = o_ref[...]
+        Kx = _col_fwd(t0, E, O)
+
+        # zero virtual out-of-image Kx rows (the adjoint's full-corr input
+        # is only supported on [0, H))
+        if hk:
+            rzero_top = jnp.concatenate(
+                [jnp.zeros((hk, W), dtype), Kx[hk:]], axis=0)
+            Kx = jax.lax.cond(i == 0, lambda k: rzero_top, lambda k: k, Kx)
+            rzero_bot = jnp.concatenate(
+                [Kx[:R + hk], jnp.zeros((hk + 1, W), dtype)], axis=0)
+            Kx = jax.lax.cond(i == nb - 1, lambda k: rzero_bot,
+                              lambda k: k, Kx)
+
+        # ---- K^T Kx ---------------------------------------------------------
+        G1 = _col_adj(Kx, E, O)
+
+        # axis 0: out[r] = sum_s k0[s] * G1[r + lo0 - s]; local(v) = v-a0+hk
+        # -> slice offsets hk+lo0-s for s in [0, L0), out rows R+1
+        KtK = None
+        for s in range(L0):
+            term = float(ka0[s]) * jax.lax.slice_in_dim(
+                G1, hk + lo0 - s, hk + lo0 - s + R + 1, axis=0)
+            KtK = term if KtK is None else KtK + term
+        # row fold-backs (symmetric only; first/last bands)
+        if sym_k and lo0:
+            def fold_top(kt):
+                adds = []
+                for j in range(lo0):     # ghost virtual row -1-j -> row j
+                    acc = None
+                    for s in range(L0):
+                        gi = hk - 1 - j + lo0 - s
+                        term = float(ka0[s]) * G1[gi:gi + 1]
+                        acc = term if acc is None else acc + term
+                    adds.append(acc)
+                add = jnp.concatenate(adds, axis=0)
+                return kt + jnp.concatenate(
+                    [add, jnp.zeros((R + 1 - lo0, W), dtype)], axis=0)
+            KtK = jax.lax.cond(i == 0, fold_top, lambda kt: kt, KtK)
+        if sym_k and hi0:
+            def fold_bot(kt):
+                adds = []
+                for j in range(hi0 - 1, -1, -1):
+                    # ghost row H+j folds onto image row H-1-j (local R-1-j)
+                    acc = None
+                    for s in range(L0):
+                        gi = R + hk + j + lo0 - s
+                        term = float(ka0[s]) * G1[gi:gi + 1]
+                        acc = term if acc is None else acc + term
+                    adds.append(acc)
+                add = jnp.concatenate(adds, axis=0)   # rows R-hi0 .. R-1
+                return kt + jnp.concatenate(
+                    [jnp.zeros((R - hi0, W), dtype), add,
+                     jnp.zeros((1, W), dtype)], axis=0)
+            KtK = jax.lax.cond(i == nb - 1, fold_bot, lambda kt: kt, KtK)
+
+        # ---- gf, D^T z, xp, v ----------------------------------------------
+        gf = cst * KtK + bb                       # rows [a0, a0+R+1)
+
+        prev0 = z0b[0:R + 1]                      # z0 rows [a0-1, a0+R)
+        cur0 = z0b[1:R + 2]                       # z0 rows [a0, a0+R+1)
+        dt0 = prev0 - cur0
+        rows1 = a0 + jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 0)
+        dt0 = jax.lax.select(rows1 == 0, -cur0, dt0)
+        if sym_d:
+            dt0 = jax.lax.select(rows1 == H - 1, prev0, dt0)
+
+        z1w = z1b[1:R + 2]                        # z1 rows [a0, a0+R+1)
+        prev1 = _shift_cols(z1w, -1)              # col 0 zero => -z1w there
+        dt1 = prev1 - z1w
+        if sym_d:
+            cols1 = jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 1)
+            dt1 = jax.lax.select(cols1 == W - 1, prev1, dt1)
+
+        xw = xb[TX:TX + R + 1]                    # x rows [a0, a0+R+1)
+        xp_ = xw - tau * (gf + dt0 + dt1)
+        v = 2.0 * xp_ - xw
+
+        # ---- u = D v, prox, momentum, outputs -------------------------------
+        u0 = v[1:R + 1] - v[:R]
+        rowsR = a0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+        if sym_d:
+            u0 = jax.lax.select(rowsR == H - 1, jnp.zeros_like(u0), u0)
+        else:
+            u0 = jax.lax.select(rowsR == H - 1, -v[:R], u0)
+        vR = v[:R]
+        nxt1 = _shift_cols(vR, 1)                 # last col zero => -vR there
+        u1 = nxt1 - vR
+        if sym_d:                                 # symmetric: last diff is 0
+            colsR = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+            u1 = jax.lax.select(colsR == W - 1, jnp.zeros_like(u1), u1)
+
+        z0w = z0b[1:R + 1]                        # z0 rows [a0, a0+R)
+        z1wR = z1w[:R]
+        zt0 = z0w + sigma * u0
+        zt1 = z1wR + sigma * u1
+        zp0, zp1 = _l21_fenchel(zt0, zt1, lam)
+
+        if rho == 1.0:
+            xo_ref[...] = xp_[:R]
+            zo_ref[0] = zp0
+            zo_ref[1] = zp1
+        else:
+            xo_ref[...] = xw[:R] + rho * (xp_[:R] - xw[:R])
+            zo_ref[0] = z0w + rho * (zp0 - z0w)
+            zo_ref[1] = z1wR + rho * (zp1 - z1wR)
+
+    n_e = max(n_edge, 1)               # zero-size blocks are not allowed
+    E_in = jnp.asarray(E_rows if n_edge else np.zeros((1, W), np.float32))
+    O_in = jnp.asarray(O_rows if n_edge else np.zeros((1, W), np.float32))
+    inner = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + [
+            pl.BlockSpec((n_e, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_e, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, R, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((H, W), dtype),
+                   jax.ShapeDtypeStruct((2, H, W), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((NX, W), dtype),
+            pltpu.VMEM((2, NZ, W), dtype),
+            pltpu.VMEM((NB_, W), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )
+
+    def fn(x, z, b):
+        return inner(x, z, b, E_in, O_in)
+
+    return fn
+
+
+# ------------------------------------------------------------ pattern match --
+
+def _unwrap_scale_cast(op):
+    """Strip Cast/Scale wrappers, returning (base_op, accumulated_scale)."""
+    from pyxu_tpu.abc.arithmetic import CastMixin, ScaleMixin
+    cst = 1.0
+    while True:
+        if isinstance(op, ScaleMixin):
+            cst *= op._cst
+            op = op._op
+        elif isinstance(op, CastMixin):
+            op = op._op
+        else:
+            return op, cst
+
+
+def _stencil_taps_2d(st):
+    """(k0, c0, k1, c1, mode) of a 2-D separable Stencil, or None."""
+    from pyxu_tpu.operator.linop.stencil import Stencil
+    if not isinstance(st, Stencil) or st.dim_rank != 2:
+        return None
+    if st._mode not in ("symmetric", "constant"):
+        return None
+    ks = st._kernels_arr
+    if len(ks) != 2:
+        return None
+    k0, k1 = (np.asarray(jax.device_get(k)) for k in ks)
+    if not (k0.shape[1] == 1 and k1.shape[0] == 1):
+        return None
+    c0 = st._centers[0][0]
+    c1 = st._centers[1][1]
+    return (tuple(float(v) for v in k0.ravel()), int(c0),
+            tuple(float(v) for v in k1.ravel()), int(c1), st._mode)
+
+
+def _gradient_mode_2d(K):
+    """Boundary mode of a 2-D first-order forward-difference Gradient, or
+    None when K is not of that exact form."""
+    from pyxu_tpu.operator.linop.diff import _StackedDiff
+    from pyxu_tpu.operator.linop.stencil import Stencil
+    if not isinstance(K, _StackedDiff) or len(K._ops) != 2:
+        return None
+    modes = []
+    for ax, op in enumerate(K._ops):
+        if not isinstance(op, Stencil) or op.dim_rank != 2:
+            return None
+        want = [1, 1]
+        want[ax] = 2
+        found = False
+        for k, ctr in zip(op._kernels_arr, op._centers):
+            k = np.asarray(jax.device_get(k))
+            if ctr != (0, 0):
+                return None
+            if k.shape == (1, 1):          # identity factor on the other axis
+                if not np.allclose(k.ravel(), [1.0]):
+                    return None
+                continue
+            if found or k.shape != tuple(want) or \
+                    not np.allclose(k.ravel(), [-1.0, 1.0]):
+                return None
+            found = True
+        if not found:
+            return None
+        if op._mode not in ("symmetric", "constant"):
+            return None
+        modes.append(op._mode)
+    if modes[0] != modes[1]:
+        return None
+    return modes[0]
+
+
+def match_fused_tv(f, g, h, K, *, tau, sigma, rho):
+    """Return a fused ``(x, z) -> (x_new, z_new)`` step for the TV family,
+    or None when the (f, g, h, K) spec / backend does not qualify.
+
+    Controlled by ``PYXU_TPU_FUSED``: ``auto`` (default — Pallas on TPU
+    backends, off elsewhere), ``0`` (off), ``1`` (force Pallas; interpreted
+    off-TPU — tests only), ``xla`` (full-frame fused jnp path, any backend).
+    """
+    import os
+
+    from pyxu_tpu.abc.operator import QuadraticFunc, _GramOp
+    from pyxu_tpu.operator.linop.base import NullFunc
+    from pyxu_tpu.operator.func.norm import L21Norm
+
+    flag = os.environ.get("PYXU_TPU_FUSED", "auto")
+    if flag == "0":
+        return None
+    backend = jax.default_backend()
+    if flag == "auto" and backend in ("cpu", "gpu"):
+        return None
+
+    if not (g is None or isinstance(g, NullFunc)):
+        return None
+    if h is None or K is None:
+        return None
+    if type(f) is not QuadraticFunc:
+        return None
+    Q, c, _ = f._quad_spec()
+    Qb, cst = _unwrap_scale_cast(Q)
+    if not (isinstance(Qb, _GramOp) and not Qb._cogram):
+        return None
+    taps = _stencil_taps_2d(Qb._op)
+    if taps is None or cst <= 0:
+        return None
+    k0, c0, k1, c1, mode_k = taps
+
+    hb, lam = _unwrap_scale_cast(h)
+    if not (isinstance(hb, L21Norm) and lam > 0):
+        return None
+    if hb._l2_axis != (0,) or hb.dim_rank != 3 or hb.dim_shape[0] != 2:
+        return None
+
+    mode_d = _gradient_mode_2d(K)
+    if mode_d is None:
+        return None
+
+    H, W = f.dim_shape if len(f.dim_shape) == 2 else (None, None)
+    if H is None or hb.dim_shape[1:] != (H, W):
+        return None
+    R = _band_size(H)
+    NX = R + 2 * (c0 + len(k0) - 1 - c0) + len(k0)
+    if R >= H or H % R or NX > H:
+        return None
+
+    b = jax.jit(lambda: c.grad(jnp.zeros((H, W), jnp.float32)))()
+    kw = dict(k0=k0, k1=k1, c0=c0, c1=c1, cst=float(cst), lam=float(lam),
+              tau=float(tau), sigma=float(sigma), rho=float(rho),
+              mode_k=mode_k, mode_d=mode_d)
+
+    if flag == "xla":
+        def step(x, z):
+            xn, z0n, z1n = tv_step_xla(
+                x, z[0], z[1], b, jnp.asarray(np.asarray(k0, np.float32)),
+                jnp.asarray(np.asarray(k1, np.float32)), c0, c1,
+                cst=float(cst), lam=float(lam), tau=float(tau),
+                sigma=float(sigma), rho=float(rho),
+                mode_k=mode_k, mode_d=mode_d)
+            return xn, jnp.stack([z0n, z1n])
+        return step
+
+    interp = backend in ("cpu", "gpu")
+
+    def step(x, z):
+        return tv_step_pallas(x, z, b, interpret=interp, **kw)
+
+    return step

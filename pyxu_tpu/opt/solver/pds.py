@@ -168,6 +168,24 @@ class CondatVu(_PrimalDualSplitting):
     (x, z) ← (1−ρ)(x, z) + ρ(x⁺, z⁺)
     """
 
+    def _m_init_extra(self, mst):
+        # Fusion pass: when the problem is the TV-deconvolution family
+        # (quadratic-of-separable-stencil data term, forward-diff gradient,
+        # L21 dual prox), swap m_step for the single Pallas kernel that runs
+        # the whole iteration VMEM-resident (pyxu_tpu.ops.fused_tv) —
+        # numerics match the generic path (tests force both).  Skipped in
+        # dynamic operand mode: the fused step bakes the linear term
+        # b = c.grad(0) as a trace constant, which update_operands() could
+        # silently leave stale (operand hot-swap rides jit ARGUMENTS).
+        if getattr(self, "_operand_mode", "static") == "dynamic":
+            self._fused_tv = None
+            return mst
+        from pyxu_tpu.ops.fused_tv import match_fused_tv
+        self._fused_tv = match_fused_tv(
+            self._f, self._g, self._h, self._K,
+            tau=self._tau, sigma=self._sigma, rho=self._rho)
+        return mst
+
     def m_step(self, mst):
         x = mst["x"]
         tau, sigma, rho = self._tau, self._sigma, self._rho
@@ -175,6 +193,10 @@ class CondatVu(_PrimalDualSplitting):
             xp = self._g.prox(x - tau * self._f.grad(x), tau)
             return {"x": x + rho * (xp - x)}
         z = mst["z"]
+        fused = getattr(self, "_fused_tv", None)
+        if fused is not None and x.ndim == 2 and x.dtype == jnp.float32:
+            xn, zn = fused(x, z)
+            return {"x": xn, "z": zn}
         xp = self._g.prox(x - tau * self._f.grad(x) - tau * self._Kt(z), tau)
         zp = self._h.fenchel_prox(z + sigma * self._Kf(2 * xp - x), sigma)
         return {"x": x + rho * (xp - x), "z": z + rho * (zp - z)}

@@ -1,0 +1,147 @@
+"""Fused Condat-Vu TV iteration (pyxu_tpu.ops.fused_tv): the XLA reference
+must match the operator-stack m_step, the Pallas kernel (interpret mode on
+CPU) must match the XLA reference, and the CondatVu fusion pass must produce
+the same solve as the generic path."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyxu_tpu.operator.func import L21Norm, SquaredL2Norm
+from pyxu_tpu.operator.linop import Gradient, Stencil
+from pyxu_tpu.ops.fused_tv import match_fused_tv, tv_step_pallas, tv_step_xla
+from pyxu_tpu.opt.solver import CondatVu
+from pyxu_tpu.opt.stop import MaxIter
+
+rng0 = np.random.default_rng(7)
+
+
+def _gauss(n=9, sig=2.0):
+    k = np.exp(-0.5 * ((np.arange(n) - (n - 1) / 2) / sig) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _problem(H, W, mode, lam=0.01, seed=3):
+    k1 = _gauss()
+    y = jnp.asarray(np.random.default_rng(seed).random((H, W), np.float32))
+    K = Stencil((H, W), [jnp.asarray(k1), jnp.asarray(k1)], [4, 4], mode=mode)
+    f = 0.5 * SquaredL2Norm((H, W)).asloss(y) * K
+    D = Gradient((H, W), mode=mode)
+    h = lam * L21Norm((2, H, W), l2_axis=0)
+    return f, h, D, k1, y
+
+
+@pytest.mark.parametrize("mode", ["symmetric", "constant"])
+def test_xla_step_matches_m_step(mode):
+    H, W = 37, 41
+    f, h, D, k1, y = _problem(H, W, mode)
+    slv = CondatVu(f=f, h=h, K=D)
+    x0 = jnp.asarray(rng0.random((H, W), np.float32))
+    mst = slv.m_init(x0=x0)
+    slv._fused_tv = None          # force the generic path as the oracle
+    m = dict(mst)
+    for _ in range(3):
+        m = slv.m_step(m)
+    _, c, _ = f._quad_spec()
+    b = c.grad(jnp.zeros((H, W), jnp.float32))
+    xf, z0f, z1f = mst["x"], mst["z"][0], mst["z"][1]
+    for _ in range(3):
+        xf, z0f, z1f = tv_step_xla(
+            xf, z0f, z1f, b, jnp.asarray(k1), jnp.asarray(k1), 4, 4,
+            cst=1.0, lam=0.01, tau=slv._tau, sigma=slv._sigma, rho=slv._rho,
+            mode_k=mode, mode_d=mode)
+    assert np.abs(np.asarray(m["x"]) - np.asarray(xf)).max() < 1e-5
+    assert np.abs(np.asarray(m["z"][0]) - np.asarray(z0f)).max() < 1e-5
+    assert np.abs(np.asarray(m["z"][1]) - np.asarray(z1f)).max() < 1e-5
+
+
+@pytest.mark.parametrize("mode", ["symmetric", "constant"])
+@pytest.mark.parametrize("band", [16, 32])
+def test_pallas_matches_xla(mode, band):
+    H, W = 64, 41
+    k1 = _gauss()
+    x = jnp.asarray(rng0.random((H, W), np.float32))
+    z = jnp.asarray(rng0.standard_normal((2, H, W)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng0.standard_normal((H, W)).astype(np.float32) * 0.1)
+    kw = dict(cst=1.0, lam=0.01, tau=0.2, sigma=0.15, rho=0.9,
+              mode_k=mode, mode_d=mode)
+    want = tv_step_xla(x, z[0], z[1], b, jnp.asarray(k1), jnp.asarray(k1),
+                       4, 4, **kw)
+    xg, zg = tv_step_pallas(x, z, b, k0=tuple(k1.tolist()),
+                            k1=tuple(k1.tolist()), c0=4, c1=4, band=band,
+                            interpret=True, **kw)
+    assert np.abs(np.asarray(xg) - np.asarray(want[0])).max() < 1e-5
+    assert np.abs(np.asarray(zg[0]) - np.asarray(want[1])).max() < 1e-5
+    assert np.abs(np.asarray(zg[1]) - np.asarray(want[2])).max() < 1e-5
+
+
+def test_pallas_asymmetric_kernels_and_momentum():
+    H, W = 64, 33
+    k0 = np.asarray([0.2, 0.5, 0.3], np.float32)
+    k1 = np.asarray([0.1, 0.6, 0.2, 0.1], np.float32)
+    x = jnp.asarray(rng0.random((H, W), np.float32))
+    z = jnp.asarray(rng0.standard_normal((2, H, W)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng0.standard_normal((H, W)).astype(np.float32) * 0.1)
+    for mode in ("symmetric", "constant"):
+        kw = dict(cst=0.7, lam=0.02, tau=0.11, sigma=0.21, rho=0.8,
+                  mode_k=mode, mode_d=mode)
+        want = tv_step_xla(x, z[0], z[1], b, jnp.asarray(k0),
+                           jnp.asarray(k1), 1, 2, **kw)
+        xg, zg = tv_step_pallas(x, z, b, k0=tuple(k0.tolist()),
+                                k1=tuple(k1.tolist()), c0=1, c1=2, band=16,
+                                interpret=True, **kw)
+        assert np.abs(np.asarray(xg) - np.asarray(want[0])).max() < 1e-5
+        assert np.abs(np.asarray(zg[0]) - np.asarray(want[1])).max() < 1e-5
+        assert np.abs(np.asarray(zg[1]) - np.asarray(want[2])).max() < 1e-5
+
+
+@pytest.mark.parametrize("flag", ["xla", "1"])
+def test_condatvu_fusion_matches_generic_solve(flag, monkeypatch):
+    H, W = 96, 67
+    iters = 25
+    sols = {}
+    for fl in ("0", flag):
+        monkeypatch.setenv("PYXU_TPU_FUSED", fl)
+        f, h, D, _, y = _problem(H, W, "symmetric")
+        slv = CondatVu(f=f, h=h, K=D, stop_rate=iters)
+        slv.fit(x0=y, stop_crit=MaxIter(iters), max_iter=iters,
+                segment_size=iters)
+        sols[fl] = np.asarray(slv.solution())
+        if fl == "0":
+            assert slv._fused_tv is None
+        else:
+            assert slv._fused_tv is not None
+    assert np.abs(sols["0"] - sols[flag]).max() < 1e-5
+
+
+def test_matcher_rejects_non_tv_problems(monkeypatch):
+    monkeypatch.setenv("PYXU_TPU_FUSED", "1")
+    H, W = 96, 64
+    f, h, D, _, y = _problem(H, W, "symmetric")
+    # wrong h (L1 instead of L21)
+    from pyxu_tpu.operator.func import L1Norm
+    assert match_fused_tv(f, None, 0.1 * L1Norm((2, H, W)), D,
+                          tau=0.1, sigma=0.1, rho=1.0) is None
+    # non-quadratic f
+    assert match_fused_tv(L1Norm((H, W)), None, h, D,
+                          tau=0.1, sigma=0.1, rho=1.0) is None
+    # g present
+    from pyxu_tpu.operator.func.indicator import PositiveOrthant
+    step = match_fused_tv(f, PositiveOrthant((H, W)), h, D,
+                          tau=0.1, sigma=0.1, rho=1.0)
+    assert step is None
+    # wrap-mode stencil
+    k1 = _gauss()
+    Kw = Stencil((H, W), [jnp.asarray(k1), jnp.asarray(k1)], [4, 4],
+                 mode="wrap")
+    fw = 0.5 * SquaredL2Norm((H, W)).asloss(y) * Kw
+    assert match_fused_tv(fw, None, h, D, tau=0.1, sigma=0.1, rho=1.0) is None
+    # image too small for the halo window
+    f2, h2, D2, _, _ = _problem(24, 64, "symmetric")
+    assert match_fused_tv(f2, None, h2, D2, tau=0.1, sigma=0.1, rho=1.0) is None
+    # off switch
+    monkeypatch.setenv("PYXU_TPU_FUSED", "0")
+    assert match_fused_tv(f, None, h, D, tau=0.1, sigma=0.1, rho=1.0) is None
