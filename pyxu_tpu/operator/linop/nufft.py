@@ -930,6 +930,7 @@ class _NUFFTToeplitz(SelfAdjointOp):
         self._N, self._d, self._M = N, d, M
         self._isign = int(np.sign(isign)) or 1
         self._eps = float(eps)
+        self._approx_eps = float(eps)   # accuracy contract vs exact A^H A
         self._real_in = bool(real_in)
         self._P = tuple(next_fast_len(2 * n - 1) for n in N)
         shape = N if real_in else N + (2,)
@@ -939,10 +940,14 @@ class _NUFFTToeplitz(SelfAdjointOp):
         # is 2.5N per dim instead of 4N (the build is one-shot but its FFT
         # memory is the plan's peak).
         Nbig = tuple(2 * n - 1 for n in N)
-        upsampfac = 1.25 if (d == 3 and eps >= 5e-5) else 2.0
-        t1 = _NUFFT12(xh, Nbig, isign=self._isign, eps=eps,
+        x64 = bool(jax.config.jax_enable_x64)
+        # under x64 the kernel is built to (near-)double accuracy so the
+        # gram meets the f64 conformance tolerance; f32 keeps the parent eps
+        eps_T = min(eps, 1e-9) if x64 else eps
+        upsampfac = 1.25 if (d == 3 and eps_T >= 5e-5) else 2.0
+        t1 = _NUFFT12(xh, Nbig, isign=self._isign, eps=eps_T,
                       upsampfac=upsampfac)
-        ones = np.zeros((M, 2), np.float32)
+        ones = np.zeros((M, 2), np.float64 if x64 else np.float32)
         ones[:, 0] = 1.0
 
         def _build(c):

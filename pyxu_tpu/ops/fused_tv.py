@@ -217,13 +217,30 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
     R = band or _band_size(H)
     nb = H // R
     assert H % R == 0 and nb >= 2, (H, R)
-    # virtual windows per input (rows [a0-T, a0-T+N)):
-    TX = hk + lo0
-    NX = R + 2 * hk + lo0 + hi0 + 1    # x rows [a0-hk-lo0, a0+R+hk+hi0+1)
-    TZ = 1
-    NZ = R + 2                         # z rows [a0-1, a0+R+1)
-    TB = 0
-    NB_ = R + 1                        # b rows [a0, a0+R+1)
+    # Virtual windows per input (rows [a0-T, a0-T+N)).  Mosaic constrains
+    # HBM DMA row-slices to the (8, 128) tiling: both the start offset and
+    # the window size must be multiples of 8.  With R, H, T, N all 8-aligned
+    # every clamped start a0-T stays aligned, so halos are rounded up (the
+    # extra rows are dead weight in VMEM, nothing else).
+    def _a8(v):
+        return -(-v // 8) * 8
+
+    aligned = (R % 8 == 0) and (H % 8 == 0)
+    assert aligned or interpret, (H, R)   # compiled path needs the tiling
+    if aligned:
+        TX = _a8(hk + lo0)
+        NX = _a8(TX + R + hk + hi0 + 1)
+        TZ = 8
+        NZ = _a8(TZ + R + 1)
+        TB = 0
+        NB_ = _a8(R + 1)
+    else:                               # interpret mode: exact halos
+        TX = hk + lo0
+        NX = TX + R + hk + hi0 + 1
+        TZ = 1
+        NZ = TZ + R + 1
+        TB = 0
+        NB_ = R + 1
     KR = R + 1 + 2 * hk                # Kx rows [a0-hk, a0+R+1+hk)
     dtype = jnp.dtype(dtype_str)
 
@@ -342,9 +359,16 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         a0 = i * R
 
         # ---- DMA input bands (clamped starts) -----------------------------
-        xstart = jax.lax.clamp(jnp.int32(0), a0 - jnp.int32(TX), jnp.int32(H - NX))
-        zstart = jax.lax.clamp(jnp.int32(0), a0 - jnp.int32(TZ), jnp.int32(H - NZ))
-        bstart = jax.lax.clamp(jnp.int32(0), a0 - jnp.int32(TB), jnp.int32(H - NB_))
+        def _start(T, N):
+            v = jax.lax.clamp(jnp.int32(0), a0 - jnp.int32(T),
+                              jnp.int32(H - N))
+            # every reachable value is 8-aligned (R, H, T, N all are), but
+            # Mosaic cannot prove it through the clamp — hint it
+            return pl.multiple_of(v, 8) if aligned else v
+
+        xstart = _start(TX, NX)
+        zstart = _start(TZ, NZ)
+        bstart = _start(TB, NB_)
         cp_x = pltpu.make_async_copy(
             x_hbm.at[pl.ds(xstart, NX), :], xs, sems.at[0])
         cp_z = pltpu.make_async_copy(
@@ -367,7 +391,7 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         # reach u0's overridden last row.)
 
         # ---- K x: rows [a0-hk, a0+R+1+hk) ----------------------------------
-        t0 = _corr_rows(xb, ka0, False, KR, 0)  # x row (a0-hk-lo0)+0 aligns
+        t0 = _corr_rows(xb, ka0, False, KR, TX - hk - lo0)
         E = e_ref[...]
         O = o_ref[...]
         Kx = _col_fwd(t0, E, O)
@@ -426,17 +450,17 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
             KtK = jax.lax.cond(i == nb - 1, fold_bot, lambda kt: kt, KtK)
 
         # ---- gf, D^T z, xp, v ----------------------------------------------
-        gf = cst * KtK + bb                       # rows [a0, a0+R+1)
+        gf = cst * KtK + bb[TB:TB + R + 1]        # rows [a0, a0+R+1)
 
-        prev0 = z0b[0:R + 1]                      # z0 rows [a0-1, a0+R)
-        cur0 = z0b[1:R + 2]                       # z0 rows [a0, a0+R+1)
+        prev0 = z0b[TZ - 1:TZ + R]                # z0 rows [a0-1, a0+R)
+        cur0 = z0b[TZ:TZ + R + 1]                 # z0 rows [a0, a0+R+1)
         dt0 = prev0 - cur0
         rows1 = a0 + jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 0)
         dt0 = jax.lax.select(rows1 == 0, -cur0, dt0)
         if sym_d:
             dt0 = jax.lax.select(rows1 == H - 1, prev0, dt0)
 
-        z1w = z1b[1:R + 2]                        # z1 rows [a0, a0+R+1)
+        z1w = z1b[TZ:TZ + R + 1]                  # z1 rows [a0, a0+R+1)
         prev1 = _shift_cols(z1w, -1)              # col 0 zero => -z1w there
         dt1 = prev1 - z1w
         if sym_d:
@@ -461,7 +485,7 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
             colsR = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
             u1 = jax.lax.select(colsR == W - 1, jnp.zeros_like(u1), u1)
 
-        z0w = z0b[1:R + 1]                        # z0 rows [a0, a0+R)
+        z0w = z0b[TZ:TZ + R]                      # z0 rows [a0, a0+R)
         z1wR = z1w[:R]
         zt0 = z0w + sigma * u0
         zt1 = z1wR + sigma * u1
@@ -631,8 +655,10 @@ def match_fused_tv(f, g, h, K, *, tau, sigma, rho):
     if H is None or hb.dim_shape[1:] != (H, W):
         return None
     R = _band_size(H)
-    NX = R + 2 * (c0 + len(k0) - 1 - c0) + len(k0)
-    if R >= H or H % R or NX > H:
+    hk = len(k0) - 1
+    NX = -(-(-(-(hk + c0) // 8) * 8 + R + hk + (len(k0) - 1 - c0) + 1) // 8) * 8
+    if (R >= H or H % R or R % 8 or H % 8
+            or max(NX, R + 16) > H):
         return None
 
     b = jax.jit(lambda: c.grad(jnp.zeros((H, W), jnp.float32)))()

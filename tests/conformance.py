@@ -193,8 +193,21 @@ class ConformanceSuite:
         g = op.gram()
         cg = op.cogram()
         tol = atol_for(fdtype) * 100
-        assert np.allclose(g.apply(x), op.adjoint(op.apply(x)), atol=tol)
-        assert np.allclose(cg.apply(y), op.apply(op.adjoint(y)), atol=tol)
+
+        def _tol(gop, ref):
+            # approximate fast grams (e.g. the NUFFT Toeplitz embedding)
+            # declare their accuracy: both sides then approximate the same
+            # exact operator to _approx_eps, so compare in a SCALED infinity
+            # norm rather than pointwise-relative (the pointwise error of an
+            # eps-accurate transform is uniform, not proportional)
+            eps = getattr(gop, "_approx_eps", 0.0)
+            scale = float(np.abs(np.asarray(ref)).max())
+            return max(tol, 10.0 * eps * max(scale, 1.0))
+
+        ref = op.adjoint(op.apply(x))
+        assert np.allclose(g.apply(x), ref, atol=_tol(g, ref))
+        cref = op.apply(op.adjoint(y))
+        assert np.allclose(cg.apply(y), cref, atol=_tol(cg, cref))
         assert np.allclose(g.apply(x), g.adjoint(x), atol=tol)
         assert self._dot(x, g.apply(x)) >= -tol  # PSD
 
