@@ -314,6 +314,10 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
             out = out + contrib * O[j:j + 1, :]
         return out
 
+    def _sel_band(pred, a, b):
+        """a where pred (traced scalar bool) else b, as a vector select."""
+        return jax.lax.select(jnp.broadcast_to(pred, a.shape), a, b)
+
     def _virtualize(buf, N, T, i, reflect):
         """Re-index a clamp-DMA'd band so local j == virtual row a0-T+j.
 
@@ -327,20 +331,20 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         """
         B = N - R - T
 
-        def fix_first(bb):
-            top = _revrows(bb, T) if (reflect and T) else \
-                jnp.zeros((T, W), dtype)
-            return jnp.concatenate([top, bb[:N - T]], axis=0) if T else bb
-
-        def fix_last(bb):
-            bot = _revrows(bb[N - B:], B) if (reflect and B) else \
+        out = buf
+        # Mosaic cannot legalize the scalar-predicate array select that
+        # lax.cond lowers to inside kernels, so both fixes are computed for
+        # every band (cheap VMEM shuffles) and chosen by broadcast masks.
+        if T:
+            top = _revrows(buf, T) if reflect else jnp.zeros((T, W), dtype)
+            first = jnp.concatenate([top, buf[:N - T]], axis=0)
+            out = _sel_band(i == 0, first, out)
+        if B:
+            bot = _revrows(buf[N - B:], B) if reflect else \
                 jnp.zeros((B, W), dtype)
-            return jnp.concatenate([bb[B:], bot], axis=0) if B else bb
-
-        return jax.lax.cond(
-            i == 0, fix_first,
-            lambda t: jax.lax.cond(i == nb - 1, fix_last, lambda u: u, t),
-            buf)
+            last = jnp.concatenate([buf[B:], bot], axis=0)
+            out = _sel_band(i == nb - 1, last, out)
+        return out
 
     def _corr_rows(a, taps, flip, out_rows, off):
         """axis-0 valid correlation at static offset."""
@@ -401,11 +405,10 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         if hk:
             rzero_top = jnp.concatenate(
                 [jnp.zeros((hk, W), dtype), Kx[hk:]], axis=0)
-            Kx = jax.lax.cond(i == 0, lambda k: rzero_top, lambda k: k, Kx)
+            Kx = _sel_band(i == 0, rzero_top, Kx)
             rzero_bot = jnp.concatenate(
                 [Kx[:R + hk], jnp.zeros((hk + 1, W), dtype)], axis=0)
-            Kx = jax.lax.cond(i == nb - 1, lambda k: rzero_bot,
-                              lambda k: k, Kx)
+            Kx = _sel_band(i == nb - 1, rzero_bot, Kx)
 
         # ---- K^T Kx ---------------------------------------------------------
         G1 = _col_adj(Kx, E, O)
@@ -431,7 +434,7 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
                 add = jnp.concatenate(adds, axis=0)
                 return kt + jnp.concatenate(
                     [add, jnp.zeros((R + 1 - lo0, W), dtype)], axis=0)
-            KtK = jax.lax.cond(i == 0, fold_top, lambda kt: kt, KtK)
+            KtK = _sel_band(i == 0, fold_top(KtK), KtK)
         if sym_k and hi0:
             def fold_bot(kt):
                 adds = []
@@ -447,7 +450,7 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
                 return kt + jnp.concatenate(
                     [jnp.zeros((R - hi0, W), dtype), add,
                      jnp.zeros((1, W), dtype)], axis=0)
-            KtK = jax.lax.cond(i == nb - 1, fold_bot, lambda kt: kt, KtK)
+            KtK = _sel_band(i == nb - 1, fold_bot(KtK), KtK)
 
         # ---- gf, D^T z, xp, v ----------------------------------------------
         gf = cst * KtK + bb[TB:TB + R + 1]        # rows [a0, a0+R+1)
@@ -501,8 +504,8 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
             zo_ref[1] = z1wR + rho * (zp1 - z1wR)
 
     n_e = max(n_edge, 1)               # zero-size blocks are not allowed
-    E_in = jnp.asarray(E_rows if n_edge else np.zeros((1, W), np.float32))
-    O_in = jnp.asarray(O_rows if n_edge else np.zeros((1, W), np.float32))
+    E_np = E_rows if n_edge else np.zeros((1, W), np.float32)
+    O_np = O_rows if n_edge else np.zeros((1, W), np.float32)
     inner = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -525,11 +528,16 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
             pltpu.VMEM((NB_, W), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
     def fn(x, z, b):
-        return inner(x, z, b, E_in, O_in)
+        # host arrays converted per call: a device constant created inside
+        # one trace must not be closed over by later traces (the builder is
+        # lru-cached across jit scopes)
+        return inner(x, z, b, jnp.asarray(E_np), jnp.asarray(O_np))
 
     return fn
 
