@@ -923,7 +923,12 @@ class _NUFFTToeplitz(SelfAdjointOp):
     _data_fields = ("_that",)
 
     def __init__(self, xh: np.ndarray, N, isign: int, eps: float,
-                 real_in: bool = False):
+                 real_in: bool = False, scale: float = 1.0, weights=None,
+                 kernel_shift=None):
+        """``kernel_shift``: per-axis extra circulant offset d so the apply
+        computes sum_{k'} T[k - k' + d] x[k'] — callers combine it with an
+        input flip to evaluate HANKEL sections sum_{k'} T[k + k'] x[k']
+        (e.g. the FourierRadon Nyquist correction)."""
         N = tuple(N)
         d = len(N)
         M = xh.shape[0]
@@ -935,11 +940,14 @@ class _NUFFTToeplitz(SelfAdjointOp):
         self._P = tuple(next_fast_len(2 * n - 1) for n in N)
         shape = N if real_in else N + (2,)
         super().__init__(shape)
-        # T on the (2N-1,)^d centered mode grid via one type-1 NUFFT of ones.
+        # T on the centered mode grid via one type-1 NUFFT of the weights.
+        # A nonzero kernel_shift d needs indices j in [-(N-1)+d, (N-1)+d],
+        # which spills past the 2N-1 grid — widen it to cover both ends.
         # 3-D uses sigma=1.25 when accuracy allows: the transient fine grid
         # is 2.5N per dim instead of 4N (the build is one-shot but its FFT
         # memory is the plan's peak).
-        Nbig = tuple(2 * n - 1 for n in N)
+        shift = tuple(int(v) for v in (kernel_shift or (0,) * d))
+        Nbig = tuple(2 * (n + abs(sh)) - 1 for n, sh in zip(N, shift))
         x64 = bool(jax.config.jax_enable_x64)
         # under x64 the kernel is built to (near-)double accuracy so the
         # gram meets the f64 conformance tolerance; f32 keeps the parent eps
@@ -947,26 +955,53 @@ class _NUFFTToeplitz(SelfAdjointOp):
         upsampfac = 1.25 if (d == 3 and eps_T >= 5e-5) else 2.0
         t1 = _NUFFT12(xh, Nbig, isign=self._isign, eps=eps_T,
                       upsampfac=upsampfac)
+        # kernel T[j] = sum_m w_m exp(is<j,x_m>): w defaults to ones; callers
+        # supply weights for weighted normal operators (e.g. FourierRadon's
+        # Nyquist-bin zeroing, W^H W-weighted least squares)
         ones = np.zeros((M, 2), np.float64 if x64 else np.float32)
-        ones[:, 0] = 1.0
+        ones[:, 0] = 1.0 if weights is None else np.asarray(weights)
+        self._wsum = float(M if weights is None
+                           else np.sum(np.asarray(weights, np.float64)))
 
         def _build(c):
-            T = view_as_complex(t1.apply(c))           # (*(2N-1),) complex
-            pad = [(0, p - nb) for p, nb in zip(self._P, Nbig)]
+            T = view_as_complex(t1.apply(c))           # (*Nbig,) complex
+            # per axis: keep kernel indices j in [-(n-1)+sh, (n-1)+sh]
+            # (index i of the build grid holds mode j = i - Nbig//2)
+            for ax, (n, nb, sh) in enumerate(zip(N, Nbig, shift)):
+                lo = -(n - 1) + sh + nb // 2
+                T = jax.lax.slice_in_dim(T, lo, lo + 2 * n - 1, axis=ax)
+            pad = [(0, p - (2 * n - 1)) for p, n in zip(self._P, N)]
             T = jnp.pad(T, pad)
-            # index i of the big grid holds mode j = i-(N-1); rotate so the
-            # circulant kernel holds T[j] at position j mod P
+            # sliced index m holds j = -(n-1)+sh+m; rotate so the circulant
+            # kernel holds T[j] at position (j - sh) mod P, i.e. the apply
+            # computes sum_{k'} T[k - k' + sh] x[k']
             T = jnp.roll(T, shift=tuple(-(n - 1) for n in N),
                          axis=tuple(range(d)))
-            # Hermitian kernel => real spectrum (imag is eps-level noise)
-            return jnp.real(jnp.fft.fftn(T))
+            # shift=0: Hermitian kernel, real spectrum (imag is eps noise).
+            # Shifted kernels are not Hermitian; the real_in apply acts with
+            # Re(kernel), whose circulant spectrum is complex — stored as a
+            # real (..., 2) pair (complex plan data convention).
+            if all(sh == 0 for sh in shift):
+                return float(scale) * jnp.real(jnp.fft.fftn(T))
+            re_kernel = jnp.real(T)
+            spec = jnp.fft.fftn(
+                re_kernel.astype(complex_dtype(re_kernel.dtype)))
+            return float(scale) * view_as_real(spec)
 
         self._that = jax.jit(_build)(jnp.asarray(ones))
+        self._spec_complex = any(sh != 0 for sh in shift)
+        if self._spec_complex:
+            assert real_in, "shifted (Hankel) kernels support real_in only"
+        self._scale = float(scale)
         # max circulant eigenvalue: a valid (and usually tight) upper bound
         # on the Toeplitz section's spectral norm — one scalar fetch at plan
         # time; estimate_lipschitz refines it by power iteration (each apply
         # is just two FFTs)
-        self._lipschitz = float(jax.jit(jnp.max)(self._that))
+        if self._spec_complex:
+            self._lipschitz = float(jax.jit(
+                lambda t: jnp.max(jnp.abs(view_as_complex(t))))(self._that))
+        else:
+            self._lipschitz = float(jax.jit(jnp.max)(self._that))
         self._name = f"NUFFTGram[d={d}]"
 
     # -- core ----------------------------------------------------------------
@@ -974,7 +1009,11 @@ class _NUFFTToeplitz(SelfAdjointOp):
         """Circulant-embedded linear convolution of complex modes F."""
         pad = [(0, p - n) for p, n in zip(self._P, self._N)]
         g = jnp.pad(F, pad)
-        ghat = jnp.fft.fftn(g) * self._that.astype(F.real.dtype)
+        if self._spec_complex:
+            spec = view_as_complex(self._that)
+            ghat = jnp.fft.fftn(g) * spec.astype(g.dtype)
+        else:
+            ghat = jnp.fft.fftn(g) * self._that.astype(F.real.dtype)
         out = jnp.fft.ifftn(ghat)
         for ax, n in enumerate(self._N):
             out = jax.lax.slice_in_dim(out, 0, n, axis=ax)
@@ -996,9 +1035,10 @@ class _NUFFTToeplitz(SelfAdjointOp):
         return self.apply(arr)
 
     def trace(self, **kwargs) -> float:
-        """Exact: diagonal entries are all T[0] = M (x2 for the real view)."""
+        """Exact: diagonal entries are all scale*T[0] = scale*sum(w) (x2 for
+        the real view)."""
         mult = 1 if self._real_in else 2
-        return float(self._M) * float(np.prod(self._N)) * mult
+        return self._scale * self._wsum * float(np.prod(self._N)) * mult
 
     def _expr(self):
         return (f"NUFFTGram[d={self._d}, M={self._M}, N={self._N}, "

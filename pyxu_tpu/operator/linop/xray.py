@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyxu_tpu.abc.operator import LinOp
+from pyxu_tpu.abc.operator import LinOp, SelfAdjointOp
 from pyxu_tpu.utils.misc import as_canonical_shape
 
 __all__ = ["RadonTransform", "FourierRadon"]
@@ -165,5 +165,83 @@ class FourierRadon(LinOp):
         return self._map_batched(self._bw, jnp.asarray(arr), self.codim_rank,
                                  self.dim_shape)
 
+    def gram(self):
+        r"""R^T R as real-kernel circulant convolutions (FFT-only, no
+        spread/interp) — the PD3O/CG gradient path for CT runs NUFFT-free.
+
+        With R = Re(G A), G = row-IFFT o diag(e^{-i w_q c_t}) and A the
+        type-2 NUFFT at the polar samples, for real x:
+
+            R^T R x = [Re(A^H G^H G A x) + Re(A^H G^H conj(G A x))] / 2.
+
+        G^H G = I/n_det, so the first term is the (1/n_det)-scaled NUFFT
+        Toeplitz kernel T[j] = sum_q e^{i w_q j}.  In the cross term,
+        G^H conj(G .) pairs fftfreq bin q with -q mod n_det: the +/- pairs
+        reproduce the SAME Toeplitz kernel, while the self-paired Nyquist
+        bin (even n_det) contributes with phase e^{-2i pi c_t} =
+        (-1)^{n_det-1} = -1 AND with e^{i w(k+k')} — a HANKEL section over
+        the Nyquist points.  Net (even n_det):
+
+            gram = (1/n_det) Re[ Toeplitz(T, w_nyq=1/2)
+                                 - (1/2) Hankel(S_nyq) ],
+
+        where Hankel(S) x = Toeplitz(S, shift=-1) applied to the
+        index-reversed x (centered-mode storage k(i) = i - n//2 gives the
+        -1 shift).  Odd n_det has no Nyquist bin: pure Toeplitz.
+        """
+        return _FourierRadonGram(self)
+
     def _expr(self):
         return (f"FourierRadon[{self._n_angles} angles x {self._n_det} det]",)
+
+
+class _FourierRadonGram(SelfAdjointOp):
+    """R^T R of :class:`FourierRadon` as FFT-only circulant convolutions
+    (see FourierRadon.gram for the derivation)."""
+
+    _data_fields = ("_t", "_h")
+
+    def __init__(self, R: "FourierRadon"):
+        from pyxu_tpu.operator.linop.nufft import _NUFFTToeplitz
+        super().__init__(R.dim_shape)
+        t1 = R._nufft._t1op
+        nd, na = R._n_det, R._n_angles
+        even = nd % 2 == 0 and nd > 1
+        w = np.ones((na, nd), np.float64)
+        if even:
+            w[:, nd // 2] = 0.5
+        self._t = _NUFFTToeplitz(t1._xh.a, t1._N, t1._isign, t1._eps,
+                                 real_in=True, scale=1.0 / nd,
+                                 weights=w.ravel())
+        self._h = None
+        if even:
+            pts = t1._xh.a.reshape(na, nd, 2)[:, nd // 2, :]
+            # centered-mode storage k(i) = i - n//2 under index reversal
+            # gives offset (n-1) - 2(n//2): -1 on even image axes, 0 on odd
+            self._h = _NUFFTToeplitz(
+                np.ascontiguousarray(pts), t1._N, t1._isign, t1._eps,
+                real_in=True, scale=0.5 / nd,
+                kernel_shift=tuple(-1 if n % 2 == 0 else 0 for n in t1._N))
+        self._approx_eps = float(t1._eps)
+        self._lipschitz = self._t.lipschitz + \
+            (self._h.lipschitz if self._h is not None else 0.0)
+        self._name = "FourierRadonGram"
+
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+
+        def single(x):
+            y = self._t.apply(x)
+            if self._h is not None:
+                xr = jnp.flip(x, axis=tuple(range(x.ndim)))
+                y = y - self._h.apply(xr)
+            return y
+
+        return self._map_batched(single, arr, self.dim_rank, self.codim_shape)
+
+    def adjoint(self, arr):
+        return self.apply(arr)
+
+    def _expr(self):
+        return ("FourierRadonGram", self._t) if self._h is None else \
+            ("FourierRadonGram", self._t, self._h)

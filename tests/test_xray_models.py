@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from conformance import ConformanceSuite
-from pyxu_tpu.operator.linop.xray import RadonTransform
+from pyxu_tpu.operator.linop.xray import FourierRadon, RadonTransform
 from pyxu_tpu.opt.stop import MaxIter, RelError
 
 
@@ -124,3 +124,50 @@ def test_fourier_radon_point_source_and_mass():
     for a in range(8):
         assert abs(np.argmax(sino[a]) - 31.5) <= 1.0
         assert abs(sino[a].sum() - 1.0) < 1e-3
+
+
+class TestFourierRadonGram:
+    """R^T R via circulant Toeplitz(+Hankel Nyquist correction) kernels must
+    match the synthesized composition across image/detector parities (see
+    FourierRadon.gram derivation)."""
+
+    @pytest.mark.parametrize("HW,nd,nang", [
+        ((12, 12), 16, 7),    # even image, even detector (Nyquist Hankel)
+        ((10, 14), 17, 5),    # odd detector: pure Toeplitz
+        ((9, 11), 12, 4),     # odd image axes, even detector
+        ((10, 11), 8, 6),     # mixed image parity
+    ])
+    def test_gram_matches_dense(self, HW, nd, nang):
+        angles = np.linspace(0, np.pi, nang, endpoint=False)
+        R = FourierRadon(HW, angles, n_det=nd, eps=1e-7)
+        G = R.gram()
+        Gm = np.asarray(G.asarray()).reshape(G.dim_size, G.dim_size)
+        ref = np.asarray((R.T * R).asarray()).reshape(G.dim_size, G.dim_size)
+        err = np.abs(Gm - ref).max() / np.abs(ref).max()
+        assert err < 2e-4, err
+        assert np.abs(Gm - Gm.T).max() / np.abs(ref).max() < 2e-4
+
+    def test_quadratic_chain_and_batched(self):
+        from pyxu_tpu.operator.func import SquaredL2Norm
+        from pyxu_tpu.operator.linop.xray import _FourierRadonGram
+        HW, nang = (12, 12), 9
+        angles = np.linspace(0, np.pi, nang, endpoint=False)
+        R = FourierRadon(HW, angles, eps=1e-6)
+        rng = np.random.default_rng(1)
+        y = R.apply(jnp.asarray(rng.random(HW, np.float32)))
+        fq = 0.5 * SquaredL2Norm(R.codim_shape).asloss(y) * R
+        Q, _, _ = fq._quad_spec()
+        leaf = Q
+        while hasattr(leaf, "_op"):
+            leaf = leaf._op
+        assert isinstance(leaf, _FourierRadonGram)
+        xt = jnp.asarray(rng.random(HW, np.float32))
+        g1 = np.asarray(fq.grad(xt))
+        g2 = np.asarray(R.adjoint(R.apply(xt) - y))
+        assert np.abs(g1 - g2).max() / np.abs(g2).max() < 1e-3
+        # batched apply
+        G = R.gram()
+        xb = jnp.asarray(rng.random((3,) + HW, np.float32))
+        out = np.asarray(G.apply(xb))
+        assert out.shape == (3,) + HW
+        assert np.abs(out[1] - np.asarray(G.apply(xb[1]))).max() < 1e-5
