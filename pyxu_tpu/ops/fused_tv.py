@@ -613,6 +613,19 @@ def _gradient_mode_2d(K):
     return modes[0]
 
 
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _lin_grad_at_zero(c, shape):
+    return c.grad(jnp.zeros(shape, jnp.float32))
+
+
+def _grad_at_zero(c, shape):
+    """b = c.grad(0) through a MODULE-LEVEL jit: operators are pytrees, so
+    re-fits with the same problem structure hit the jit cache instead of
+    recompiling a fresh lambda per fit (each relay compile costs seconds)."""
+    return _lin_grad_at_zero(c, shape)
+
+
 def match_fused_tv(f, g, h, K, *, tau, sigma, rho):
     """Return a fused ``(x, z) -> (x_new, z_new)`` step for the TV family,
     or None when the (f, g, h, K) spec / backend does not qualify.
@@ -669,7 +682,7 @@ def match_fused_tv(f, g, h, K, *, tau, sigma, rho):
             or max(NX, R + 16) > H):
         return None
 
-    b = jax.jit(lambda: c.grad(jnp.zeros((H, W), jnp.float32)))()
+    b = _grad_at_zero(c, (H, W))
     kw = dict(k0=k0, k1=k1, c0=c0, c1=c1, cst=float(cst), lam=float(lam),
               tau=float(tau), sigma=float(sigma), rho=float(rho),
               mode_k=mode_k, mode_d=mode_d)
