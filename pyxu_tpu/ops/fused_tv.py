@@ -160,8 +160,13 @@ def tv_step_xla(x, z0, z1, b, k0, k1, c0, c1, *, cst, lam, tau, sigma, rho,
 
 # ------------------------------------------------------------ Pallas kernel --
 
-def _band_size(H, target=48):
-    """Largest divisor of H <= target, preferring multiples of 8."""
+def _band_size(H, target=128):
+    """Largest divisor of H <= target, preferring multiples of 8.
+
+    Band-size sweep at 4K on v5e (ms/iter): R=24 OOM-free but halo-heavy,
+    48: 1.71, 80: 1.51, 120: 1.47, 216: 1.56, 240: 1.48, 432: VMEM OOM —
+    ~128 rows balances halo amortization against VMEM pressure."""
+    target = min(target, H // 2)       # the kernel needs >= 2 bands
     best = 1
     for r in range(1, min(H, target) + 1):
         if H % r == 0 and (r % 8 == 0, r) >= (best % 8 == 0, best):
