@@ -801,7 +801,13 @@ class _NUFFT12(_NUFFTDiagnostics, LinOp):
         """A A^H on the mode grid by Toeplitz/circulant embedding — two FFTs
         per apply instead of interp+spread (see :class:`_NUFFTToeplitz`).
         Built fresh per call (cheap: one type-1 NUFFT of ones); callers that
-        reuse it should hold the returned operator."""
+        reuse it should hold the returned operator.
+
+        real_in plans take the default composition: their real-restricted
+        adjoint inserts a Re() between the factors (A A^T = A_c Re(A_c^H .)),
+        which the pure circulant kernel does not represent."""
+        if self._real_in:
+            return super().cogram()
         return _NUFFTToeplitz(self._xh.a, self._N, self._isign, self._eps)
 
     def _dense_complex(self) -> np.ndarray:
@@ -1035,8 +1041,12 @@ class _NUFFTToeplitz(SelfAdjointOp):
         return self.apply(arr)
 
     def trace(self, **kwargs) -> float:
-        """Exact: diagonal entries are all scale*T[0] = scale*sum(w) (x2 for
-        the real view)."""
+        """Exact for unshifted kernels: diagonal entries are all
+        scale*T[0] = scale*sum(w) (x2 for the real view).  Shifted (Hankel)
+        kernels have position-dependent diagonals T[2k+shift] — fall back to
+        the generic estimator."""
+        if self._spec_complex:
+            return super().trace(**kwargs)
         mult = 1 if self._real_in else 2
         return self._scale * self._wsum * float(np.prod(self._N)) * mult
 

@@ -247,6 +247,14 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         TB = 0
         NB_ = R + 1
     KR = R + 1 + 2 * hk                # Kx rows [a0-hk, a0+R+1+hk)
+    # _virtualize assumes only the FIRST and LAST bands' clamped windows
+    # shift: interior windows [a0-T, a0-T+N) must lie inside [0, H), i.e.
+    # T <= R and N-R-T <= R.  Violations (tiny bands vs wide halos) would
+    # silently mis-index every interior band.
+    for (T_, N_) in ((TX, NX), (TZ, NZ), (TB, NB_)):
+        assert T_ <= R and N_ - R - T_ <= R, \
+            (f"band {R} smaller than halo window (T={T_}, N={N_}); "
+             f"use a larger band or the generic path")
     dtype = jnp.dtype(dtype_str)
 
     def _revrows(a, n):
@@ -682,8 +690,11 @@ def match_fused_tv(f, g, h, K, *, tau, sigma, rho):
         return None
     R = _band_size(H)
     hk = len(k0) - 1
-    NX = -(-(-(-(hk + c0) // 8) * 8 + R + hk + (len(k0) - 1 - c0) + 1) // 8) * 8
+    TX = -(-(hk + c0) // 8) * 8
+    NX = -(-(TX + R + hk + (len(k0) - 1 - c0) + 1) // 8) * 8
+    BX = NX - R - TX
     if (R >= H or H % R or R % 8 or H % 8
+            or TX > R or BX > R            # interior windows must not clamp
             or max(NX, R + 16) > H):
         return None
 

@@ -145,3 +145,23 @@ def test_matcher_rejects_non_tv_problems(monkeypatch):
     # off switch
     monkeypatch.setenv("PYXU_TPU_FUSED", "0")
     assert match_fused_tv(f, None, h, D, tau=0.1, sigma=0.1, rho=1.0) is None
+
+
+def test_band_smaller_than_halo_rejected(monkeypatch):
+    """Review regression: interior bands' clamped DMA windows silently
+    mis-index when the band is smaller than the halo window — both the
+    kernel and the matcher must refuse instead."""
+    monkeypatch.setenv("PYXU_TPU_FUSED", "1")
+    # H whose largest <=128 multiple-of-8 divisor is 8 (< TX=16)
+    H, W = 1048, 40
+    f, h, D, _, _ = _problem(H, W, "symmetric")
+    assert match_fused_tv(f, None, h, D, tau=0.1, sigma=0.1, rho=1.0) is None
+    # explicit tiny band on the kernel entry point: refuse loudly
+    k1 = _gauss()
+    x = jnp.zeros((64, 40), jnp.float32)
+    z = jnp.zeros((2, 64, 40), jnp.float32)
+    b = jnp.zeros((64, 40), jnp.float32)
+    with pytest.raises(AssertionError):
+        tv_step_pallas(x, z, b, k0=tuple(k1.tolist()), k1=tuple(k1.tolist()),
+                       c0=4, c1=4, band=8, interpret=True,
+                       cst=1.0, lam=0.01, tau=0.1, sigma=0.1, rho=1.0)

@@ -421,3 +421,29 @@ class TestToeplitzGram:
         assert out.shape == (3, 2) + N + (2,)
         one = np.asarray(G.apply(xb[1, 0]))
         assert np.abs(out[1, 0] - one).max() < 1e-5
+
+
+class TestToeplitzGramReviewRegressions:
+    """Round-3 review findings: real_in cogram must not drop the Re()
+    restriction; shifted (Hankel) kernels must not claim the unshifted
+    closed-form trace."""
+
+    def test_real_in_cogram_matches_composition(self):
+        M, N = 13, (10,)
+        x = _pts(M, 1)
+        A = NUFFT.type1(x, N, real=True, eps=1e-7)
+        C = A.cogram()
+        rng = np.random.default_rng(2)
+        y = jnp.asarray(rng.standard_normal(N + (2,)).astype(np.float32))
+        want = np.asarray(A.apply(A.adjoint(y)))
+        got = np.asarray(C.apply(y))
+        assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-30) < 1e-4
+
+    def test_shifted_kernel_trace(self):
+        from pyxu_tpu.operator.linop.nufft import _NUFFTToeplitz
+        x = _pts(9, 1)
+        Hk = _NUFFTToeplitz(np.asarray(x, np.float64), (8,), +1, 1e-7,
+                            real_in=True, kernel_shift=(-1,))
+        dense = np.asarray(Hk.asarray()).reshape(8, 8)
+        tr = Hk.trace()
+        assert abs(tr - np.trace(dense)) / max(abs(np.trace(dense)), 1e-30) < 0.5
