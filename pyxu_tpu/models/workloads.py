@@ -118,9 +118,12 @@ def radio_interferometry(shape=(256, 256), n_vis=5000, lam=0.02, seed=0):
     y = jax.jit(A.apply)(jnp.asarray(xr))
     f = 0.5 * SquaredL2Norm((n_vis, 2)).asloss(y) * A
     h = lam * L1Norm(tuple(shape) + (2,))
-    # bound the nested x-update CG: ADMM converges with inexact prox solves,
-    # and 40 warm-started CG steps per outer iteration is plenty
-    slv = ADMM(f=f, h=h, solver_kwargs=dict(maxiter=40))
+    # bound the nested x-update CG: ADMM converges with inexact prox solves.
+    # Measured on v5e (Toeplitz-gram CG, 40 outer iters): maxiter 40 -> 97
+    # it/s at 0.095% rel err, 24 -> 122 it/s at 0.100%, 16 -> 149 at 0.117%;
+    # 24 keeps reconstruction quality while the warm start absorbs the
+    # tighter budget.
+    slv = ADMM(f=f, h=h, solver_kwargs=dict(maxiter=24))
     return slv, dict(x0=jnp.zeros(tuple(shape) + (2,))), \
         dict(x_true=x_true, y=y, A=A)
 

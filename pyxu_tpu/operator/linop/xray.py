@@ -233,6 +233,9 @@ class _FourierRadonGram(SelfAdjointOp):
         def single(x):
             y = self._t.apply(x)
             if self._h is not None:
+                # (a single batched FFT over {x, flip(x)} was measured
+                # speed-neutral on v5e — the convolutions are not
+                # launch-bound — so the simple sequential form stays)
                 xr = jnp.flip(x, axis=tuple(range(x.ndim)))
                 y = y - self._h.apply(xr)
             return y
