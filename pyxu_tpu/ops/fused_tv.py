@@ -375,34 +375,53 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         i = pl.program_id(0)
         a0 = i * R
 
-        # ---- DMA input bands (clamped starts) -----------------------------
-        def _start(T, N):
-            v = jax.lax.clamp(jnp.int32(0), a0 - jnp.int32(T),
-                              jnp.int32(H - N))
-            # every reachable value is 8-aligned (R, H, T, N all are), but
-            # Mosaic cannot prove it through the clamp — hint it
-            return pl.multiple_of(v, 8) if aligned else v
+        # ---- double-buffered input DMA -------------------------------------
+        # Scratch persists across sequential TPU grid steps: step i waits on
+        # the copies step i-1 prefetched into slot i%2 and starts band i+1's
+        # copies into the other slot, hiding input-DMA latency behind the
+        # band compute.  Clamped starts; row fixups in _virtualize.
+        def _copies(band, slot):
+            base = band * R
 
-        xstart = _start(TX, NX)
-        zstart = _start(TZ, NZ)
-        bstart = _start(TB, NB_)
-        cp_x = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(xstart, NX), :], xs, sems.at[0])
-        cp_z = pltpu.make_async_copy(
-            z_hbm.at[:, pl.ds(zstart, NZ), :], zs, sems.at[1])
-        cp_b = pltpu.make_async_copy(
-            b_hbm.at[pl.ds(bstart, NB_), :], bs, sems.at[2])
-        cp_x.start()
-        cp_z.start()
-        cp_b.start()
-        cp_x.wait()
-        cp_z.wait()
-        cp_b.wait()
+            def _start(T, N):
+                v = jax.lax.clamp(jnp.int32(0), base - jnp.int32(T),
+                                  jnp.int32(H - N))
+                # every reachable value is 8-aligned (R, H, T, N all are),
+                # but Mosaic cannot prove it through the clamp — hint it
+                return pl.multiple_of(v, 8) if aligned else v
 
-        xb = _virtualize(xs[...], NX, TX, i, sym_k)
-        z0b = _virtualize(zs[0], NZ, TZ, i, False)
-        z1b = _virtualize(zs[1], NZ, TZ, i, False)
-        bb = _virtualize(bs[...], NB_, TB, i, False)
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(_start(TX, NX), NX), :], xs.at[slot],
+                    sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    z_hbm.at[:, pl.ds(_start(TZ, NZ), NZ), :], zs.at[slot],
+                    sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(_start(TB, NB_), NB_), :], bs.at[slot],
+                    sems.at[slot, 2]),
+            )
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            for cp in _copies(i, slot):
+                cp.start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for cp in _copies(i + 1, nxt):
+                cp.start()
+
+        for cp in _copies(i, slot):
+            cp.wait()
+
+        xb = _virtualize(xs[slot], NX, TX, i, sym_k)
+        z0b = _virtualize(zs[slot, 0], NZ, TZ, i, False)
+        z1b = _virtualize(zs[slot, 1], NZ, TZ, i, False)
+        bb = _virtualize(bs[slot], NB_, TB, i, False)
         # (z/b fills are zeros: the affected rows are the gradient edge rows
         # handled by select, or the virtual row a0+R == H whose values only
         # reach u0's overridden last row.)
@@ -536,10 +555,10 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         out_shape=[jax.ShapeDtypeStruct((H, W), dtype),
                    jax.ShapeDtypeStruct((2, H, W), dtype)],
         scratch_shapes=[
-            pltpu.VMEM((NX, W), dtype),
-            pltpu.VMEM((2, NZ, W), dtype),
-            pltpu.VMEM((NB_, W), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, NX, W), dtype),
+            pltpu.VMEM((2, 2, NZ, W), dtype),
+            pltpu.VMEM((2, NB_, W), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
