@@ -166,13 +166,15 @@ def run_extra_workloads():
     prev_handler = signal.signal(signal.SIGALRM, _alarm)
 
     out = {}
-    # segments kept short: single long device executions can trip the TPU
-    # worker watchdog (see CLAUDE.md); 25-iteration segments are ~100 ms.
+    # one segment per fit: each extra host round-trip costs ~40 ms (the
+    # relay dispatch floor), i.e. 1.6-2.5 ms/iter at the old 25/10-iter
+    # segments.  Full fits are ~0.4 s device programs — far below the
+    # worker watchdog threshold (minutes, see CLAUDE.md).
     for name, factory, iters, seg in (
         ("ct_pd3o_256", lambda: sparse_view_ct(
-            shape=(256, 256), n_angles=60, method="fourier"), 100, 25),
+            shape=(256, 256), n_angles=60, method="fourier"), 100, 100),
         ("ri_admm_256", lambda: radio_interferometry(
-            shape=(256, 256), n_vis=20_000), 40, 10),
+            shape=(256, 256), n_vis=20_000), 40, 40),
     ):
         try:
             signal.alarm(420)  # compile (cached across runs) + 2 solves

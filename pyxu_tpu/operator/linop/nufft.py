@@ -219,6 +219,8 @@ def _interp(g, idxs, wts, mm3_plan=None):
     Returns (M,) complex."""
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
+        if mm3_plan.l0T is not None and _use_slab_pallas(g.real.dtype):
+            return _interp_slab_pallas(g, mm3_plan)
         return _interp_slab(g, mm3_plan)
     if d == 2 and _use_mm():
         return _interp_mm2(g, idxs, wts)
@@ -351,21 +353,13 @@ def _interp_mm2(g, idxs, wts):
 
 # -------------------------------------------- slab partition (host) -------
 
-def _slab_partition_np(base, n1: int, w: int, chunk: int,
-                       max_blowup: float = 3.0):
-    """Host slab partition along axis 0 from unwrapped base cells ``base``
-    (M,) in [0, n1) — taps occupy base + [0, w).  Returns numpy
-    (perm (S, Mp), starts (S,), invperm (M,), T, n1ext, chunk), or None when the
-    padded layout costs more than ``max_blowup`` x the useful work (the
-    caller sets the break-even vs ITS fallback: scatter for 3-D, dense
-    mm2 for 2-D — the latter tolerates much larger padding since its
-    FLOPs are n1/2w higher per point).  Dimension-agnostic: drives both
-    the 2-D and 3-D `_SlabPlan` kernels."""
-    M = base.shape[0]
-    T = w
-    S = -(-n1 // T)
-    slab = base // T
-    counts = np.bincount(slab, minlength=S)
+def _bin_partition_np(bins, nbins: int, chunk: int, max_blowup: float):
+    """Generic host bin partition: counting-sort ``M`` point ids into a
+    padded (nbins, Mp) layout.  Returns (perm, invperm, chunk) or None
+    when the padded layout costs more than ``max_blowup`` x the useful
+    work.  Shared by the slab (1-axis) and pencil (2-axis) partitions."""
+    M = bins.shape[0]
+    counts = np.bincount(bins, minlength=nbins)
     # chunk selection: big chunks amortize per-step overhead (tiny matmuls
     # lose to loop dispatch), small chunks avoid padding waste — take the
     # largest chunk whose round-up wastes <25% of the occupancy, floor 128
@@ -377,19 +371,18 @@ def _slab_partition_np(base, n1: int, w: int, chunk: int,
             break
         chunk //= 2
     Mp = -(-Mp_raw // chunk) * chunk
-    if S * Mp > max(max_blowup * M, M + S * chunk):
+    if nbins * Mp > max(max_blowup * M, M + nbins * chunk):
         return None
-    starts = (np.arange(S, dtype=np.int32) * T)
     if M >= 16384:
         from pyxu_tpu import native
-        out = native.slab_permutation(slab, counts, Mp)
+        out = native.slab_permutation(bins, counts, Mp)
         if out is not None:  # counting sort, O(M) vs argsort O(M log M)
             perm, inv = out
-            return perm, starts, inv.astype(np.int64), T, S * T + w, chunk
-    order = np.argsort(slab, kind="stable")
-    perm = np.full((S, Mp), M, np.int32)       # M = dummy point id
+            return perm, inv.astype(np.int64), chunk
+    order = np.argsort(bins, kind="stable")
+    perm = np.full((nbins, Mp), M, np.int32)   # M = dummy point id
     off = 0
-    for p in range(S):
+    for p in range(nbins):
         c = counts[p]
         perm[p, :c] = order[off:off + c]
         off += c
@@ -397,6 +390,26 @@ def _slab_partition_np(base, n1: int, w: int, chunk: int,
     pos = np.flatnonzero(flat < M)
     inv = np.empty(M, np.int64)
     inv[flat[pos]] = pos
+    return perm, inv, chunk
+
+
+def _slab_partition_np(base, n1: int, w: int, chunk: int,
+                       max_blowup: float = 3.0):
+    """Host slab partition along axis 0 from unwrapped base cells ``base``
+    (M,) in [0, n1) — taps occupy base + [0, w).  Returns numpy
+    (perm (S, Mp), starts (S,), invperm (M,), T, n1ext, chunk), or None when the
+    padded layout costs more than ``max_blowup`` x the useful work (the
+    caller sets the break-even vs ITS fallback: scatter for 3-D, dense
+    mm2 for 2-D — the latter tolerates much larger padding since its
+    FLOPs are n1/2w higher per point).  Dimension-agnostic: drives both
+    the 2-D and 3-D `_SlabPlan` kernels."""
+    T = w
+    S = -(-n1 // T)
+    part = _bin_partition_np(base // T, S, chunk, max_blowup)
+    if part is None:
+        return None
+    perm, inv, chunk = part
+    starts = (np.arange(S, dtype=np.int32) * T)
     return perm, starts, inv, T, S * T + w, chunk
 
 
@@ -426,12 +439,15 @@ class _SlabPlan:
     taps (cf. FINUFFT's binned subgrid spreader, reference
     nufft.py:275-277).
 
-    Pytree: (perm, l0, w0, i1, w1, i2, w2) leaves ((i2, w2) = None in 2-D);
-    (T, n1ext, chunk) static aux.
+    Pytree: (perm, l0, w0, i1, w1, i2, w2, l0T, w0T, i1T, w1T) leaves
+    ((i2, w2) = None in 2-D; the *T transposed (S, w_pad, Mp) copies feed
+    the Pallas kernels and are None in 3-D); (T, n1ext, chunk) static aux.
     """
 
     def __init__(self, perm, l0, w0, i1, w1, i2, w2, invperm, T: int,
-                 n1ext: int, chunk: int = _SLAB_CHUNK):
+                 n1ext: int, chunk: int = _SLAB_CHUNK,
+                 l0T=None, w0T=None, i1T=None, w1T=None, i2T=None,
+                 w2T=None, pencil=None):
         self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
         self.l0 = l0            # (S, Mp, w) int32 window-local rows
         self.w0 = w0            # (S, Mp, w) axis-0 tap weights (0 on pads)
@@ -440,6 +456,14 @@ class _SlabPlan:
         self.i2 = i2            # (S, Mp, w) int32 axis-2 taps, or None (2-D)
         self.w2 = w2            # (S, Mp, w) axis-2 weights, or None (2-D)
         self.invperm = invperm  # (M,) int32: j's position in perm.ravel()
+        self.l0T = l0T          # (S, w_pad, Mp) transposed copies for the
+        self.w0T = w0T          #   Pallas slab kernels (tap rows lane-major;
+        self.i1T = i1T          #   w padded to 8 with zero-weight taps), or
+        self.w1T = w1T          #   None (Pallas-less builds)
+        self.i2T = i2T          # axis-2 transposed taps, or None (2-D)
+        self.w2T = w2T
+        self.pencil = pencil    # `_PencilPlan` for the 3-D Pallas kernels,
+                                #   or None (2-D / too-clustered sets)
         self.T = int(T)
         self.n1ext = int(n1ext)
         self.chunk = int(chunk)
@@ -447,9 +471,10 @@ class _SlabPlan:
 
 jax.tree_util.register_pytree_node(
     _SlabPlan,
-    lambda p: ((p.perm, p.l0, p.w0, p.i1, p.w1, p.i2, p.w2, p.invperm),
+    lambda p: ((p.perm, p.l0, p.w0, p.i1, p.w1, p.i2, p.w2, p.invperm,
+                p.l0T, p.w0T, p.i1T, p.w1T, p.i2T, p.w2T, p.pencil),
                (p.T, p.n1ext, p.chunk)),
-    lambda aux, ch: _SlabPlan(*ch, *aux),
+    lambda aux, ch: _SlabPlan(*ch[:8], *aux, *ch[8:]),
 )
 
 
@@ -460,11 +485,13 @@ def _slab_base_np(x0, n1: int, w: int):
     return np.mod(i0, n1)
 
 
-def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK):
+def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
+               n2: int = None):
     """Build a `_SlabPlan` from numpy base cells + numpy tap arrays
     (d = len(idxs) in {2, 3}).  Returns None when slab occupancy is too
     unbalanced for the padded layout to beat the fallback (dense mm2 in
-    2-D, scatter in 3-D)."""
+    2-D, scatter in 3-D).  With ``n2`` given (3-D), a nested
+    `_PencilPlan` is also attempted for the Pallas pencil kernels."""
     M = base.shape[0]
     d = len(idxs)
     w = idxs[0].shape[1]
@@ -501,13 +528,188 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK):
     w0 = padrow_perm(np.ascontiguousarray(wts[0]), 0.0)
     i1 = padrow_perm(np.ascontiguousarray(idxs[1]), 0)
     w1 = padrow_perm(np.ascontiguousarray(wts[1]), 0.0)
-    i2 = w2 = None
+    i2 = w2 = i2_np = w2_np = None
     if d == 3:
-        i2 = jnp.asarray(padrow_perm(np.ascontiguousarray(idxs[2]), 0))
-        w2 = jnp.asarray(padrow_perm(np.ascontiguousarray(wts[2]), 0.0))
+        i2_np = padrow_perm(np.ascontiguousarray(idxs[2]), 0)
+        w2_np = padrow_perm(np.ascontiguousarray(wts[2]), 0.0)
+        i2 = jnp.asarray(i2_np)
+        w2 = jnp.asarray(w2_np)
+    # transposed (S, w_pad, Mp) copies for the Pallas kernels: tap rows
+    # lane-major; w padded to the 8-row sublane tile with zero-weight
+    # dummy taps (idx = big negative -> one-hot contributes nothing)
+    w_pad = -(-w // 8) * 8
+
+    def _transposed(a, fill):
+        a = np.asarray(a)
+        aT = np.ascontiguousarray(np.transpose(a, (0, 2, 1)))
+        if w_pad != w:
+            pad = np.full((aT.shape[0], w_pad - w, aT.shape[2]), fill,
+                          aT.dtype)
+            aT = np.concatenate([aT, pad], axis=1)
+        return jnp.asarray(aT)
+
+    l0T = _transposed(l0, -(1 << 20))
+    w0T = _transposed(w0.astype(np.float32), 0.0)
+    i1T = _transposed(i1, -(1 << 20))
+    w1T = _transposed(w1.astype(np.float32), 0.0)
+    i2T = w2T = pencil = None
+    if d == 3:
+        i2T = _transposed(i2_np, -(1 << 20))
+        w2T = _transposed(w2_np.astype(np.float32), 0.0)
+        if n2 is not None:
+            # axis-1 base cell = first wrapped tap column (idx = i0 + t,
+            # t = 0 -> mod(i0, n2)), same convention as the slab's base
+            base1 = np.asarray(idxs[1])[:, 0].astype(np.int64)
+            pencil = _pencil_plan(np.asarray(base, np.int64), base1,
+                                  idxs, wts, n1, n2)
     return _SlabPlan(jnp.asarray(perm), jnp.asarray(l0), jnp.asarray(w0),
                      jnp.asarray(i1), jnp.asarray(w1), i2, w2,
-                     jnp.asarray(inv.astype(np.int32)), T, n1ext, chunk)
+                     jnp.asarray(inv.astype(np.int32)), T, n1ext, chunk,
+                     l0T, w0T, i1T, w1T, i2T, w2T, pencil)
+
+
+class _PencilPlan:
+    r"""Host-built 2-axis (pencil) partition for the 3-D Pallas spreader.
+
+    Points are binned by their (axis-0, axis-1) base cells into T x T
+    pencils (T = w); a pencil's points touch only the
+    ``[p0 T, p0 T + 2T) x [p1 T, p1 T + 2T) x n3`` block of the extended
+    grid, so the per-point tap work is ``(2w)^2 n3`` MACs — an
+    ``n2 / 2w`` reduction over the slab formulation, which makes the
+    3-D spread MXU-bound instead of FLOP-wasteful (cf. FINUFFT's binned
+    subgrid spreader, reference nufft.py:275-277).  Pallas-only: all
+    arrays are stored in transposed (P, w_pad, Mp) form (points
+    lane-major; see ops/pallas_nufft.py).
+
+    Pytree leaves: (perm, l0T, w0T, l1T, w1T, i2T, w2T, invperm);
+    static aux: (T, S0, S1, n1ext, n2ext, chunk).
+    """
+
+    def __init__(self, perm, l0T, w0T, l1T, w1T, i2T, w2T, invperm,
+                 T: int, S0: int, S1: int, n1ext: int, n2ext: int,
+                 chunk: int):
+        self.perm = perm
+        self.l0T = l0T
+        self.w0T = w0T
+        self.l1T = l1T
+        self.w1T = w1T
+        self.i2T = i2T
+        self.w2T = w2T
+        self.invperm = invperm
+        self.T = int(T)
+        self.S0 = int(S0)
+        self.S1 = int(S1)
+        self.n1ext = int(n1ext)
+        self.n2ext = int(n2ext)
+        self.chunk = int(chunk)
+
+
+jax.tree_util.register_pytree_node(
+    _PencilPlan,
+    lambda p: ((p.perm, p.l0T, p.w0T, p.l1T, p.w1T, p.i2T, p.w2T,
+                p.invperm),
+               (p.T, p.S0, p.S1, p.n1ext, p.n2ext, p.chunk)),
+    lambda aux, ch: _PencilPlan(*ch, *aux),
+)
+
+
+def _pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
+                 chunk: int = _SLAB_CHUNK, max_blowup: float = 8.0):
+    """Build a `_PencilPlan` from per-axis unwrapped base cells + tap
+    arrays (d == 3 only).  ``max_blowup`` is generous: the pencil kernel's
+    FLOPs are n2/2w lower per point than the slab fallback's, so heavy
+    padding still wins."""
+    M = base0.shape[0]
+    w = idxs[0].shape[1]
+    T = w
+    S0 = -(-n1 // T)
+    S1 = -(-n2 // T)
+    bins = (base0 // T) * S1 + (base1 // T)
+    part = _bin_partition_np(bins.astype(np.int64), S0 * S1, chunk,
+                             max_blowup)
+    if part is None:
+        return None
+    perm, inv, chunk = part
+    w_pad = -(-w // 8) * 8
+
+    def padrow_perm_T(a, fill):
+        """Transposed padded gather: (P, Mp, w) -> (P, w_pad, Mp)."""
+        a = np.asarray(a)
+        g = np.concatenate(
+            [a, np.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)[perm]
+        gT = np.ascontiguousarray(np.transpose(g, (0, 2, 1)))
+        if w_pad != w:
+            pad = np.full((gT.shape[0], w_pad - w, gT.shape[2]), fill,
+                          gT.dtype)
+            gT = np.concatenate([gT, pad], axis=1)
+        return jnp.asarray(gT)
+
+    t = np.arange(w, dtype=np.int32)
+    rows0 = base0.astype(np.int32)[:, None] + t
+    rows1 = base1.astype(np.int32)[:, None] + t
+    start0 = ((bins // S1) * T).astype(np.int32)
+    start1 = ((bins % S1) * T).astype(np.int32)
+    l0 = rows0 - start0[:, None]
+    l1 = rows1 - start1[:, None]
+    return _PencilPlan(
+        jnp.asarray(perm),
+        padrow_perm_T(l0, -(1 << 20)),
+        padrow_perm_T(np.ascontiguousarray(wts[0]).astype(np.float32), 0.0),
+        padrow_perm_T(l1, -(1 << 20)),
+        padrow_perm_T(np.ascontiguousarray(wts[1]).astype(np.float32), 0.0),
+        padrow_perm_T(np.ascontiguousarray(idxs[2]), -(1 << 20)),
+        padrow_perm_T(np.ascontiguousarray(wts[2]).astype(np.float32), 0.0),
+        jnp.asarray(inv.astype(np.int32)),
+        T, S0, S1, S0 * T + w, S1 * T + w, chunk)
+
+
+def _axis_overlap_add(X, n: int, T: int, next_len: int):
+    """1-axis overlap-add of (B, S, 2T, ...) windows onto (B, n, ...)."""
+    B, S = X.shape[0], X.shape[1]
+    rest = X.shape[3:]
+    head = X[:, :, :T].reshape((B, S * T) + rest)
+    tail = X[:, :, T:].reshape((B, S * T) + rest)
+    padw = ((0, 0), (0, T)) + ((0, 0),) * len(rest)
+    padw2 = ((0, 0), (T, 0)) + ((0, 0),) * len(rest)
+    ext = jnp.pad(head, padw) + jnp.pad(tail, padw2)    # (B, next_len, ...)
+    out = ext[:, :n]
+    wrap = next_len - n
+    return out.at[:, :wrap].add(ext[:, n:])
+
+
+def _pencil_overlap_add(R, n_fs, plan):
+    """Assemble the fine grid from (S0, win, S1, win, n3) pencil windows."""
+    n1, n2, n3 = (int(v) for v in n_fs)
+    S0, win, S1 = R.shape[0], R.shape[1], R.shape[2]
+    T = plan.T
+    X = R.reshape(S0 * win, S1, win, n3)
+    Y = _axis_overlap_add(X, n2, T, plan.n2ext)         # (S0*win, n2, n3)
+    Y = Y.reshape(1, S0, win, n2, n3)
+    g = _axis_overlap_add(Y, n1, T, plan.n1ext)[0]      # (n1, n2, n3)
+    return g
+
+
+def _axis_windows(g, S: int, T: int, next_len: int, axis1: bool = False):
+    """Transpose of :func:`_axis_overlap_add`: (B, n, ...) ->
+    (B, S, 2T, ...) overlapping windows with periodic wrap."""
+    B, n = g.shape[0], g.shape[1]
+    rest = g.shape[2:]
+    wrap = next_len - n
+    ext = jnp.concatenate([g, g[:, :wrap]], axis=1)     # (B, next_len, ...)
+    return jnp.concatenate(
+        [ext[:, :S * T].reshape((B, S, T) + rest),
+         ext[:, T:].reshape((B, S, T) + rest)], axis=2)
+
+
+def _pencil_windows(g, plan):
+    """(S0, win, S1, win, n3) overlapping pencil windows of g (n1,n2,n3)."""
+    n1, n2, n3 = g.shape
+    T, S0, S1 = plan.T, plan.S0, plan.S1
+    win = 2 * T
+    X = _axis_windows(g[None], S0, T, plan.n1ext)[0]    # (S0, win, n2, n3)
+    X = X.reshape(S0 * win, n2, n3)
+    Y = _axis_windows(X, S1, T, plan.n2ext)             # (S0*win, S1, win, n3)
+    return Y.reshape(S0, win, S1, win, n3)
 
 
 def _onehot_w_b(idx, wt, n, dtype):
@@ -563,10 +765,16 @@ def _spread_slab(c, n_fs, plan):
                                        _match_vma((z, z), c))
     R = acc_re + 1j * acc_im
     tail_shape = (S, win, n2) if n3 is None else (S, win, n2, n3)
-    R = R.reshape(tail_shape)                   # slab windows
-    rest = tail_shape[2:]
-    # overlap-add: window p covers rows [p*T, p*T + 2T) and T == w, so the
-    # second halves land exactly on the next slab's first halves
+    return _slab_overlap_add(R.reshape(tail_shape), n1, plan)
+
+
+def _slab_overlap_add(R, n1: int, plan):
+    """Assemble the fine grid from per-slab row windows R (S, win, ...):
+    window p covers rows [p*T, p*T + 2T) and T == w, so the second halves
+    land exactly on the next slab's first halves — two reshapes + pad-sum
+    + one wrap-around add."""
+    S, T = R.shape[0], plan.T
+    rest = R.shape[2:]
     head = R[:, :T].reshape((S * T,) + rest)
     tail = R[:, T:].reshape((S * T,) + rest)
     padw = ((0, T),) + ((0, 0),) * len(rest)
@@ -577,6 +785,116 @@ def _spread_slab(c, n_fs, plan):
     return g.at[:wrap].add(g_ext[n1:])
 
 
+def _slab_windows(g, plan):
+    """Per-slab row windows Gw (S, 2T, ...) of the fine grid g (n1, ...):
+    window p holds rows [p*T, p*T + 2T) with periodic wrap (transpose of
+    :func:`_slab_overlap_add`)."""
+    n1 = g.shape[0]
+    S, T = plan.perm.shape[0], plan.T
+    wrap = plan.n1ext - n1
+    g_ext = jnp.concatenate([g, g[:wrap]], axis=0)       # (n1ext, ...)
+    rest = g.shape[1:]
+    return jnp.concatenate([g_ext[:S * T].reshape((S, T) + rest),
+                            g_ext[T:].reshape((S, T) + rest)], axis=1)
+
+
+def _use_slab_pallas(dtype) -> bool:
+    """Route 2-D slab spreading/interpolation through the Pallas kernels:
+    ``PYXU_TPU_NUFFT_PALLAS`` = auto (default: TPU backends only), 0 (off),
+    1 (force; interpreted off-TPU — tests only).  f32 values only (Mosaic
+    has no f64) — x64 plans keep the XLA slab path."""
+    import os
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    v = os.environ.get("PYXU_TPU_NUFFT_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _spread_slab_pallas(c, n_fs, plan):
+    """2-D/3-D slab spreading through the VMEM-resident Pallas kernels
+    (same numerics as `_spread_slab` up to f32 reassociation)."""
+    from pyxu_tpu.ops.pallas_nufft import slab_spread, slab_spread3
+    interp = jax.default_backend() != "tpu"
+    w = plan.T                                  # T == w by construction
+    win = 2 * plan.T
+    pp = plan.pencil
+    if pp is not None:
+        from pyxu_tpu.ops.pallas_nufft import pencil_spread3
+        cpp = _pad_pt(c)[pp.perm]
+        Rr, Ri = pencil_spread3(
+            cpp.real.astype(jnp.float32), cpp.imag.astype(jnp.float32),
+            (pp.l0T, pp.w0T, pp.l1T, pp.w1T, pp.i2T, pp.w2T),
+            S0=pp.S0, S1=pp.S1, n3=int(n_fs[2]), win=win, w=w,
+            chunk=pp.chunk, interpret=interp)
+        R = (Rr[:, :win, :, :win] + 1j * Ri[:, :win, :, :win]).astype(
+            c.dtype)
+        return _pencil_overlap_add(R, n_fs, pp)
+    cp = _pad_pt(c)[plan.perm]
+    cr = cp.real.astype(jnp.float32)
+    ci = cp.imag.astype(jnp.float32)
+    if plan.i2T is None:
+        Rr, Ri = slab_spread(cr, ci, plan.l0T, plan.w0T, plan.i1T,
+                             plan.w1T, n2=int(n_fs[1]), win=win, w=w,
+                             chunk=plan.chunk, interpret=interp)
+        R = (Rr[:, :win] + 1j * Ri[:, :win]).astype(c.dtype)
+        return _slab_overlap_add(R, int(n_fs[0]), plan)
+    n2, n3 = int(n_fs[1]), int(n_fs[2])
+    Rr, Ri = slab_spread3(cr, ci, plan.l0T, plan.w0T, plan.i1T,
+                          plan.w1T, plan.i2T, plan.w2T, n2=n2, n3=n3,
+                          win=win, w=w, chunk=plan.chunk,
+                          interpret=interp)
+    S = Rr.shape[0]
+    win_pad = Rr.shape[1] // n2
+    R = (Rr + 1j * Ri).astype(c.dtype).reshape(S, win_pad, n2, n3)
+    return _slab_overlap_add(R[:, :win], int(n_fs[0]), plan)
+
+
+def _interp_slab_pallas(g, plan):
+    """2-D/3-D slab interpolation through the Pallas kernels (transpose of
+    :func:`_spread_slab_pallas`)."""
+    from pyxu_tpu.ops.pallas_nufft import slab_interp, slab_interp3
+    interp = jax.default_backend() != "tpu"
+    w = plan.T
+    win = 2 * plan.T
+    win_pad = -(-win // 8) * 8
+    pp = plan.pencil
+    if pp is not None:
+        from pyxu_tpu.ops.pallas_nufft import pencil_interp3
+        Gw = _pencil_windows(g, pp)             # (S0, win, S1, win, n3)
+        if win_pad != win:
+            Gw = jnp.pad(Gw, ((0, 0), (0, win_pad - win), (0, 0),
+                              (0, win_pad - win), (0, 0)))
+        vr, vi = pencil_interp3(
+            Gw.real.astype(jnp.float32), Gw.imag.astype(jnp.float32),
+            (pp.l0T, pp.w0T, pp.l1T, pp.w1T, pp.i2T, pp.w2T),
+            w=w, chunk=pp.chunk, interpret=interp)
+        outs = (vr + 1j * vi).astype(g.dtype)
+        return outs.ravel()[pp.invperm]
+    Gw = _slab_windows(g, plan)                 # (S, win, n2[, n3]) complex
+    if win_pad != win:
+        pad = ((0, 0), (0, win_pad - win)) + ((0, 0),) * (Gw.ndim - 2)
+        Gw = jnp.pad(Gw, pad)
+    GR = Gw.real.astype(jnp.float32)
+    GI = Gw.imag.astype(jnp.float32)
+    if plan.i2T is None:
+        vr, vi = slab_interp(GR, GI, plan.l0T, plan.w0T, plan.i1T,
+                             plan.w1T, w=w, chunk=plan.chunk,
+                             interpret=interp)
+    else:
+        S, _, n2, n3 = GR.shape
+        vr, vi = slab_interp3(GR.reshape(S, win_pad * n2, n3),
+                              GI.reshape(S, win_pad * n2, n3),
+                              plan.l0T, plan.w0T, plan.i1T, plan.w1T,
+                              plan.i2T, plan.w2T, w=w, chunk=plan.chunk,
+                              interpret=interp)
+    outs = (vr + 1j * vi).astype(g.dtype)
+    return outs.ravel()[plan.invperm]
+
+
 def _interp_slab(g, plan):
     r"""Slab-binned MXU interpolation (transpose of `_spread_slab`)."""
     n1, n2 = g.shape[0], g.shape[1]
@@ -585,11 +903,7 @@ def _interp_slab(g, plan):
     T, CH = plan.T, plan.chunk
     win = 2 * T
     dtype = g.real.dtype
-    wrap = plan.n1ext - n1
-    g_ext = jnp.concatenate([g, g[:wrap]], axis=0)       # (n1ext, ...)
-    rest = g.shape[1:]
-    Gw = jnp.concatenate([g_ext[:S * T].reshape((S, T) + rest),
-                          g_ext[T:].reshape((S, T) + rest)], axis=1)
+    Gw = _slab_windows(g, plan)
     if n3 is not None:
         Gw = Gw.reshape(S, win * n2, n3)
     GR, GI = Gw.real, Gw.imag                            # (S, win[*n2], n_last)
@@ -620,6 +934,8 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     """Scatter-add point strengths c (M,) complex onto the fine grid."""
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
+        if mm3_plan.l0T is not None and _use_slab_pallas(c.real.dtype):
+            return _spread_slab_pallas(c, n_fs, mm3_plan)
         return _spread_slab(c, n_fs, mm3_plan)
     if d == 2 and _use_mm():
         return _spread_mm2(c, idxs, wts, n_fs)
@@ -710,7 +1026,7 @@ class _NUFFT12(_NUFFTDiagnostics, LinOp):
         if d in (2, 3) and slab:
             self._mm3 = _slab_plan(
                 _slab_base_np(xh[:, 0], self._nf[0], w), idxs, wts,
-                self._nf[0])
+                self._nf[0], n2=self._nf[1] if d == 3 else None)
         dim = (M,) if real_in else (M, 2)
         super().__init__(dim, N + (2,))
         self._lipschitz = float(np.sqrt(np.prod(N) * M))
@@ -1186,10 +1502,11 @@ class _NUFFT3(_NUFFTDiagnostics, LinOp):
         if d in (2, 3) and mm3:
             s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64),
                             nf[0])
+            nf2 = nf[1] if d == 3 else None
             self._mm3_x = _slab_plan(
                 _slab_base_np(np.mod(xp[:, 0], 2 * np.pi), nf[0], w),
-                idxs_x, wts_x, nf[0])
-            self._mm3_s = _slab_plan(s_base, idxs_s, wts_s, nf[0])
+                idxs_x, wts_x, nf[0], n2=nf2)
+            self._mm3_s = _slab_plan(s_base, idxs_s, wts_s, nf[0], n2=nf2)
         super().__init__((M,) if real_in else (M, 2), (K, 2))
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3[d={d}]"

@@ -1,0 +1,468 @@
+r"""Pallas slab spread/interpolation kernels for the NUFFT (2-D/3-D).
+
+The XLA slab path (`nufft._spread_slab` / `_interp_slab`) evaluates the
+ES-kernel spreading as batched one-hot matmuls; it is HBM-bound, not
+MXU-bound: each point-chunk materializes (S, CH, n2) tap matrices in HBM
+(w VPU passes, each a full read+write), so a 200k-point 512^2 type-1 moves
+~100x more HBM bytes than the tap data itself.  These kernels build the
+same one-hot tap matrices in VMEM and consume them on the MXU immediately,
+cutting HBM traffic to the plan arrays + the slab windows (the actual
+roofline).  Reference counterpart: FINUFFT's binned subgrid spreader
+(reference nufft.py:275-277), whose subproblem buffers live in L2/shared
+memory for the same reason.
+
+Layout trick: the plan arrays come in TRANSPOSED (S, w_pad, Mp) form
+(`_SlabPlan.l0T/...`), so a tap row `a[s]` is a (1, CH) lane-major vector.
+One-hot matrices are then built with grid cells along *sublanes* and points
+along *lanes*:
+
+    U[cell, j] = sum_s  wt[s, j] * (idx[s, j] == cell)
+
+which makes (a) the point-strength broadcast in `spread` a natural (1, CH)
+row product, and (b) the per-point reduction in `interp` a *sublane*
+reduction to a (1, CH) row — no Mosaic-side transposes or relayouts
+anywhere in the kernel.
+
+Numerics match the XLA slab path exactly up to f32 reassociation (same
+tap weights, same HIGHEST-precision contractions).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["slab_spread", "slab_interp", "slab_spread3", "slab_interp3",
+           "pencil_spread3", "pencil_interp3"]
+
+
+def _round8(v: int) -> int:
+    return -(-int(v) // 8) * 8
+
+
+@functools.lru_cache(maxsize=64)
+def _build_spread(S, w_pad, Mp, CH, win_pad, n2, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+
+    def kernel(cr_ref, ci_ref, l0_ref, w0_ref, i1_ref, w1_ref,
+               outr_ref, outi_ref):
+        q = pl.program_id(1)
+        l0 = l0_ref[0]                      # (w_pad, CH)
+        w0 = w0_ref[0]
+        i1 = i1_ref[0]
+        w1 = w1_ref[0]
+        cr = cr_ref[0]                      # (1, CH)
+        ci = ci_ref[0]
+
+        # U1[col, j] = sum_s w1[s, j] . (i1[s, j] == col)   (n2, CH)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n2, CH), 0)
+        U1 = jnp.zeros((n2, CH), jnp.float32)
+        for s in range(w):
+            U1 = U1 + w1[s:s + 1, :] * (i1[s:s + 1, :] == col).astype(
+                jnp.float32)
+        # A[r, j] = sum_s w0[s, j] . (l0[s, j] == r)        (win_pad, CH)
+        row = jax.lax.broadcasted_iota(jnp.int32, (win_pad, CH), 0)
+        A = jnp.zeros((win_pad, CH), jnp.float32)
+        for s in range(w):
+            A = A + w0[s:s + 1, :] * (l0[s:s + 1, :] == row).astype(
+                jnp.float32)
+
+        dims = (((1,), (1,)), ((), ()))     # contract the point (lane) axis
+        Rr = jax.lax.dot_general(A * cr, U1, dims,
+                                 preferred_element_type=jnp.float32)
+        Ri = jax.lax.dot_general(A * ci, U1, dims,
+                                 preferred_element_type=jnp.float32)
+
+        @pl.when(q == 0)
+        def _():
+            outr_ref[...] = Rr[None]
+            outi_ref[...] = Ri[None]
+
+        @pl.when(q > 0)
+        def _():
+            outr_ref[...] = outr_ref[...] + Rr[None]
+            outi_ref[...] = outi_ref[...] + Ri[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda s, q: (s, 0, q))
+    pt_spec = pl.BlockSpec((1, 1, CH), lambda s, q: (s, 0, q))
+    out_spec = pl.BlockSpec((1, win_pad, n2), lambda s, q: (s, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(S, Q),
+        in_specs=[pt_spec, pt_spec, plan_spec, plan_spec, plan_spec,
+                  plan_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((S, win_pad, n2), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def slab_spread(cr, ci, l0T, w0T, i1T, w1T, *, n2: int, win: int, w: int,
+                chunk: int, interpret: bool = False):
+    """Spread slab-ordered point strengths onto per-slab row windows.
+
+    cr/ci: (S, Mp) f32 slab-ordered strengths; l0T/w0T/i1T/w1T: transposed
+    plan arrays (S, w_pad, Mp).  Returns (Rr, Ri), each (S, win_pad, n2) —
+    callers slice ``[:, :win]`` and overlap-add.
+    """
+    S, Mp = cr.shape
+    w_pad = l0T.shape[1]
+    CH = int(chunk)
+    assert Mp % CH == 0
+    fn = _build_spread(S, w_pad, Mp, CH, _round8(win), n2, w, interpret)
+    return fn(cr[:, None, :], ci[:, None, :], l0T, w0T, i1T, w1T)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_interp(S, w_pad, Mp, CH, win_pad, n2, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+
+    def kernel(gr_ref, gi_ref, l0_ref, w0_ref, i1_ref, w1_ref,
+               outr_ref, outi_ref):
+        l0 = l0_ref[0]
+        w0 = w0_ref[0]
+        i1 = i1_ref[0]
+        w1 = w1_ref[0]
+        gr = gr_ref[0]                      # (win_pad, n2)
+        gi = gi_ref[0]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (win_pad, CH), 0)
+        U0 = jnp.zeros((win_pad, CH), jnp.float32)
+        for s in range(w):
+            U0 = U0 + w0[s:s + 1, :] * (l0[s:s + 1, :] == row).astype(
+                jnp.float32)
+        dims = (((0,), (0,)), ((), ()))     # contract the window-row axis
+        TRr = jax.lax.dot_general(gr, U0, dims,
+                                  preferred_element_type=jnp.float32)
+        TRi = jax.lax.dot_general(gi, U0, dims,
+                                  preferred_element_type=jnp.float32)  # (n2, CH)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (n2, CH), 0)
+        U1 = jnp.zeros((n2, CH), jnp.float32)
+        for s in range(w):
+            U1 = U1 + w1[s:s + 1, :] * (i1[s:s + 1, :] == col).astype(
+                jnp.float32)
+        outr_ref[...] = jnp.sum(TRr * U1, axis=0, keepdims=True)[None]
+        outi_ref[...] = jnp.sum(TRi * U1, axis=0, keepdims=True)[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda s, q: (s, 0, q))
+    g_spec = pl.BlockSpec((1, win_pad, n2), lambda s, q: (s, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, CH), lambda s, q: (s, 0, q))
+    return pl.pallas_call(
+        kernel,
+        grid=(S, Q),
+        in_specs=[g_spec, g_spec, plan_spec, plan_spec, plan_spec,
+                  plan_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((S, 1, Mp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def slab_interp(GR, GI, l0T, w0T, i1T, w1T, *, w: int, chunk: int,
+                interpret: bool = False):
+    """Interpolate per-slab row windows at the plan's points.
+
+    GR/GI: (S, win_pad, n2) f32 slab windows (win_pad = 8-rounded 2T, extra
+    rows zero); returns (vr, vi), each (S, Mp) slab-ordered point values.
+    """
+    S, win_pad, n2 = GR.shape
+    Mp = l0T.shape[2]
+    w_pad = l0T.shape[1]
+    CH = int(chunk)
+    assert Mp % CH == 0
+    fn = _build_interp(S, w_pad, Mp, CH, win_pad, n2, w, interpret)
+    vr, vi = fn(GR, GI, l0T, w0T, i1T, w1T)
+    return vr[:, 0], vi[:, 0]
+
+
+# ------------------------------------------------------------------- 3-D ----
+
+def _pick_ch3(Mp: int, chunk: int, win_pad: int, n2: int) -> int:
+    """3-D working sets scale with win_pad*n2*CH — halve the point chunk
+    until the flattened tap matrix fits comfortably in VMEM (8 MB)."""
+    CH = int(chunk)
+    while CH > 128 and CH % 2 == 0 and Mp % (CH // 2) == 0 and \
+            win_pad * n2 * CH * 4 > 8 * 1024 * 1024:
+        CH //= 2
+    return CH
+
+
+@functools.lru_cache(maxsize=64)
+def _build_spread3(S, w_pad, Mp, CH, win_pad, n2, n3, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+
+    def kernel(cr_ref, ci_ref, l0_ref, w0_ref, i1_ref, w1_ref, i2_ref,
+               w2_ref, outr_ref, outi_ref):
+        q = pl.program_id(1)
+
+        def onehot(idx, wt, n):
+            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+            U = jnp.zeros((n, CH), jnp.float32)
+            for s in range(w):
+                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+                    jnp.float32)
+            return U
+
+        U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
+        U1 = onehot(i1_ref[0], w1_ref[0], n2)
+        U2 = onehot(i2_ref[0], w2_ref[0], n3)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * n2, CH)
+        dims = (((1,), (1,)), ((), ()))
+        Rr = jax.lax.dot_general(A * cr_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+        Ri = jax.lax.dot_general(A * ci_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+
+        @pl.when(q == 0)
+        def _():
+            outr_ref[...] = Rr[None]
+            outi_ref[...] = Ri[None]
+
+        @pl.when(q > 0)
+        def _():
+            outr_ref[...] = outr_ref[...] + Rr[None]
+            outi_ref[...] = outi_ref[...] + Ri[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda s, q: (s, 0, q))
+    pt_spec = pl.BlockSpec((1, 1, CH), lambda s, q: (s, 0, q))
+    out_spec = pl.BlockSpec((1, win_pad * n2, n3), lambda s, q: (s, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(S, Q),
+        in_specs=[pt_spec, pt_spec] + [plan_spec] * 6,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((S, win_pad * n2, n3),
+                                        jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def slab_spread3(cr, ci, l0T, w0T, i1T, w1T, i2T, w2T, *, n2: int, n3: int,
+                 win: int, w: int, chunk: int, interpret: bool = False):
+    """3-D slab spreading: returns (Rr, Ri), each (S, win_pad*n2, n3) —
+    callers reshape to (S, win_pad, n2, n3), slice ``[:, :win]`` and
+    overlap-add."""
+    S, Mp = cr.shape
+    w_pad = l0T.shape[1]
+    win_pad = _round8(win)
+    CH = _pick_ch3(Mp, chunk, win_pad, n2)
+    assert Mp % CH == 0
+    fn = _build_spread3(S, w_pad, Mp, CH, win_pad, n2, n3, w, interpret)
+    return fn(cr[:, None, :], ci[:, None, :], l0T, w0T, i1T, w1T, i2T, w2T)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_interp3(S, w_pad, Mp, CH, win_pad, n2, n3, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+
+    def kernel(gr_ref, gi_ref, l0_ref, w0_ref, i1_ref, w1_ref, i2_ref,
+               w2_ref, outr_ref, outi_ref):
+        def onehot(idx, wt, n):
+            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+            U = jnp.zeros((n, CH), jnp.float32)
+            for s in range(w):
+                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+                    jnp.float32)
+            return U
+
+        U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
+        U1 = onehot(i1_ref[0], w1_ref[0], n2)
+        U2 = onehot(i2_ref[0], w2_ref[0], n3)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * n2, CH)
+        dims = (((1,), (0,)), ((), ()))     # (win_pad*n2, n3) @ (n3, CH)
+        TRr = jax.lax.dot_general(gr_ref[0], U2, dims,
+                                  preferred_element_type=jnp.float32)
+        TRi = jax.lax.dot_general(gi_ref[0], U2, dims,
+                                  preferred_element_type=jnp.float32)
+        outr_ref[...] = jnp.sum(TRr * A, axis=0, keepdims=True)[None]
+        outi_ref[...] = jnp.sum(TRi * A, axis=0, keepdims=True)[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda s, q: (s, 0, q))
+    g_spec = pl.BlockSpec((1, win_pad * n2, n3), lambda s, q: (s, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, CH), lambda s, q: (s, 0, q))
+    return pl.pallas_call(
+        kernel,
+        grid=(S, Q),
+        in_specs=[g_spec, g_spec] + [plan_spec] * 6,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((S, 1, Mp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def slab_interp3(GR, GI, l0T, w0T, i1T, w1T, i2T, w2T, *, w: int,
+                 chunk: int, interpret: bool = False):
+    """3-D slab interpolation: GR/GI (S, win_pad*n2, n3) flattened padded
+    slab windows; returns (vr, vi), each (S, Mp)."""
+    S, wn2, n3 = GR.shape
+    Mp = l0T.shape[2]
+    w_pad = l0T.shape[1]
+    # the window axis arrives flattened as win_pad*n2; T == w fixes win_pad
+    win_pad = _round8(2 * w)
+    n2 = wn2 // win_pad
+    assert n2 * win_pad == wn2
+    CH = _pick_ch3(Mp, chunk, win_pad, n2)
+    assert Mp % CH == 0
+    fn = _build_interp3(S, w_pad, Mp, CH, win_pad, n2, n3, w, interpret)
+    vr, vi = fn(GR, GI, l0T, w0T, i1T, w1T, i2T, w2T)
+    return vr[:, 0], vi[:, 0]
+
+
+# -------------------------------------------------------- 3-D pencil bins ---
+
+@functools.lru_cache(maxsize=64)
+def _build_pencil_spread(S0, S1, w_pad, Mp, CH, win_pad, n3, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+
+    def kernel(cr_ref, ci_ref, l0_ref, w0_ref, l1_ref, w1_ref, i2_ref,
+               w2_ref, outr_ref, outi_ref):
+        q = pl.program_id(1)
+
+        def onehot(idx, wt, n):
+            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+            U = jnp.zeros((n, CH), jnp.float32)
+            for s in range(w):
+                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+                    jnp.float32)
+            return U
+
+        U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
+        U1 = onehot(l1_ref[0], w1_ref[0], win_pad)
+        U2 = onehot(i2_ref[0], w2_ref[0], n3)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * win_pad, CH)
+        dims = (((1,), (1,)), ((), ()))
+        Rr = jax.lax.dot_general(A * cr_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+        Ri = jax.lax.dot_general(A * ci_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+        shp = (1, win_pad, 1, win_pad, n3)
+
+        @pl.when(q == 0)
+        def _():
+            outr_ref[...] = Rr.reshape(shp)
+            outi_ref[...] = Ri.reshape(shp)
+
+        @pl.when(q > 0)
+        def _():
+            outr_ref[...] = outr_ref[...] + Rr.reshape(shp)
+            outi_ref[...] = outi_ref[...] + Ri.reshape(shp)
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, q: (p, 0, q))
+    pt_spec = pl.BlockSpec((1, 1, CH), lambda p, q: (p, 0, q))
+    out_spec = pl.BlockSpec((1, win_pad, 1, win_pad, n3),
+                            lambda p, q: (p // S1, 0, p % S1, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(S0 * S1, Q),
+        in_specs=[pt_spec, pt_spec] + [plan_spec] * 6,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct(
+            (S0, win_pad, S1, win_pad, n3), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def pencil_spread3(cr, ci, plan_arrays, *, S0: int, S1: int, n3: int,
+                   win: int, w: int, chunk: int, interpret: bool = False):
+    """3-D pencil spreading: returns (Rr, Ri), each
+    (S0, win_pad, S1, win_pad, n3) — callers slice both window axes to
+    ``win`` and 2-axis overlap-add."""
+    l0T, w0T, l1T, w1T, i2T, w2T = plan_arrays
+    P, Mp = cr.shape
+    w_pad = l0T.shape[1]
+    CH = int(chunk)
+    assert Mp % CH == 0 and P == S0 * S1
+    fn = _build_pencil_spread(S0, S1, w_pad, Mp, CH, _round8(win), n3, w,
+                              interpret)
+    return fn(cr[:, None, :], ci[:, None, :], l0T, w0T, l1T, w1T, i2T, w2T)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_pencil_interp(S0, S1, w_pad, Mp, CH, win_pad, n3, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+
+    def kernel(gr_ref, gi_ref, l0_ref, w0_ref, l1_ref, w1_ref, i2_ref,
+               w2_ref, outr_ref, outi_ref):
+        def onehot(idx, wt, n):
+            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+            U = jnp.zeros((n, CH), jnp.float32)
+            for s in range(w):
+                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+                    jnp.float32)
+            return U
+
+        U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
+        U1 = onehot(l1_ref[0], w1_ref[0], win_pad)
+        U2 = onehot(i2_ref[0], w2_ref[0], n3)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * win_pad, CH)
+        G2 = gr_ref[...].reshape(win_pad * win_pad, n3)
+        H2 = gi_ref[...].reshape(win_pad * win_pad, n3)
+        dims = (((1,), (0,)), ((), ()))     # (win^2, n3) @ (n3, CH)
+        TRr = jax.lax.dot_general(G2, U2, dims,
+                                  preferred_element_type=jnp.float32)
+        TRi = jax.lax.dot_general(H2, U2, dims,
+                                  preferred_element_type=jnp.float32)
+        outr_ref[...] = jnp.sum(TRr * A, axis=0, keepdims=True)[None]
+        outi_ref[...] = jnp.sum(TRi * A, axis=0, keepdims=True)[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, q: (p, 0, q))
+    g_spec = pl.BlockSpec((1, win_pad, 1, win_pad, n3),
+                          lambda p, q: (p // S1, 0, p % S1, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, CH), lambda p, q: (p, 0, q))
+    return pl.pallas_call(
+        kernel,
+        grid=(S0 * S1, Q),
+        in_specs=[g_spec, g_spec] + [plan_spec] * 6,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((S0 * S1, 1, Mp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def pencil_interp3(GR, GI, plan_arrays, *, w: int, chunk: int,
+                   interpret: bool = False):
+    """3-D pencil interpolation: GR/GI (S0, win_pad, S1, win_pad, n3)
+    padded pencil windows; returns (vr, vi), each (S0*S1, Mp)."""
+    l0T, w0T, l1T, w1T, i2T, w2T = plan_arrays
+    S0, win_pad, S1, _, n3 = GR.shape
+    Mp = l0T.shape[2]
+    w_pad = l0T.shape[1]
+    CH = int(chunk)
+    assert Mp % CH == 0
+    fn = _build_pencil_interp(S0, S1, w_pad, Mp, CH, win_pad, n3, w,
+                              interpret)
+    vr, vi = fn(GR, GI, l0T, w0T, l1T, w1T, i2T, w2T)
+    return vr[:, 0], vi[:, 0]

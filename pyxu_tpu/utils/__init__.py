@@ -20,6 +20,7 @@ from pyxu_tpu.utils.vectorize import (  # noqa: F401
     batched_over,
     flatten_batch,
     unflatten_batch,
+    vectorize,
 )
 from pyxu_tpu.utils.array_module import (  # noqa: F401
     compute,

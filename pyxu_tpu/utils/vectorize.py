@@ -49,3 +49,51 @@ def batched_over(fn, core_ndim: int):
         return unflatten_batch(out, batch_shape)
 
     return wrapped
+
+
+def vectorize(i: str, method: str = "scan", codim: int = None):
+    """Decorator: auto-vectorize an array function over stacking dims of
+    parameter ``i`` (reference ``pyxu.util.vectorize``,
+    util/operator.py:37-124).
+
+    The reference offers three Dask scheduling strategies; on TPU the
+    distinctions collapse — ``scan`` maps to :func:`jax.lax.map`-free
+    ``vmap`` (fused, parallel under jit) and the two Dask modes are
+    accepted aliases.  ``codim`` is accepted for signature compatibility
+    (output shape is inferred by tracing, so it is never needed).
+
+    The wrapped function must map a 1-D core input to a 1-D core output
+    (the reference's Property-API contract); leading axes are batched.
+    """
+    import functools as _functools
+    import inspect as _inspect
+
+    method = method.strip().lower()
+    if method not in ("scan", "scan_dask", "parallel"):
+        raise ValueError(f"Unknown vectorization method '{method}'.")
+
+    def decorator(func):
+        sig = _inspect.signature(func)
+        if i not in sig.parameters:
+            raise ValueError(
+                f"Parameter[{i}] not part of {func.__qualname__}() "
+                f"parameter list.")
+
+        @_functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            bound.apply_defaults()
+            x = jnp.asarray(bound.arguments.pop(i))
+            rest = bound.arguments
+
+            def f1(xi):
+                return func(**{i: xi, **rest})
+
+            *sh, dim = x.shape
+            flat = x.reshape((-1, dim))
+            out = jax.vmap(f1)(flat)
+            return out.reshape(tuple(sh) + (-1,))
+
+        return wrapper
+
+    return decorator

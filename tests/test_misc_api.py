@@ -60,3 +60,31 @@ def test_test_images():
     assert p.shape == (32, 32) and np.isfinite(p).all()
     s = np.asarray(star_like_sample(32, 4, 0.7, 2, 0.6))
     assert s.shape == (32, 32)
+
+
+def test_vectorize_decorator():
+    """Reference pyxu.util.vectorize parity (util/operator.py:37-124)."""
+    import numpy as np
+
+    from pyxu_tpu.utils import vectorize
+
+    @vectorize("x")
+    def f(x):
+        return x.sum(keepdims=True)
+
+    x = np.arange(10.0).reshape((2, 5))
+    np.testing.assert_allclose(np.asarray(f(x)).ravel(), [10.0, 35.0])
+    np.testing.assert_allclose(np.asarray(f(x[0])).ravel(), [10.0])
+
+    @vectorize("x", method="parallel", codim=1)
+    def g(x, a=2.0):
+        return (a * x).sum(keepdims=True)
+
+    np.testing.assert_allclose(np.asarray(g(x, a=3.0)).ravel(),
+                               [30.0, 105.0])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vectorize("y")(lambda x: x)
+    with _pytest.raises(ValueError):
+        vectorize("x", method="nope")

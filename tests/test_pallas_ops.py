@@ -25,3 +25,89 @@ def test_separable_correlate2d(shape, taps):
                         origin=ch - lh // 2, mode="constant"),
         kw.astype(np.float64), axis=1, origin=cw - lw // 2, mode="constant")
     assert np.allclose(got, want, atol=1e-4)
+
+
+# ---------------------------------------------------------------- NUFFT ----
+
+class TestPallasSlabNUFFT:
+    """Pallas slab spread/interp kernels (interpret mode on CPU; the
+    compiled path runs the same kernel code on TPU) vs the XLA slab path
+    and the direct NUDFT."""
+
+    def _plan(self, M=4000, N=(56, 48), seed=0):
+        rng = np.random.default_rng(seed)
+        from pyxu_tpu.operator.linop.nufft import NUFFT
+        x = rng.uniform(-np.pi, np.pi, (M, 2))
+        op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
+        assert op._mm3 is not None and op._mm3.l0T is not None
+        return op, x, rng
+
+    def test_spread_interp_match_xla(self, monkeypatch):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        from pyxu_tpu.operator.linop import nufft as nf
+        op, _, rng = self._plan()
+        plan = op._mm3
+        c = (rng.standard_normal(op._M)
+             + 1j * rng.standard_normal(op._M)).astype(np.complex64)
+        cc = jnp.asarray(c)
+        g_xla = np.asarray(nf._spread_slab(cc, op._nf, plan))
+        g_pl = np.asarray(nf._spread_slab_pallas(cc, op._nf, plan))
+        assert np.max(np.abs(g_xla - g_pl)) < 1e-5 * np.max(np.abs(g_xla))
+        g = jnp.asarray((rng.standard_normal(op._nf)
+                         + 1j * rng.standard_normal(op._nf))
+                        .astype(np.complex64))
+        v_xla = np.asarray(nf._interp_slab(g, plan))
+        v_pl = np.asarray(nf._interp_slab_pallas(g, plan))
+        assert np.max(np.abs(v_xla - v_pl)) < 1e-5 * np.max(np.abs(v_xla))
+
+    def test_e2e_forced_pallas_vs_direct(self, monkeypatch):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        from pyxu_tpu.operator.linop.nufft import nudft1
+        op, x, rng = self._plan(M=1500, N=(32, 40), seed=3)
+        arr = rng.standard_normal((op._M, 2)).astype(np.float32)
+        out = np.asarray(op.apply(jnp.asarray(arr)))
+        ref = nudft1(arr[:, 0] + 1j * arr[:, 1], x, (32, 40), +1)
+        err = np.max(np.abs(out[..., 0] + 1j * out[..., 1] - ref))
+        assert err < 2e-5 * np.max(np.abs(ref))
+        # batched apply exercises the pallas_call vmap batching rule
+        barr = rng.standard_normal((2, op._M, 2)).astype(np.float32)
+        bout = np.asarray(op.apply(jnp.asarray(barr)))
+        for b in range(2):
+            r = nudft1(barr[b, :, 0] + 1j * barr[b, :, 1], x, (32, 40), +1)
+            e = np.max(np.abs(bout[b][..., 0] + 1j * bout[b][..., 1] - r))
+            assert e < 2e-5 * np.max(np.abs(r))
+
+    def test_adjoint_dot_forced_pallas(self, monkeypatch):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        op, _, rng = self._plan(M=1200, N=(24, 28), seed=5)
+        u = jnp.asarray(rng.standard_normal((op._M, 2)), jnp.float32)
+        f = jnp.asarray(rng.standard_normal((24, 28, 2)), jnp.float32)
+        d1 = float(jnp.vdot(op.apply(u), f))
+        d2 = float(jnp.vdot(u, op.adjoint(f)))
+        assert abs(d1 - d2) < 1e-4 * max(abs(d1), 1.0)
+
+    def test_3d_spread_interp_match_xla(self, monkeypatch):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        import numpy as _np
+        from pyxu_tpu.operator.linop import nufft as nf
+        from pyxu_tpu.operator.linop.nufft import NUFFT
+        rng = _np.random.default_rng(7)
+        M, N = 2500, (14, 12, 10)
+        x = rng.uniform(-_np.pi, _np.pi, (M, 3))
+        op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
+        plan = op._mm3
+        assert plan is not None and plan.i2T is not None
+        c = (rng.standard_normal(M)
+             + 1j * rng.standard_normal(M)).astype(_np.complex64)
+        cc = jnp.asarray(c)
+        g_xla = np.asarray(nf._spread_slab(cc, op._nf, plan))
+        g_pl = np.asarray(nf._spread_slab_pallas(cc, op._nf, plan))
+        assert np.max(np.abs(g_xla - g_pl)) < 1e-5 * np.max(np.abs(g_xla))
+        g = jnp.asarray((rng.standard_normal(op._nf)
+                         + 1j * rng.standard_normal(op._nf))
+                        .astype(np.complex64))
+        v_xla = np.asarray(nf._interp_slab(g, plan))
+        v_pl = np.asarray(nf._interp_slab_pallas(g, plan))
+        assert np.max(np.abs(v_xla - v_pl)) < 1e-5 * np.max(np.abs(v_xla))
