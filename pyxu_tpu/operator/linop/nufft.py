@@ -630,6 +630,11 @@ def _pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
     if part is None:
         return None
     perm, inv, chunk = part
+    # pencil working sets are tiny ((2w)^2-row tap matrices), so grid-step
+    # count dominates over padding FLOPs: one chunk per pencil when it fits
+    Mp = perm.shape[1]
+    if Mp <= 512:
+        chunk = Mp
     w_pad = -(-w // 8) * 8
 
     def padrow_perm_T(a, fill):
