@@ -219,9 +219,11 @@ def _interp(g, idxs, wts, mm3_plan=None):
     Returns (M,) complex."""
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
-        if mm3_plan.l0T is not None and _use_slab_pallas(g.real.dtype):
+        if (mm3_plan.pencil is not None or mm3_plan.l0T is not None) \
+                and _use_slab_pallas(g.real.dtype):
             return _interp_slab_pallas(g, mm3_plan)
-        return _interp_slab(g, mm3_plan)
+        if mm3_plan.l0 is not None:     # pencil-only plans have no slab
+            return _interp_slab(g, mm3_plan)
     if d == 2 and _use_mm():
         return _interp_mm2(g, idxs, wts)
     wts = [w_.astype(g.real.dtype) for w_ in wts]  # keep caller's precision
@@ -439,9 +441,14 @@ class _SlabPlan:
     taps (cf. FINUFFT's binned subgrid spreader, reference
     nufft.py:275-277).
 
-    Pytree: (perm, l0, w0, i1, w1, i2, w2, l0T, w0T, i1T, w1T) leaves
-    ((i2, w2) = None in 2-D; the *T transposed (S, w_pad, Mp) copies feed
-    the Pallas kernels and are None in 3-D); (T, n1ext, chunk) static aux.
+    Pytree leaves: (perm, l0, w0, i1, w1, i2, w2, invperm, l0T, w0T, i1T,
+    w1T, i2T, w2T, pencil); static aux: (T, n1ext, chunk).  (i2*, w2*) are
+    None in 2-D; the *T transposed (S, w_pad, Mp) copies feed the Pallas
+    slab kernels and are None when no Pallas route can consume them (see
+    `_slab_pallas_possible`) or when the 3-D ``pencil`` plan supersedes
+    them; ``pencil`` is the 3-D `_PencilPlan` or None.  Slab leaves are
+    all None on pencil-only plans (slab partition refused, pencil
+    accepted).
     """
 
     def __init__(self, perm, l0, w0, i1, w1, i2, w2, invperm, T: int,
@@ -485,13 +492,32 @@ def _slab_base_np(x0, n1: int, w: int):
     return np.mod(i0, n1)
 
 
+def _slab_pallas_possible() -> bool:
+    """Whether the Pallas slab/pencil kernels can be selected at apply
+    time in this process (plan-construction gate: the transposed plan
+    arrays and pencil plans are only built when a Pallas route could
+    consume them)."""
+    import os
+    v = os.environ.get("PYXU_TPU_NUFFT_PALLAS", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() == "tpu" and \
+        not jax.config.jax_enable_x64
+
+
 def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
                n2: int = None):
     """Build a `_SlabPlan` from numpy base cells + numpy tap arrays
     (d = len(idxs) in {2, 3}).  Returns None when slab occupancy is too
     unbalanced for the padded layout to beat the fallback (dense mm2 in
-    2-D, scatter in 3-D).  With ``n2`` given (3-D), a nested
-    `_PencilPlan` is also attempted for the Pallas pencil kernels."""
+    2-D, scatter in 3-D).  With ``n2`` given (3-D) and the Pallas route
+    available, a nested `_PencilPlan` is attempted — also when the slab
+    partition itself is refused (a set clustered along axis 0 may still
+    pencil-partition well), in which case the returned plan is
+    pencil-only (slab leaves None; Pallas-off paths fall back to
+    dense/scatter)."""
     M = base.shape[0]
     d = len(idxs)
     w = idxs[0].shape[1]
@@ -505,9 +531,20 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
         # 3-D fallback is the (~100x slower) scatter path, but padding
         # inflates FLOPs and plan memory linearly — stay moderate
         max_blowup = 4.0
+    pallas_ok = _slab_pallas_possible()
+    pencil = None
+    if pallas_ok and d == 3 and n2 is not None:
+        # axis-1 base cell = first wrapped tap column (idx = i0 + t,
+        # t = 0 -> mod(i0, n2)), same convention as the slab's base
+        base1 = np.asarray(idxs[1])[:, 0].astype(np.int64)
+        pencil = _pencil_plan(np.asarray(base, np.int64), base1,
+                              idxs, wts, n1, n2)
     part = _slab_partition_np(base, n1, w, chunk, max_blowup=max_blowup)
     if part is None:
-        return None
+        if pencil is None:
+            return None
+        return _SlabPlan(None, None, None, None, None, None, None, None,
+                         w, 0, pencil.chunk, pencil=pencil)
     perm, starts, inv, T, n1ext, chunk = part
 
     from pyxu_tpu import native
@@ -534,34 +571,33 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
         w2_np = padrow_perm(np.ascontiguousarray(wts[2]), 0.0)
         i2 = jnp.asarray(i2_np)
         w2 = jnp.asarray(w2_np)
-    # transposed (S, w_pad, Mp) copies for the Pallas kernels: tap rows
-    # lane-major; w padded to the 8-row sublane tile with zero-weight
-    # dummy taps (idx = big negative -> one-hot contributes nothing)
-    w_pad = -(-w // 8) * 8
+    # transposed (S, w_pad, Mp) copies for the Pallas slab kernels: tap
+    # rows lane-major; w padded to the 8-row sublane tile with zero-weight
+    # dummy taps (idx = big negative -> one-hot contributes nothing).
+    # Skipped when no Pallas route can consume them (plan memory + relay
+    # transfers are not free), and in 3-D when the pencil plan exists
+    # (the pencil route always wins the dispatch, so the slab-transposed
+    # arrays would be dead weight).
+    l0T = w0T = i1T = w1T = i2T = w2T = None
+    if pallas_ok and pencil is None:
+        w_pad = -(-w // 8) * 8
 
-    def _transposed(a, fill):
-        a = np.asarray(a)
-        aT = np.ascontiguousarray(np.transpose(a, (0, 2, 1)))
-        if w_pad != w:
-            pad = np.full((aT.shape[0], w_pad - w, aT.shape[2]), fill,
-                          aT.dtype)
-            aT = np.concatenate([aT, pad], axis=1)
-        return jnp.asarray(aT)
+        def _transposed(a, fill):
+            a = np.asarray(a)
+            aT = np.ascontiguousarray(np.transpose(a, (0, 2, 1)))
+            if w_pad != w:
+                pad = np.full((aT.shape[0], w_pad - w, aT.shape[2]), fill,
+                              aT.dtype)
+                aT = np.concatenate([aT, pad], axis=1)
+            return jnp.asarray(aT)
 
-    l0T = _transposed(l0, -(1 << 20))
-    w0T = _transposed(w0.astype(np.float32), 0.0)
-    i1T = _transposed(i1, -(1 << 20))
-    w1T = _transposed(w1.astype(np.float32), 0.0)
-    i2T = w2T = pencil = None
-    if d == 3:
-        i2T = _transposed(i2_np, -(1 << 20))
-        w2T = _transposed(w2_np.astype(np.float32), 0.0)
-        if n2 is not None:
-            # axis-1 base cell = first wrapped tap column (idx = i0 + t,
-            # t = 0 -> mod(i0, n2)), same convention as the slab's base
-            base1 = np.asarray(idxs[1])[:, 0].astype(np.int64)
-            pencil = _pencil_plan(np.asarray(base, np.int64), base1,
-                                  idxs, wts, n1, n2)
+        l0T = _transposed(l0, -(1 << 20))
+        w0T = _transposed(w0.astype(np.float32), 0.0)
+        i1T = _transposed(i1, -(1 << 20))
+        w1T = _transposed(w1.astype(np.float32), 0.0)
+        if d == 3:
+            i2T = _transposed(i2_np, -(1 << 20))
+            w2T = _transposed(w2_np.astype(np.float32), 0.0)
     return _SlabPlan(jnp.asarray(perm), jnp.asarray(l0), jnp.asarray(w0),
                      jnp.asarray(i1), jnp.asarray(w1), i2, w2,
                      jnp.asarray(inv.astype(np.int32)), T, n1ext, chunk,
@@ -694,7 +730,7 @@ def _pencil_overlap_add(R, n_fs, plan):
     return g
 
 
-def _axis_windows(g, S: int, T: int, next_len: int, axis1: bool = False):
+def _axis_windows(g, S: int, T: int, next_len: int):
     """Transpose of :func:`_axis_overlap_add`: (B, n, ...) ->
     (B, S, 2T, ...) overlapping windows with periodic wrap."""
     B, n = g.shape[0], g.shape[1]
@@ -778,29 +814,15 @@ def _slab_overlap_add(R, n1: int, plan):
     window p covers rows [p*T, p*T + 2T) and T == w, so the second halves
     land exactly on the next slab's first halves — two reshapes + pad-sum
     + one wrap-around add."""
-    S, T = R.shape[0], plan.T
-    rest = R.shape[2:]
-    head = R[:, :T].reshape((S * T,) + rest)
-    tail = R[:, T:].reshape((S * T,) + rest)
-    padw = ((0, T),) + ((0, 0),) * len(rest)
-    padw2 = ((T, 0),) + ((0, 0),) * len(rest)
-    g_ext = jnp.pad(head, padw) + jnp.pad(tail, padw2)  # (n1ext, ...)
-    g = g_ext[:n1]
-    wrap = plan.n1ext - n1
-    return g.at[:wrap].add(g_ext[n1:])
+    return _axis_overlap_add(R[None], n1, plan.T, plan.n1ext)[0]
 
 
 def _slab_windows(g, plan):
     """Per-slab row windows Gw (S, 2T, ...) of the fine grid g (n1, ...):
     window p holds rows [p*T, p*T + 2T) with periodic wrap (transpose of
     :func:`_slab_overlap_add`)."""
-    n1 = g.shape[0]
-    S, T = plan.perm.shape[0], plan.T
-    wrap = plan.n1ext - n1
-    g_ext = jnp.concatenate([g, g[:wrap]], axis=0)       # (n1ext, ...)
-    rest = g.shape[1:]
-    return jnp.concatenate([g_ext[:S * T].reshape((S, T) + rest),
-                            g_ext[T:].reshape((S, T) + rest)], axis=1)
+    S = plan.perm.shape[0]
+    return _axis_windows(g[None], S, plan.T, plan.n1ext)[0]
 
 
 def _use_slab_pallas(dtype) -> bool:
@@ -939,9 +961,11 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     """Scatter-add point strengths c (M,) complex onto the fine grid."""
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
-        if mm3_plan.l0T is not None and _use_slab_pallas(c.real.dtype):
+        if (mm3_plan.pencil is not None or mm3_plan.l0T is not None) \
+                and _use_slab_pallas(c.real.dtype):
             return _spread_slab_pallas(c, n_fs, mm3_plan)
-        return _spread_slab(c, n_fs, mm3_plan)
+        if mm3_plan.l0 is not None:     # pencil-only plans have no slab
+            return _spread_slab(c, n_fs, mm3_plan)
     if d == 2 and _use_mm():
         return _spread_mm2(c, idxs, wts, n_fs)
     wts = [w_.astype(c.real.dtype) for w_ in wts]  # keep caller's precision

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["batched_over", "flatten_batch", "unflatten_batch"]
+__all__ = ["batched_over", "flatten_batch", "unflatten_batch", "vectorize"]
 
 
 def flatten_batch(arr, core_ndim: int):

@@ -44,6 +44,7 @@ class TestPallasSlabNUFFT:
 
     def test_spread_interp_match_xla(self, monkeypatch):
         monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
         from pyxu_tpu.operator.linop import nufft as nf
         op, _, rng = self._plan()
         plan = op._mm3
@@ -90,6 +91,7 @@ class TestPallasSlabNUFFT:
 
     def test_3d_spread_interp_match_xla(self, monkeypatch):
         monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
         import numpy as _np
         from pyxu_tpu.operator.linop import nufft as nf
         from pyxu_tpu.operator.linop.nufft import NUFFT
@@ -98,7 +100,7 @@ class TestPallasSlabNUFFT:
         x = rng.uniform(-_np.pi, _np.pi, (M, 3))
         op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
         plan = op._mm3
-        assert plan is not None and plan.i2T is not None
+        assert plan is not None and plan.pencil is not None
         c = (rng.standard_normal(M)
              + 1j * rng.standard_normal(M)).astype(_np.complex64)
         cc = jnp.asarray(c)
@@ -111,3 +113,32 @@ class TestPallasSlabNUFFT:
         v_xla = np.asarray(nf._interp_slab(g, plan))
         v_pl = np.asarray(nf._interp_slab_pallas(g, plan))
         assert np.max(np.abs(v_xla - v_pl)) < 1e-5 * np.max(np.abs(v_xla))
+
+    def test_pencil_only_plan(self, monkeypatch):
+        # clustered along axis 0 only: slab partition refused (blowup > 4)
+        # but the pencil partition is fine -> pencil-only plan; Pallas
+        # routes through it, Pallas-off paths fall back to scatter
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        import numpy as _np
+        from pyxu_tpu.operator.linop import nufft as nf
+        from pyxu_tpu.operator.linop.nufft import NUFFT, nudft1
+        rng = _np.random.default_rng(11)
+        M, N = 3000, (16, 32, 8)
+        x = _np.stack([0.05 * rng.standard_normal(M) + 1.0,
+                       rng.uniform(0, 2 * _np.pi, M),
+                       rng.uniform(0, 2 * _np.pi, M)], axis=1)
+        op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
+        plan = op._mm3
+        assert plan is not None and plan.l0 is None
+        assert plan.pencil is not None
+        arr = rng.standard_normal((M, 2)).astype(_np.float32)
+        out = np.asarray(op.apply(jnp.asarray(arr)))
+        ref = nudft1(arr[:, 0] + 1j * arr[:, 1], x, N, +1)
+        err = np.max(np.abs(out[..., 0] + 1j * out[..., 1] - ref))
+        assert err < 2e-5 * np.max(np.abs(ref))
+        # Pallas off -> scatter fallback, same answer
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "0")
+        out2 = np.asarray(op.apply(jnp.asarray(arr)))
+        err2 = np.max(np.abs(out2[..., 0] + 1j * out2[..., 1] - ref))
+        assert err2 < 2e-5 * np.max(np.abs(ref))
