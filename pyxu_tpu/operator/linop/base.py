@@ -34,6 +34,7 @@ __all__ = [
     "DiagonalOp",
     "ExplicitLinOp",
     "ExplicitLinFunc",
+    "_ExplicitLinOp",
 ]
 
 
@@ -308,3 +309,9 @@ class ExplicitLinFunc(LinFunc):
 
     def asarray(self, dtype=None):
         return self._vec.astype(dtype) if dtype is not None else self._vec
+
+
+#: Reference-private alias (``pyxu.operator.linop.base._ExplicitLinOp``,
+#: base.py:334): downstream plugins reference the dense-matrix operator
+#: under this name.
+_ExplicitLinOp = ExplicitLinOp

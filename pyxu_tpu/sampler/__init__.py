@@ -1,4 +1,4 @@
-from pyxu_tpu.sampler._sampler import MYULA, ULA, Sampler  # noqa: F401
+from pyxu_tpu.sampler._sampler import MYULA, ULA, Sampler, _Sampler  # noqa: F401
 from pyxu_tpu.sampler.statistics import (  # noqa: F401
     OnlineCenteredMoment,
     OnlineKurtosis,

@@ -17,7 +17,7 @@ import math as _math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Sampler", "ULA", "MYULA"]
+__all__ = ["Sampler", "_Sampler", "ULA", "MYULA"]
 
 
 class Sampler:
@@ -143,3 +143,9 @@ class MYULA(ULA):
             d = (x - p).ravel()
             val = val + self._g.apply(p) + (d @ d) / (2.0 * self._lamb)
         return val
+
+
+#: Reference-private alias (``pyxu.experimental.sampler._Sampler``,
+#: _sampler.py:105-125): plugin code subclasses the generator protocol
+#: under this name.
+_Sampler = Sampler
