@@ -127,6 +127,37 @@ class _NUFFTDiagnostics:
         axes = [np.arange(-(n // 2), (n - 1) // 2 + 1, dtype=dtype) for n in N]
         return np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
 
+    # -- chunked-type-3-only surface (reference defines these on the NUFFT
+    #    base class with "(Only applies to chunked type-3 transforms.)",
+    #    nufft.py:1124-1363; the chunked class overrides them) -------------
+    def auto_chunk(self, max_mem=10, max_anisotropy=5):
+        """(Only applies to chunked type-3 transforms — reference
+        nufft.py:1124-1235.)"""
+        raise NotImplementedError(
+            "auto_chunk() only applies to chunked type-3 transforms "
+            "(NUFFT.type3(..., chunked=True)).")
+
+    def allocate(self, x_chunks, z_chunks, direct_eval_threshold=10_000):
+        """(Only applies to chunked type-3 transforms — reference
+        nufft.py:1236-1269.)"""
+        raise NotImplementedError(
+            "allocate() only applies to chunked type-3 transforms "
+            "(NUFFT.type3(..., chunked=True)).")
+
+    def diagnostic_plot(self, domain: str = "x"):
+        """(Only applies to chunked type-3 transforms — reference
+        nufft.py:1270-1345.)"""
+        raise NotImplementedError(
+            "diagnostic_plot() only applies to chunked type-3 transforms "
+            "(NUFFT.type3(..., chunked=True)).")
+
+    def stats(self):
+        """(Only applies to chunked type-3 transforms — reference
+        nufft.py:1346-1363.)"""
+        raise NotImplementedError(
+            "stats() only applies to chunked type-3 transforms "
+            "(NUFFT.type3(..., chunked=True)).")
+
     def mesh(self, dtype=None, scale: str = "unit",
              upsampled: bool = False) -> np.ndarray:
         """(N1,...,Nd,d) mode/sample grid (reference `mesh`,
@@ -508,7 +539,7 @@ def _slab_pallas_possible() -> bool:
 
 
 def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
-               n2: int = None):
+               n2: int = None, n3: int = None):
     """Build a `_SlabPlan` from numpy base cells + numpy tap arrays
     (d = len(idxs) in {2, 3}).  Returns None when slab occupancy is too
     unbalanced for the padded layout to beat the fallback (dense mm2 in
@@ -538,7 +569,7 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
         # t = 0 -> mod(i0, n2)), same convention as the slab's base
         base1 = np.asarray(idxs[1])[:, 0].astype(np.int64)
         pencil = _pencil_plan(np.asarray(base, np.int64), base1,
-                              idxs, wts, n1, n2)
+                              idxs, wts, n1, n2, n3=n3)
     part = _slab_partition_np(base, n1, w, chunk, max_blowup=max_blowup)
     if part is None:
         if pencil is None:
@@ -617,13 +648,26 @@ class _PencilPlan:
     arrays are stored in transposed (P, w_pad, Mp) form (points
     lane-major; see ops/pallas_nufft.py).
 
+    Pencil thickness ``T`` is 8-rounded (T >= w-1, so a point's tap span
+    T+w-1 fits a 2T window): window rows/offsets stay tile-aligned and
+    ``win == win_pad == 2T`` exactly.  Two kernel routes consume the same
+    plan arrays:
+
+    * ``strip`` (preferred): one axis-0 row strip (2T, S1*T+T, n3) stays
+      VMEM-resident across its S1 pencil steps with in-place accumulation
+      at the aligned s1*T offsets — the axis-1 overlap-add never touches
+      HBM (the v1 window array was ~6x the fine grid at 128^3 and its
+      XLA overlap-add dominated the measured cost).
+    * grouped v1 (fallback when the strip exceeds VMEM): ``group``
+      axis-1-consecutive pencils per grid step; S1 padded to ``S1p``.
+
     Pytree leaves: (perm, l0T, w0T, l1T, w1T, i2T, w2T, invperm);
-    static aux: (T, S0, S1, n1ext, n2ext, chunk).
+    static aux: (T, S0, S1, n1ext, n2ext, chunk, S1p, group, w, strip).
     """
 
     def __init__(self, perm, l0T, w0T, l1T, w1T, i2T, w2T, invperm,
                  T: int, S0: int, S1: int, n1ext: int, n2ext: int,
-                 chunk: int):
+                 chunk: int, S1p: int, group: int, w: int, strip: bool):
         self.perm = perm
         self.l0T = l0T
         self.w0T = w0T
@@ -638,30 +682,69 @@ class _PencilPlan:
         self.n1ext = int(n1ext)
         self.n2ext = int(n2ext)
         self.chunk = int(chunk)
+        self.S1p = int(S1p)
+        self.group = int(group)
+        self.w = int(w)
+        self.strip = bool(strip)
 
 
 jax.tree_util.register_pytree_node(
     _PencilPlan,
     lambda p: ((p.perm, p.l0T, p.w0T, p.l1T, p.w1T, p.i2T, p.w2T,
                 p.invperm),
-               (p.T, p.S0, p.S1, p.n1ext, p.n2ext, p.chunk)),
+               (p.T, p.S0, p.S1, p.n1ext, p.n2ext, p.chunk, p.S1p,
+                p.group, p.w, p.strip)),
     lambda aux, ch: _PencilPlan(*ch, *aux),
 )
 
 
 def _pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
-                 chunk: int = _SLAB_CHUNK, max_blowup: float = 8.0):
+                 chunk: int = _SLAB_CHUNK, max_blowup: float = 8.0,
+                 n3: int = None):
     """Build a `_PencilPlan` from per-axis unwrapped base cells + tap
     arrays (d == 3 only).  ``max_blowup`` is generous: the pencil kernel's
     FLOPs are n2/2w lower per point than the slab fallback's, so heavy
     padding still wins."""
     M = base0.shape[0]
     w = idxs[0].shape[1]
-    T = w
+    # 8-rounded pencil thickness: T >= w-1 keeps a point's tap span
+    # (T + w - 1 rows from the bin's origin) inside a 2T window, and the
+    # aligned thickness makes window size == 2T == win_pad exactly and
+    # the strip kernels' s1*T write offsets tile-aligned.
+    T = max(8, -(-(w - 1) // 8) * 8)
+    if n1 < 2 * T or n2 < 2 * T:
+        # overlap-add wrap (<= 2T rows) must fit inside the axis; tiny
+        # grids take the slab/scatter fallbacks
+        return None
     S0 = -(-n1 // T)
     S1 = -(-n2 // T)
-    bins = (base0 // T) * S1 + (base1 // T)
-    part = _bin_partition_np(bins.astype(np.int64), S0 * S1, chunk,
+    win_pad = 2 * T
+    # strip route when one (2T, S1*T+T, n3) row strip (both re/im halves)
+    # fits comfortably in VMEM; else grouped v1 windows.
+    # PYXU_TPU_NUFFT_STRIP=0 forces the grouped route (tests/bisection).
+    import os
+    strip = bool(n3) and \
+        2 * win_pad * (S1 * T + T) * int(n3) * 4 <= 48 * 1024 * 1024 and \
+        os.environ.get("PYXU_TPU_NUFFT_STRIP", "1") != "0"
+    if not strip and n3 is not None and n3 > 0:
+        # grouped v1: G axis-1-consecutive pencils per grid step, G sized
+        # so the (1, 2T, G, 2T, n3) output block stays ~<= 6 MB of VMEM
+        # (both halves), capped at 8 for Mosaic compile sanity.
+        byte_per_pencil = win_pad * win_pad * int(n3) * 4 * 2
+        g_max = max(1, min(8, (6 * 1024 * 1024) // byte_per_pencil, S1))
+    else:
+        g_max = 1
+    # pick the G minimizing grid steps whose round-up padding stays
+    # <= 25% of S1 (empty pencils are real kernel FLOPs + plan memory)
+    pad_cap = S1 + max(0, S1 // 4)
+    G, best = 1, (S1, S1)               # (grid steps, padded S1)
+    for g in range(1, g_max + 1):
+        s1p = -(-S1 // g) * g
+        if s1p <= pad_cap and (s1p // g, s1p) < best:
+            G, best = g, (s1p // g, s1p)
+    S1p = best[1]
+    bins = (base0 // T) * S1p + (base1 // T)
+    part = _bin_partition_np(bins.astype(np.int64), S0 * S1p, chunk,
                              max_blowup)
     if part is None:
         return None
@@ -688,8 +771,8 @@ def _pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
     t = np.arange(w, dtype=np.int32)
     rows0 = base0.astype(np.int32)[:, None] + t
     rows1 = base1.astype(np.int32)[:, None] + t
-    start0 = ((bins // S1) * T).astype(np.int32)
-    start1 = ((bins % S1) * T).astype(np.int32)
+    start0 = ((bins // S1p) * T).astype(np.int32)
+    start1 = ((bins % S1p) * T).astype(np.int32)
     l0 = rows0 - start0[:, None]
     l1 = rows1 - start1[:, None]
     return _PencilPlan(
@@ -701,7 +784,7 @@ def _pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
         padrow_perm_T(np.ascontiguousarray(idxs[2]), -(1 << 20)),
         padrow_perm_T(np.ascontiguousarray(wts[2]).astype(np.float32), 0.0),
         jnp.asarray(inv.astype(np.int32)),
-        T, S0, S1, S0 * T + w, S1 * T + w, chunk)
+        T, S0, S1, S0 * T + T, S1 * T + T, chunk, S1p, G, w, strip)
 
 
 def _axis_overlap_add(X, n: int, T: int, next_len: int):
@@ -850,15 +933,28 @@ def _spread_slab_pallas(c, n_fs, plan):
     win = 2 * plan.T
     pp = plan.pencil
     if pp is not None:
-        from pyxu_tpu.ops.pallas_nufft import pencil_spread3
         cpp = _pad_pt(c)[pp.perm]
+        cr_ = cpp.real.astype(jnp.float32)
+        ci_ = cpp.imag.astype(jnp.float32)
+        arrs = (pp.l0T, pp.w0T, pp.l1T, pp.w1T, pp.i2T, pp.w2T)
+        n2, n3 = int(n_fs[1]), int(n_fs[2])
+        if pp.strip:
+            from pyxu_tpu.ops.pallas_nufft import strip_spread3
+            Rr, Ri = strip_spread3(
+                cr_, ci_, arrs, S0=pp.S0, S1=pp.S1, T=pp.T, n3=n3,
+                w=pp.w, chunk=pp.chunk, interpret=interp)
+            R = (Rr + 1j * Ri).astype(c.dtype)  # (S0, 2T, n2ext, n3)
+            wrap = pp.n2ext - n2
+            Y = R[:, :, :n2].at[:, :, :wrap].add(R[:, :, n2:])
+            return _axis_overlap_add(Y[None], int(n_fs[0]), pp.T,
+                                     pp.n1ext)[0]
+        from pyxu_tpu.ops.pallas_nufft import pencil_spread3
         Rr, Ri = pencil_spread3(
-            cpp.real.astype(jnp.float32), cpp.imag.astype(jnp.float32),
-            (pp.l0T, pp.w0T, pp.l1T, pp.w1T, pp.i2T, pp.w2T),
-            S0=pp.S0, S1=pp.S1, n3=int(n_fs[2]), win=win, w=w,
-            chunk=pp.chunk, interpret=interp)
-        R = (Rr[:, :win, :, :win] + 1j * Ri[:, :win, :, :win]).astype(
-            c.dtype)
+            cr_, ci_, arrs,
+            S0=pp.S0, S1=pp.S1p, n3=n3, win=2 * pp.T, w=pp.w,
+            chunk=pp.chunk, group=pp.group, interpret=interp)
+        # drop the empty group-padding pencils (windows are exactly 2T)
+        R = (Rr[:, :, :pp.S1] + 1j * Ri[:, :, :pp.S1]).astype(c.dtype)
         return _pencil_overlap_add(R, n_fs, pp)
     cp = _pad_pt(c)[plan.perm]
     cr = cp.real.astype(jnp.float32)
@@ -890,15 +986,30 @@ def _interp_slab_pallas(g, plan):
     win_pad = -(-win // 8) * 8
     pp = plan.pencil
     if pp is not None:
+        arrs = (pp.l0T, pp.w0T, pp.l1T, pp.w1T, pp.i2T, pp.w2T)
+        if pp.strip:
+            from pyxu_tpu.ops.pallas_nufft import strip_interp3
+            n2 = g.shape[1]
+            # axis-0 2T-windows, axis-1 extended with periodic wrap
+            X = _axis_windows(g[None], pp.S0, pp.T, pp.n1ext)[0]
+            Gw = jnp.concatenate([X, X[:, :, :pp.n2ext - n2]], axis=2)
+            vr, vi = strip_interp3(
+                Gw.real.astype(jnp.float32), Gw.imag.astype(jnp.float32),
+                arrs, S1=pp.S1, T=pp.T, w=pp.w, chunk=pp.chunk,
+                interpret=interp)
+            outs = (vr + 1j * vi).astype(g.dtype)
+            return outs.ravel()[pp.invperm]
         from pyxu_tpu.ops.pallas_nufft import pencil_interp3
-        Gw = _pencil_windows(g, pp)             # (S0, win, S1, win, n3)
-        if win_pad != win:
-            Gw = jnp.pad(Gw, ((0, 0), (0, win_pad - win), (0, 0),
-                              (0, win_pad - win), (0, 0)))
+        Gw = _pencil_windows(g, pp)             # (S0, 2T, S1, 2T, n3)
+        if pp.S1p != pp.S1:
+            # zero windows for the empty group-padding pencils: their
+            # (fill-slot) outputs are never referenced by invperm
+            Gw = jnp.pad(Gw, ((0, 0), (0, 0), (0, pp.S1p - pp.S1),
+                              (0, 0), (0, 0)))
         vr, vi = pencil_interp3(
             Gw.real.astype(jnp.float32), Gw.imag.astype(jnp.float32),
-            (pp.l0T, pp.w0T, pp.l1T, pp.w1T, pp.i2T, pp.w2T),
-            w=w, chunk=pp.chunk, interpret=interp)
+            arrs, w=pp.w, chunk=pp.chunk, group=pp.group,
+            interpret=interp)
         outs = (vr + 1j * vi).astype(g.dtype)
         return outs.ravel()[pp.invperm]
     Gw = _slab_windows(g, plan)                 # (S, win, n2[, n3]) complex
@@ -1055,7 +1166,8 @@ class _NUFFT12(_NUFFTDiagnostics, LinOp):
         if d in (2, 3) and slab:
             self._mm3 = _slab_plan(
                 _slab_base_np(xh[:, 0], self._nf[0], w), idxs, wts,
-                self._nf[0], n2=self._nf[1] if d == 3 else None)
+                self._nf[0], n2=self._nf[1] if d == 3 else None,
+                n3=self._nf[2] if d == 3 else None)
         dim = (M,) if real_in else (M, 2)
         super().__init__(dim, N + (2,))
         self._lipschitz = float(np.sqrt(np.prod(N) * M))
@@ -1532,10 +1644,12 @@ class _NUFFT3(_NUFFTDiagnostics, LinOp):
             s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64),
                             nf[0])
             nf2 = nf[1] if d == 3 else None
+            nf3 = nf[2] if d == 3 else None
             self._mm3_x = _slab_plan(
                 _slab_base_np(np.mod(xp[:, 0], 2 * np.pi), nf[0], w),
-                idxs_x, wts_x, nf[0], n2=nf2)
-            self._mm3_s = _slab_plan(s_base, idxs_s, wts_s, nf[0], n2=nf2)
+                idxs_x, wts_x, nf[0], n2=nf2, n3=nf3)
+            self._mm3_s = _slab_plan(s_base, idxs_s, wts_s, nf[0], n2=nf2,
+                                     n3=nf3)
         super().__init__((M,) if real_in else (M, 2), (K, 2))
         self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3[d={d}]"
@@ -1722,29 +1836,73 @@ class _NUFFT3Chunked(_NUFFTDiagnostics, LinOp):
                 bisect(pts, hi, budget_fn, depth + 1)
 
         # alternate splitting x and z until every pair fits the budget
-        x_parts = [np.arange(M)]
-        z_parts = [np.arange(K)]
-        for _ in range(5):
-            worst = max(grid_mb(xh[ip], zh[iq])
-                        for ip in x_parts for iq in z_parts)
-            if worst <= fft_mem_mb or len(x_parts) * len(z_parts) >= max_blocks:
-                break
-            if len(x_parts) <= len(z_parts):
-                x_parts = [p for ip in x_parts
-                           for p in bisect(xh, ip, lambda i: False, depth=3)]
-            else:
-                z_parts = [p for iq in z_parts
-                           for p in bisect(zh, iq, lambda i: False, depth=3)]
+        self._xh, self._zh = xh, zh
+        self._isign, self._eps = int(isign), float(eps)
+
+        def partition(mem_mb, blk_cap):
+            x_parts = [np.arange(M)]
+            z_parts = [np.arange(K)]
+            for _ in range(5):
+                worst = max(grid_mb(xh[ip], zh[iq])
+                            for ip in x_parts for iq in z_parts)
+                if worst <= mem_mb or len(x_parts) * len(z_parts) >= blk_cap:
+                    break
+                if len(x_parts) <= len(z_parts):
+                    x_parts = [p for ip in x_parts
+                               for p in bisect(xh, ip, lambda i: False,
+                                               depth=3)]
+                else:
+                    z_parts = [p for iq in z_parts
+                               for p in bisect(zh, iq, lambda i: False,
+                                               depth=3)]
+            return x_parts, z_parts
+
+        self._partition = partition
+        self._rebuild(*partition(fft_mem_mb, max_blocks))
+        self._lipschitz = float(np.sqrt(M * K))
+
+    def _rebuild(self, x_parts, z_parts):
+        """Build the (q, p) sub-plan grid from chunk index lists."""
+        xh, zh = self._xh, self._zh
         self._x_parts = tuple(tuple(int(i) for i in p) for p in x_parts)
         self._z_parts = tuple(tuple(int(i) for i in p) for p in z_parts)
         self._blocks = tuple(
             tuple(_NUFFT3(xh[list(ip)], zh[list(iq)],
-                          isign=isign, eps=eps)
+                          isign=self._isign, eps=self._eps)
                   for ip in self._x_parts)
             for iq in self._z_parts
         )
-        self._lipschitz = float(np.sqrt(M * K))
         self._name = f"NUFFT3Chunked[{len(self._x_parts)}x{len(self._z_parts)}]"
+
+    def auto_chunk(self, max_mem=10, max_anisotropy=5):
+        """Compute (x_chunks, z_chunks) index lists meeting a per-block
+        FFT-memory budget of ``max_mem`` MiB (reference `auto_chunk`,
+        nufft.py:1124-1235 — recursive coordinate bisection stands in for
+        the reference's hierarchical clustering; ``max_anisotropy`` is
+        accepted for signature parity, median splits along the widest
+        axis already bound block anisotropy)."""
+        del max_anisotropy
+        x_parts, z_parts = self._partition(float(max_mem), 4096)
+        return ([np.asarray(p, np.int64) for p in x_parts],
+                [np.asarray(p, np.int64) for p in z_parts])
+
+    def allocate(self, x_chunks, z_chunks, direct_eval_threshold=10_000):
+        """Re-plan with user-supplied chunk index lists (reference
+        `allocate`, nufft.py:1236-1269).  ``direct_eval_threshold`` is a
+        FINUFFT planning-overhead knob (tiny blocks direct-eval via NUDFT
+        there); our sub-plans are host-built arrays with no comparable
+        setup cost, so it is accepted and ignored."""
+        del direct_eval_threshold
+        M, K = self.dim_shape[0], self.codim_shape[0]
+        for chunks, n, dom in ((x_chunks, M, "x"), (z_chunks, K, "z")):
+            seen = np.concatenate([np.asarray(c).ravel() for c in chunks])
+            if not (len(seen) == n and np.array_equal(
+                    np.sort(seen), np.arange(n))):
+                raise ValueError(
+                    f"{dom}_chunks must partition range({n}) exactly")
+        self._rebuild([np.asarray(c, np.int64).ravel() for c in x_chunks],
+                      [np.asarray(c, np.int64).ravel() for c in z_chunks])
+        return self
 
     # plan introspection (mixin) reports the first sub-block's plan; the
     # reference's chunked `params` reports the monolithic-equivalent plan

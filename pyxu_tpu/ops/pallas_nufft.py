@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["slab_spread", "slab_interp", "slab_spread3", "slab_interp3",
-           "pencil_spread3", "pencil_interp3"]
+           "pencil_spread3", "pencil_interp3", "strip_spread3",
+           "strip_interp3"]
 
 
 def _round8(v: int) -> int:
@@ -334,11 +335,13 @@ def slab_interp3(GR, GI, l0T, w0T, i1T, w1T, i2T, w2T, *, w: int,
 # -------------------------------------------------------- 3-D pencil bins ---
 
 @functools.lru_cache(maxsize=64)
-def _build_pencil_spread(S0, S1, w_pad, Mp, CH, win_pad, n3, w, interpret):
+def _build_pencil_spread(S0, S1, G, w_pad, Mp, CH, win_pad, n3, w,
+                         interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Q = Mp // CH
+    SB = S1 // G                        # pencil-groups per axis-1 row
 
     def kernel(cr_ref, ci_ref, l0_ref, w0_ref, l1_ref, w1_ref, i2_ref,
                w2_ref, outr_ref, outi_ref):
@@ -352,34 +355,42 @@ def _build_pencil_spread(S0, S1, w_pad, Mp, CH, win_pad, n3, w, interpret):
                     jnp.float32)
             return U
 
-        U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
-        U1 = onehot(l1_ref[0], w1_ref[0], win_pad)
-        U2 = onehot(i2_ref[0], w2_ref[0], n3)
-        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * win_pad, CH)
-        dims = (((1,), (1,)), ((), ()))
-        Rr = jax.lax.dot_general(A * cr_ref[0], U2, dims,
-                                 preferred_element_type=jnp.float32)
-        Ri = jax.lax.dot_general(A * ci_ref[0], U2, dims,
-                                 preferred_element_type=jnp.float32)
-        shp = (1, win_pad, 1, win_pad, n3)
+        # G pencils per grid step: one DMA round per G pencils instead of
+        # one per pencil — the pencil kernels are per-step-latency-bound,
+        # not FLOP-bound (BASELINE.md round 3), so fewer, fatter grid
+        # steps is the lever.  Per-g work is unchanged.
+        for g in range(G):
+            U0 = onehot(l0_ref[g], w0_ref[g], win_pad)
+            U1 = onehot(l1_ref[g], w1_ref[g], win_pad)
+            U2 = onehot(i2_ref[g], w2_ref[g], n3)
+            A = (U0[:, None, :] * U1[None, :, :]).reshape(
+                win_pad * win_pad, CH)
+            dims = (((1,), (1,)), ((), ()))
+            Rr = jax.lax.dot_general(A * cr_ref[g], U2, dims,
+                                     preferred_element_type=jnp.float32)
+            Ri = jax.lax.dot_general(A * ci_ref[g], U2, dims,
+                                     preferred_element_type=jnp.float32)
+            shp = (1, win_pad, 1, win_pad, n3)
 
-        @pl.when(q == 0)
-        def _():
-            outr_ref[...] = Rr.reshape(shp)
-            outi_ref[...] = Ri.reshape(shp)
+            @pl.when(q == 0)
+            def _():
+                outr_ref[:, :, g:g + 1] = Rr.reshape(shp)
+                outi_ref[:, :, g:g + 1] = Ri.reshape(shp)
 
-        @pl.when(q > 0)
-        def _():
-            outr_ref[...] = outr_ref[...] + Rr.reshape(shp)
-            outi_ref[...] = outi_ref[...] + Ri.reshape(shp)
+            @pl.when(q > 0)
+            def _():
+                outr_ref[:, :, g:g + 1] = outr_ref[:, :, g:g + 1] + \
+                    Rr.reshape(shp)
+                outi_ref[:, :, g:g + 1] = outi_ref[:, :, g:g + 1] + \
+                    Ri.reshape(shp)
 
-    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, q: (p, 0, q))
-    pt_spec = pl.BlockSpec((1, 1, CH), lambda p, q: (p, 0, q))
-    out_spec = pl.BlockSpec((1, win_pad, 1, win_pad, n3),
-                            lambda p, q: (p // S1, 0, p % S1, 0, 0))
+    plan_spec = pl.BlockSpec((G, w_pad, CH), lambda p, q: (p, 0, q))
+    pt_spec = pl.BlockSpec((G, 1, CH), lambda p, q: (p, 0, q))
+    out_spec = pl.BlockSpec((1, win_pad, G, win_pad, n3),
+                            lambda p, q: (p // SB, 0, p % SB, 0, 0))
     return pl.pallas_call(
         kernel,
-        grid=(S0 * S1, Q),
+        grid=(S0 * SB, Q),
         in_specs=[pt_spec, pt_spec] + [plan_spec] * 6,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct(
@@ -391,29 +402,198 @@ def _build_pencil_spread(S0, S1, w_pad, Mp, CH, win_pad, n3, w, interpret):
 
 
 def pencil_spread3(cr, ci, plan_arrays, *, S0: int, S1: int, n3: int,
-                   win: int, w: int, chunk: int, interpret: bool = False):
+                   win: int, w: int, chunk: int, group: int = 1,
+                   interpret: bool = False):
     """3-D pencil spreading: returns (Rr, Ri), each
     (S0, win_pad, S1, win_pad, n3) — callers slice both window axes to
-    ``win`` and 2-axis overlap-add."""
+    ``win`` (and axis 2 to the logical S1 when the plan padded it to a
+    multiple of ``group``) and 2-axis overlap-add."""
+    l0T, w0T, l1T, w1T, i2T, w2T = plan_arrays
+    P, Mp = cr.shape
+    w_pad = l0T.shape[1]
+    CH = int(chunk)
+    G = int(group)
+    assert Mp % CH == 0 and P == S0 * S1 and S1 % G == 0
+    fn = _build_pencil_spread(S0, S1, G, w_pad, Mp, CH, _round8(win), n3,
+                              w, interpret)
+    return fn(cr[:, None, :], ci[:, None, :], l0T, w0T, l1T, w1T, i2T, w2T)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_pencil_interp(S0, S1, G, w_pad, Mp, CH, win_pad, n3, w,
+                         interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+    SB = S1 // G
+
+    def kernel(gr_ref, gi_ref, l0_ref, w0_ref, l1_ref, w1_ref, i2_ref,
+               w2_ref, outr_ref, outi_ref):
+        def onehot(idx, wt, n):
+            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+            U = jnp.zeros((n, CH), jnp.float32)
+            for s in range(w):
+                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+                    jnp.float32)
+            return U
+
+        # G pencils per grid step (see _build_pencil_spread)
+        for g in range(G):
+            U0 = onehot(l0_ref[g], w0_ref[g], win_pad)
+            U1 = onehot(l1_ref[g], w1_ref[g], win_pad)
+            U2 = onehot(i2_ref[g], w2_ref[g], n3)
+            A = (U0[:, None, :] * U1[None, :, :]).reshape(
+                win_pad * win_pad, CH)
+            G2 = gr_ref[0, :, g].reshape(win_pad * win_pad, n3)
+            H2 = gi_ref[0, :, g].reshape(win_pad * win_pad, n3)
+            dims = (((1,), (0,)), ((), ()))     # (win^2, n3) @ (n3, CH)
+            TRr = jax.lax.dot_general(G2, U2, dims,
+                                      preferred_element_type=jnp.float32)
+            TRi = jax.lax.dot_general(H2, U2, dims,
+                                      preferred_element_type=jnp.float32)
+            outr_ref[g:g + 1] = jnp.sum(TRr * A, axis=0,
+                                        keepdims=True)[None]
+            outi_ref[g:g + 1] = jnp.sum(TRi * A, axis=0,
+                                        keepdims=True)[None]
+
+    plan_spec = pl.BlockSpec((G, w_pad, CH), lambda p, q: (p, 0, q))
+    g_spec = pl.BlockSpec((1, win_pad, G, win_pad, n3),
+                          lambda p, q: (p // SB, 0, p % SB, 0, 0))
+    out_spec = pl.BlockSpec((G, 1, CH), lambda p, q: (p, 0, q))
+    return pl.pallas_call(
+        kernel,
+        grid=(S0 * SB, Q),
+        in_specs=[g_spec, g_spec] + [plan_spec] * 6,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((S0 * S1, 1, Mp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def pencil_interp3(GR, GI, plan_arrays, *, w: int, chunk: int,
+                   group: int = 1, interpret: bool = False):
+    """3-D pencil interpolation: GR/GI (S0, win_pad, S1, win_pad, n3)
+    padded pencil windows (S1 padded to a multiple of ``group`` with zero
+    windows when the plan grouped pencils); returns (vr, vi), each
+    (S0*S1, Mp)."""
+    l0T, w0T, l1T, w1T, i2T, w2T = plan_arrays
+    S0, win_pad, S1, _, n3 = GR.shape
+    Mp = l0T.shape[2]
+    w_pad = l0T.shape[1]
+    CH = int(chunk)
+    G = int(group)
+    assert Mp % CH == 0 and S1 % G == 0
+    fn = _build_pencil_interp(S0, S1, G, w_pad, Mp, CH, win_pad, n3, w,
+                              interpret)
+    vr, vi = fn(GR, GI, l0T, w0T, l1T, w1T, i2T, w2T)
+    return vr[:, 0], vi[:, 0]
+
+
+# ------------------------------------------- 3-D strip-resident pencils ----
+#
+# The v1 pencil kernels write every pencil's (win, win, n3) window to HBM
+# and overlap-add them in XLA; at 128^3 the window array is ~6x the fine
+# grid (the (2T/T)^2 = 4x window overlap times the win->win_pad rounding)
+# and the XLA overlap-add materializes several more full-size
+# intermediates — the true cost driver (CSE-proof timing, BASELINE.md).
+# The strip kernels instead keep ONE axis-0 row strip
+# (win_pad, n2ext, n3) resident in VMEM across all its axis-1 pencil
+# steps and accumulate each pencil's window at its aligned s1*T offset
+# in-place, so the axis-1 overlap-add never exists in HBM: the output is
+# (S0, win_pad, n2ext, n3) — only the axis-0 overlap remains for XLA.
+# Alignment: pencil thickness T is 8-rounded (T >= w-1 keeps the tap
+# span T+w-1 <= 2T inside a 2T window), so the dynamic sublane offsets
+# s1*T are multiples of 8 and win_pad == 2T exactly.
+
+@functools.lru_cache(maxsize=64)
+def _build_strip_spread(S0, S1, T, w_pad, Mp, CH, n3, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+    win_pad = 2 * T
+    n2ext = S1 * T + T
+
+    def kernel(cr_ref, ci_ref, l0_ref, w0_ref, l1_ref, w1_ref, i2_ref,
+               w2_ref, outr_ref, outi_ref):
+        s1 = pl.program_id(1)
+        q = pl.program_id(2)
+
+        def onehot(idx, wt, n):
+            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+            U = jnp.zeros((n, CH), jnp.float32)
+            for s in range(w):
+                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+                    jnp.float32)
+            return U
+
+        @pl.when(jnp.logical_and(s1 == 0, q == 0))
+        def _():
+            outr_ref[...] = jnp.zeros((1, win_pad, n2ext, n3), jnp.float32)
+            outi_ref[...] = jnp.zeros((1, win_pad, n2ext, n3), jnp.float32)
+
+        U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
+        U1 = onehot(l1_ref[0], w1_ref[0], win_pad)
+        U2 = onehot(i2_ref[0], w2_ref[0], n3)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * win_pad, CH)
+        dims = (((1,), (1,)), ((), ()))
+        Rr = jax.lax.dot_general(A * cr_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+        Ri = jax.lax.dot_general(A * ci_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+        off = pl.multiple_of(s1 * T, 8)     # T is 8-rounded by the planner
+        shp = (1, win_pad, win_pad, n3)
+        sl = (slice(None), slice(None), pl.ds(off, win_pad), slice(None))
+        outr_ref[sl] = outr_ref[sl] + Rr.reshape(shp)
+        outi_ref[sl] = outi_ref[sl] + Ri.reshape(shp)
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, s, q: (p * S1 + s, 0, q))
+    pt_spec = pl.BlockSpec((1, 1, CH), lambda p, s, q: (p * S1 + s, 0, q))
+    out_spec = pl.BlockSpec((1, win_pad, n2ext, n3),
+                            lambda p, s, q: (p, 0, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(S0, S1, Q),
+        in_specs=[pt_spec, pt_spec] + [plan_spec] * 6,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct(
+            (S0, win_pad, n2ext, n3), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def strip_spread3(cr, ci, plan_arrays, *, S0: int, S1: int, T: int,
+                  n3: int, w: int, chunk: int, interpret: bool = False):
+    """3-D strip-resident pencil spreading: returns (Rr, Ri), each
+    (S0, 2T, S1*T + T, n3) — axis-1 overlap-add already done in VMEM;
+    callers wrap-fold axis 2 and 1-axis overlap-add axis 0."""
     l0T, w0T, l1T, w1T, i2T, w2T = plan_arrays
     P, Mp = cr.shape
     w_pad = l0T.shape[1]
     CH = int(chunk)
     assert Mp % CH == 0 and P == S0 * S1
-    fn = _build_pencil_spread(S0, S1, w_pad, Mp, CH, _round8(win), n3, w,
-                              interpret)
+    fn = _build_strip_spread(S0, S1, T, w_pad, Mp, CH, n3, w, interpret)
     return fn(cr[:, None, :], ci[:, None, :], l0T, w0T, l1T, w1T, i2T, w2T)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_pencil_interp(S0, S1, w_pad, Mp, CH, win_pad, n3, w, interpret):
+def _build_strip_interp(S0, S1, T, w_pad, Mp, CH, n3, w, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Q = Mp // CH
+    win_pad = 2 * T
+    n2ext = S1 * T + T
 
     def kernel(gr_ref, gi_ref, l0_ref, w0_ref, l1_ref, w1_ref, i2_ref,
                w2_ref, outr_ref, outi_ref):
+        s1 = pl.program_id(1)
+
         def onehot(idx, wt, n):
             cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
             U = jnp.zeros((n, CH), jnp.float32)
@@ -426,8 +606,10 @@ def _build_pencil_interp(S0, S1, w_pad, Mp, CH, win_pad, n3, w, interpret):
         U1 = onehot(l1_ref[0], w1_ref[0], win_pad)
         U2 = onehot(i2_ref[0], w2_ref[0], n3)
         A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * win_pad, CH)
-        G2 = gr_ref[...].reshape(win_pad * win_pad, n3)
-        H2 = gi_ref[...].reshape(win_pad * win_pad, n3)
+        off = pl.multiple_of(s1 * T, 8)
+        sl = (0, slice(None), pl.ds(off, win_pad), slice(None))
+        G2 = gr_ref[sl].reshape(win_pad * win_pad, n3)
+        H2 = gi_ref[sl].reshape(win_pad * win_pad, n3)
         dims = (((1,), (0,)), ((), ()))     # (win^2, n3) @ (n3, CH)
         TRr = jax.lax.dot_general(G2, U2, dims,
                                   preferred_element_type=jnp.float32)
@@ -436,33 +618,33 @@ def _build_pencil_interp(S0, S1, w_pad, Mp, CH, win_pad, n3, w, interpret):
         outr_ref[...] = jnp.sum(TRr * A, axis=0, keepdims=True)[None]
         outi_ref[...] = jnp.sum(TRi * A, axis=0, keepdims=True)[None]
 
-    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, q: (p, 0, q))
-    g_spec = pl.BlockSpec((1, win_pad, 1, win_pad, n3),
-                          lambda p, q: (p // S1, 0, p % S1, 0, 0))
-    out_spec = pl.BlockSpec((1, 1, CH), lambda p, q: (p, 0, q))
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, s, q: (p * S1 + s, 0, q))
+    g_spec = pl.BlockSpec((1, win_pad, n2ext, n3),
+                          lambda p, s, q: (p, 0, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, CH), lambda p, s, q: (p * S1 + s, 0, q))
     return pl.pallas_call(
         kernel,
-        grid=(S0 * S1, Q),
+        grid=(S0, S1, Q),
         in_specs=[g_spec, g_spec] + [plan_spec] * 6,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((S0 * S1, 1, Mp), jnp.float32)] * 2,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )
 
 
-def pencil_interp3(GR, GI, plan_arrays, *, w: int, chunk: int,
-                   interpret: bool = False):
-    """3-D pencil interpolation: GR/GI (S0, win_pad, S1, win_pad, n3)
-    padded pencil windows; returns (vr, vi), each (S0*S1, Mp)."""
+def strip_interp3(GR, GI, plan_arrays, *, S1: int, T: int, w: int,
+                  chunk: int, interpret: bool = False):
+    """3-D strip-resident pencil interpolation: GR/GI (S0, 2T, S1*T+T, n3)
+    axis-0-windowed, axis-2-extended grids; returns (vr, vi), each
+    (S0*S1, Mp)."""
     l0T, w0T, l1T, w1T, i2T, w2T = plan_arrays
-    S0, win_pad, S1, _, n3 = GR.shape
+    S0, win_pad, n2ext, n3 = GR.shape
     Mp = l0T.shape[2]
     w_pad = l0T.shape[1]
     CH = int(chunk)
-    assert Mp % CH == 0
-    fn = _build_pencil_interp(S0, S1, w_pad, Mp, CH, win_pad, n3, w,
-                              interpret)
+    assert Mp % CH == 0 and win_pad == 2 * T and n2ext == S1 * T + T
+    fn = _build_strip_interp(S0, S1, T, w_pad, Mp, CH, n3, w, interpret)
     vr, vi = fn(GR, GI, l0T, w0T, l1T, w1T, i2T, w2T)
     return vr[:, 0], vi[:, 0]

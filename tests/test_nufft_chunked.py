@@ -58,3 +58,37 @@ def test_chunked_matches_monolithic():
     a = mono.apply(view_as_real(c))
     b = chnk.apply(view_as_real(c))
     assert np.allclose(a, b, atol=1e-5)
+
+
+def test_auto_chunk_allocate_workflow():
+    # reference workflow (nufft.py:1124-1269): auto_chunk() -> allocate()
+    M, K = 150, 100
+    x = rng0.uniform(-2, 2, (M, 2))
+    z = rng0.uniform(-30, 30, (K, 2))
+    c = jnp.asarray(rng0.standard_normal(M) + 1j * rng0.standard_normal(M))
+    chnk = NUFFT.type3(jnp.asarray(x), jnp.asarray(z), eps=1e-7,
+                       chunked=True, fft_mem_mb=64.0)
+    ref = chnk.apply(view_as_real(c))
+    x_chunks, z_chunks = chnk.auto_chunk(max_mem=0.01)
+    # chunks partition the index ranges exactly
+    assert np.array_equal(np.sort(np.concatenate(x_chunks)), np.arange(M))
+    assert np.array_equal(np.sort(np.concatenate(z_chunks)), np.arange(K))
+    chnk.allocate(x_chunks, z_chunks)
+    assert len(chnk._x_parts) * len(chnk._z_parts) > 1
+    out = chnk.apply(view_as_real(c))
+    assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+    # malformed chunk lists are rejected with a clear error
+    import pytest
+    with pytest.raises(ValueError, match="partition"):
+        chnk.allocate([np.arange(M - 1)], z_chunks)
+
+
+def test_chunked_only_surface_raises_on_type12():
+    # reference defines auto_chunk/allocate/diagnostic_plot/stats on the
+    # NUFFT base class as "(Only applies to chunked type-3 transforms.)"
+    import pytest
+    x = rng0.uniform(-np.pi, np.pi, (50, 2))
+    op = NUFFT.type1(jnp.asarray(x), (8, 8), eps=1e-4)
+    for name in ("auto_chunk", "allocate", "diagnostic_plot", "stats"):
+        with pytest.raises(NotImplementedError, match="chunked type-3"):
+            getattr(op, name)() if name != "allocate" else op.allocate([], [])

@@ -142,3 +142,42 @@ class TestPallasSlabNUFFT:
         out2 = np.asarray(op.apply(jnp.asarray(arr)))
         err2 = np.max(np.abs(out2[..., 0] + 1j * out2[..., 1] - ref))
         assert err2 < 2e-5 * np.max(np.abs(ref))
+
+
+class TestPencilRoutes:
+    """Both pencil kernel routes (strip-resident and grouped v1) match the
+    XLA slab path elementwise."""
+
+    def _check(self, monkeypatch, strip: str):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_STRIP", strip)
+        import numpy as _np
+        from pyxu_tpu.operator.linop import nufft as nf
+        from pyxu_tpu.operator.linop.nufft import NUFFT
+        rng = _np.random.default_rng(3)
+        M, N = 2500, (14, 12, 10)
+        x = rng.uniform(-_np.pi, _np.pi, (M, 3))
+        op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
+        pp = op._mm3.pencil
+        assert pp is not None and pp.strip == (strip == "1")
+        if strip == "0":
+            assert pp.group > 1      # the grouped route must be exercised
+        c = (rng.standard_normal(M)
+             + 1j * rng.standard_normal(M)).astype(_np.complex64)
+        cc = jnp.asarray(c)
+        g_xla = np.asarray(nf._spread_slab(cc, op._nf, op._mm3))
+        g_pl = np.asarray(nf._spread_slab_pallas(cc, op._nf, op._mm3))
+        assert np.max(np.abs(g_xla - g_pl)) < 1e-5 * np.max(np.abs(g_xla))
+        g = jnp.asarray((rng.standard_normal(op._nf)
+                         + 1j * rng.standard_normal(op._nf))
+                        .astype(np.complex64))
+        v_xla = np.asarray(nf._interp_slab(g, op._mm3))
+        v_pl = np.asarray(nf._interp_slab_pallas(g, op._mm3))
+        assert np.max(np.abs(v_xla - v_pl)) < 1e-5 * np.max(np.abs(v_xla))
+
+    def test_strip_route(self, monkeypatch):
+        self._check(monkeypatch, "1")
+
+    def test_grouped_route(self, monkeypatch):
+        self._check(monkeypatch, "0")
