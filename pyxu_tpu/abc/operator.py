@@ -560,6 +560,16 @@ class QuadraticFunc(ProxDiffFunc):
         tau = jnp.asarray(tau, dtype=arr.dtype)
         b = arr - tau * self._c.grad(arr)
         mv = lambda p: p + tau * self._Q.apply(p)
+        # Optional user-supplied PCG preconditioner ``z = M^{-1}(r, tau)``
+        # (set ``op._prox_precond``).  NOT auto-derived: circulant (Strang /
+        # T. Chan) preconditioning of NUFFT Toeplitz grams was measured
+        # HARMFUL on the RI workload — scattered-point kernels are noisy
+        # estimates of a symbol (|T[j]| ~ sqrt(M) fluctuation at every lag),
+        # and the circulant's near-null modes mismatch the section's, so
+        # PCG converged slower than CG and ADMM diverged (see BASELINE.md
+        # "Rejected: circulant-preconditioned prox CG").
+        pre = getattr(self, "_prox_precond", None)
+        precond = None if pre is None else (lambda r: pre(r, tau))
         # dtype-aware tolerance: an rtol below working precision never fires
         # and the loop would burn its full maxiter (minutes of device time on
         # a large Q).  Cap iterations; CG on (I + tau Q) with a warm start
@@ -575,7 +585,8 @@ class QuadraticFunc(ProxDiffFunc):
         maxiter = getattr(self, "_prox_maxiter", None)
         if maxiter is None:
             maxiter = min(max(2 * self.dim_size, 20), 500)
-        return cg_solve(mv, b, x0=arr, rtol=rtol, maxiter=maxiter)
+        return cg_solve(mv, b, x0=arr, rtol=rtol, maxiter=maxiter,
+                        precond=precond)
 
     def estimate_diff_lipschitz(self, **kwargs) -> float:
         dL = self._Q.estimate_lipschitz(**kwargs)

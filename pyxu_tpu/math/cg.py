@@ -16,7 +16,8 @@ __all__ = ["cg_solve"]
 
 
 def cg_solve(matvec, b, x0=None, *, rtol: float = 1e-6, atol: float = 0.0,
-             maxiter: int = None, core_ndim: int = None, restart_rate: int = None):
+             maxiter: int = None, core_ndim: int = None, restart_rate: int = None,
+             precond=None):
     """Solve ``matvec(x) = b`` for symmetric positive-definite ``matvec``.
 
     Parameters
@@ -26,6 +27,10 @@ def cg_solve(matvec, b, x0=None, *, rtol: float = 1e-6, atol: float = 0.0,
     core_ndim: rank of the vector part (trailing axes); ``None`` = all of b.
     restart_rate: re-compute the true residual every so many iterations
         (reference restarts every N iters: opt/solver/cg.py:137-151).
+    precond: optional SPD preconditioner ``z = M^{-1}(r)`` (arrays shaped
+        like ``b``) — standard PCG recursion; the stopping test stays on the
+        TRUE residual norm so tolerances mean the same thing with and
+        without it.
     """
     b = jnp.asarray(b)
     core_ndim = b.ndim if core_ndim is None else core_ndim
@@ -44,22 +49,25 @@ def cg_solve(matvec, b, x0=None, *, rtol: float = 1e-6, atol: float = 0.0,
     from pyxu_tpu.utils.misc import asarray_astype
     x = jnp.zeros_like(b) if x0 is None else \
         jnp.broadcast_to(asarray_astype(x0, b.dtype), b.shape)
+    M = precond if precond is not None else (lambda r: r)
     r = b - matvec(x)
-    p = r
+    z = M(r)
+    p = z
+    rz = dot(r, z)
     rs = dot(r, r)
     b2 = dot(b, b)
     tol2 = jnp.maximum(rtol * rtol * b2, atol * atol)
     eps = jnp.finfo(b.dtype).tiny
 
     def cond(carry):
-        k, x, r, p, rs = carry
+        k, x, r, p, rz, rs = carry
         return jnp.logical_and(k < maxiter, jnp.any(rs > tol2))
 
     def body(carry):
-        k, x, r, p, rs = carry
+        k, x, r, p, rz, rs = carry
         Ap = matvec(p)
         denom = dot(p, Ap)
-        alpha = jnp.where(denom > eps, rs / jnp.maximum(denom, eps), 0.0)
+        alpha = jnp.where(denom > eps, rz / jnp.maximum(denom, eps), 0.0)
         x = x + bcast(alpha) * p
         # Periodic true-residual refresh fights FP32 drift.
         r = jax.lax.cond(
@@ -67,10 +75,13 @@ def cg_solve(matvec, b, x0=None, *, rtol: float = 1e-6, atol: float = 0.0,
             lambda: b - matvec(x),
             lambda: r - bcast(alpha) * Ap,
         )
+        z = M(r)
+        rz_new = dot(r, z)
         rs_new = dot(r, r)
-        beta = jnp.where(rs > eps, rs_new / jnp.maximum(rs, eps), 0.0)
-        p = r + bcast(beta) * p
-        return (k + 1, x, r, p, rs_new)
+        beta = jnp.where(rz > eps, rz_new / jnp.maximum(rz, eps), 0.0)
+        p = z + bcast(beta) * p
+        return (k + 1, x, r, p, rz_new, rs_new)
 
-    _, x, _, _, _ = jax.lax.while_loop(cond, body, (jnp.asarray(0), x, r, p, rs))
+    _, x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), x, r, p, rz, rs))
     return x

@@ -1507,6 +1507,76 @@ class _NUFFTToeplitz(SelfAdjointOp):
         mult = 1 if self._real_in else 2
         return self._scale * self._wsum * float(np.prod(self._N)) * mult
 
+    def _chan_lam(self):
+        """T. Chan optimal-circulant spectrum of the Toeplitz section on the
+        mode grid (cached device array, standard FFT order).
+
+        Per axis, the circulant kernel averages the wrapped Toeplitz
+        diagonals with triangular weights, ``c_j = ((n-j) T[j] + j T[j-n])/n``
+        — the Frobenius-norm-closest circulant to the section (T. Chan 1988),
+        extended per-axis in d-D (level-d Chan).  Chosen over Strang's plain
+        wrap because the RI/CT point-set kernels carry non-decaying
+        oscillatory tails (boundary-clipped coordinates) that a hard wrap
+        misrepresents — measured on a 2000-point Gaussian-uv gram, Chan cuts
+        the preconditioned condition number ~8x where Strang *doubles* it.
+        Clipped to >= 0 so ``I + alpha*C`` stays SPD for any alpha >= 0.
+        """
+        lam = getattr(self, "_chan_cache", None)
+        if lam is not None:
+            return lam
+        N = self._N
+
+        def _build(that):
+            c = jnp.fft.ifftn(that.astype(complex_dtype(that.dtype)))
+            for ax, n in enumerate(N):
+                p = c.shape[ax]
+                idx_pos = np.arange(0, n)        # position of T[j], j>=0
+                idx_neg = (idx_pos - n) % p      # position of T[j-n]
+                w = ((n - np.arange(n)) / n).astype(np.float32)
+                sh = [1] * c.ndim
+                sh[ax] = n
+                c = (jnp.take(c, jnp.asarray(idx_pos), axis=ax) * w.reshape(sh)
+                     + jnp.take(c, jnp.asarray(idx_neg), axis=ax)
+                     * (1.0 - w).reshape(sh))
+            return jnp.maximum(jnp.real(jnp.fft.fftn(c)), 0.0)
+
+        self._chan_cache = jax.jit(_build)(self._that)
+        return self._chan_cache
+
+    def _circulant_precond(self):
+        """Callable ``solve(r, alpha)`` approximately applying
+        ``(I + alpha*self)^{-1}`` via the Chan circulant (one mode-grid
+        FFT pair — cheaper than the P-grid matvec), or None when the kernel
+        is shifted (Hankel sections are not Toeplitz).
+
+        OPT-IN only (wire via ``quad._prox_precond``): measured on the RI
+        workload, circulant PCG converged *slower* than plain CG — scattered
+        -point Toeplitz kernels carry ~sqrt(M) noise at every lag, so the
+        circulant's near-null modes mismatch the section's (BASELINE.md
+        "Rejected: circulant-preconditioned prox CG").  Kept for smooth
+        /dense point distributions where the symbol is well-resolved.  The
+        reference has no analog — its nested CG solves are unpreconditioned
+        (abc/operator.py:1273-1291)."""
+        if self._spec_complex:
+            return None
+        lam = self._chan_lam()
+        d, real_in = self._d, self._real_in
+        axes = tuple(range(-d, 0))
+
+        def solve(r, alpha):
+            if real_in:
+                c = r.astype(complex_dtype(r.dtype))
+                den = 1.0 + alpha * lam.astype(r.dtype)
+                out = jnp.fft.ifftn(jnp.fft.fftn(c, axes=axes) / den,
+                                    axes=axes)
+                return jnp.real(out).astype(r.dtype)
+            c = view_as_complex(jnp.asarray(r))
+            den = 1.0 + alpha * lam.astype(c.real.dtype)
+            out = jnp.fft.ifftn(jnp.fft.fftn(c, axes=axes) / den, axes=axes)
+            return view_as_real(out).astype(r.dtype)
+
+        return solve
+
     def _expr(self):
         return (f"NUFFTGram[d={self._d}, M={self._M}, N={self._N}, "
                 f"isign={self._isign}, eps={self._eps}]",)

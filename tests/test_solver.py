@@ -117,6 +117,65 @@ def test_cg_solve_function():
     assert np.allclose(x, np.linalg.solve(Q, b), atol=1e-6)
 
 
+def test_cg_solve_preconditioned():
+    """PCG: an exact-inverse preconditioner converges in O(1) iterations
+    where plain CG needs many; identity preconditioner reproduces plain CG
+    exactly (stop test stays on the true residual)."""
+    Q = (_A.T @ _A + 20.0 * np.eye(8)).astype(np.float32)
+    b = rng0.standard_normal(8).astype(np.float32)
+    Qinv = np.linalg.inv(Q)
+    xref = np.linalg.solve(Q, b)
+    mv = lambda v: jnp.asarray(Q) @ v
+    x_pcg = cg_solve(mv, jnp.asarray(b), maxiter=2, rtol=0.0,
+                     precond=lambda r: jnp.asarray(Qinv) @ r)
+    assert np.allclose(x_pcg, xref, atol=1e-4)
+    x_cg2 = cg_solve(mv, jnp.asarray(b), maxiter=2, rtol=0.0)
+    assert not np.allclose(x_cg2, xref, atol=1e-4)  # plain CG is not done yet
+    x_id = cg_solve(mv, jnp.asarray(b), maxiter=6, rtol=0.0,
+                    precond=lambda r: r)
+    x_pl = cg_solve(mv, jnp.asarray(b), maxiter=6, rtol=0.0)
+    assert np.allclose(x_id, x_pl, atol=1e-6)
+
+
+def test_quadratic_prox_precond_hook():
+    """QuadraticFunc.prox honors an opt-in ``_prox_precond(r, tau)`` hook
+    and reaches the same minimizer (prox of a strongly convex quadratic)."""
+    from pyxu_tpu.abc.operator import PosDefOp, QuadraticFunc
+    from pyxu_tpu.operator.linop import ExplicitLinFunc
+    Q = (_A.T @ _A + 5.0 * np.eye(8)).astype(np.float32)
+    Qop = ExplicitLinOp(jnp.asarray(Q)).asop(PosDefOp)
+    c = ExplicitLinFunc(jnp.asarray(rng0.standard_normal(8).astype(np.float32)))
+    f = QuadraticFunc((8,), Q=Qop, c=c)
+    x = jnp.asarray(rng0.standard_normal(8).astype(np.float32))
+    p_ref = f.prox(x, 0.7)
+    Minv = np.linalg.inv(np.eye(8) + 0.7 * Q).astype(np.float32)
+    f._prox_precond = lambda r, tau: jnp.asarray(Minv) @ r
+    f._prox_maxiter = 2
+    p_pcg = f.prox(x, 0.7)
+    assert np.allclose(p_pcg, p_ref, atol=1e-4)
+
+
+def test_nufft_gram_circulant_precond_optin():
+    """The NUFFT Toeplitz gram exposes an opt-in circulant approximate
+    inverse: solve(r, 0) == r, and (I + a*C) o solve ~ identity on the
+    circulant's own range (consistency of the spectrum it advertises)."""
+    from pyxu_tpu.operator.linop.nufft import NUFFT
+    from pyxu_tpu.utils.complex import view_as_complex, view_as_real
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-np.pi, np.pi, (300, 2)).astype(np.float32)
+    G = NUFFT.type2(pts, (8, 8), eps=1e-6).gram()
+    solve = G._circulant_precond()
+    assert solve is not None
+    r = jnp.asarray(rng.standard_normal((8, 8, 2)).astype(np.float32))
+    assert np.allclose(solve(r, 0.0), r, atol=1e-5)
+    lam = G._chan_lam()
+    z = solve(r, 0.3)
+    zc = view_as_complex(z)
+    back = view_as_real(jnp.fft.ifftn(
+        jnp.fft.fftn(zc, axes=(-2, -1)) * (1.0 + 0.3 * lam), axes=(-2, -1)))
+    assert np.allclose(back, r, atol=1e-4)
+
+
 def test_max_duration_stops():
     f, g = _lasso_ops()
     slv = PGD(f=f, g=g)
