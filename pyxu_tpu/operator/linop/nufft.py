@@ -1560,9 +1560,12 @@ class _NUFFTToeplitz(SelfAdjointOp):
         """
         cached = getattr(self, "_chan_cache", None)
         if cached is not None:
-            return cached.v  # _Meta-wrapped: device arrays must not leak
-            # into the pytree aux tuple (unhashable under jit treedefs)
+            # Stored raw; ``_chan_cache`` is in abc.operator._VOLATILE_FIELDS
+            # so pytree flatten wraps it in _Meta (keeps the device array out
+            # of the static aux treedef) and unflatten restores the raw array.
+            return cached
         N = self._N
+        wdt = np.zeros(0, dtype=self._that.dtype).real.dtype
 
         def _build(that):
             c = jnp.fft.ifftn(that.astype(complex_dtype(that.dtype)))
@@ -1570,7 +1573,7 @@ class _NUFFTToeplitz(SelfAdjointOp):
                 p = c.shape[ax]
                 idx_pos = np.arange(0, n)        # position of T[j], j>=0
                 idx_neg = (idx_pos - n) % p      # position of T[j-n]
-                w = ((n - np.arange(n)) / n).astype(np.float32)
+                w = ((n - np.arange(n)) / n).astype(wdt)
                 sh = [1] * c.ndim
                 sh[ax] = n
                 c = (jnp.take(c, jnp.asarray(idx_pos), axis=ax) * w.reshape(sh)
@@ -1578,9 +1581,8 @@ class _NUFFTToeplitz(SelfAdjointOp):
                      * (1.0 - w).reshape(sh))
             return jnp.maximum(jnp.real(jnp.fft.fftn(c)), 0.0)
 
-        from pyxu_tpu.abc.operator import _Meta
         lam = jax.jit(_build)(self._that)
-        self._chan_cache = _Meta(lam)
+        self._chan_cache = lam
         return lam
 
     def _circulant_precond(self):

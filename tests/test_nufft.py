@@ -447,3 +447,29 @@ class TestToeplitzGramReviewRegressions:
         dense = np.asarray(Hk.asarray()).reshape(8, 8)
         tr = Hk.trace()
         assert abs(tr - np.trace(dense)) / max(abs(np.trace(dense)), 1e-30) < 0.5
+
+    def test_chan_cache_survives_pytree_roundtrip(self):
+        """Advisor round-2 (medium): ``_chan_cache`` must survive pytree
+        flatten/unflatten — it is a _VOLATILE_FIELDS entry (raw array on the
+        instance, _Meta-wrapped only inside the aux treedef), so a gram op
+        that passed through jit/vmap/solver-mstate keeps a working
+        ``_chan_lam`` and its treedef stays hashable."""
+        import jax.tree_util as jtu
+        M, N = 19, (8, 6)
+        x = _pts(M, 2)
+        G = NUFFT.type2(x, N, real=True, eps=1e-6).gram()
+        lam0 = np.asarray(G._chan_lam())          # populates the cache
+        leaves, treedef = jtu.tree_flatten(G)
+        hash(treedef)                             # aux must stay hashable
+        G2 = jtu.tree_unflatten(treedef, leaves)
+        lam1 = np.asarray(G2._chan_lam())         # raw array, not _Meta
+        assert np.array_equal(lam0, lam1)
+        # the rebuilt cache must also round-trip a second time
+        leaves2, treedef2 = jtu.tree_flatten(G2)
+        G3 = jtu.tree_unflatten(treedef2, leaves2)
+        assert np.array_equal(np.asarray(G3._chan_lam()), lam0)
+        # precond solve path stays functional after the round-trip
+        solve = G2._circulant_precond()
+        r = np.random.default_rng(0).standard_normal(N).astype(np.float32)
+        out = np.asarray(solve(jnp.asarray(r), 0.5))
+        assert out.shape == N and np.isfinite(out).all()
