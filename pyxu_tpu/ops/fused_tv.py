@@ -160,16 +160,18 @@ def tv_step_xla(x, z0, z1, b, k0, k1, c0, c1, *, cst, lam, tau, sigma, rho,
 
 # ------------------------------------------------------------ Pallas kernel --
 
-def _band_size(H, target=128):
-    """Largest divisor of H <= target, preferring multiples of 8.
+def _band_size(H, target=128, align=8):
+    """Largest divisor of H <= target, preferring multiples of ``align``.
 
     Band-size sweep at 4K on v5e (ms/iter): R=24 OOM-free but halo-heavy,
     48: 1.71, 80: 1.51, 120: 1.47, 216: 1.56, 240: 1.48, 432: VMEM OOM —
-    ~128 rows balances halo amortization against VMEM pressure."""
+    ~128 rows balances halo amortization against VMEM pressure.  ``align``
+    is the Mosaic sublane tile (8 for f32 buffers, 16 when any state buffer
+    is bf16-stored: 2-byte dtypes tile as (16, 128))."""
     target = min(target, H // 2)       # the kernel needs >= 2 bands
     best = 1
     for r in range(1, min(H, target) + 1):
-        if H % r == 0 and (r % 8 == 0, r) >= (best % 8 == 0, best):
+        if H % r == 0 and (r % align == 0, r) >= (best % align == 0, best):
             best = r
     return best
 
@@ -189,21 +191,28 @@ def tv_step_pallas(x, z, b, *, k0, k1, c0, c1, cst, lam, tau, sigma,
     into VMEM scratch, virtualize their row indexing, run the whole
     iteration in VMEM, and write the (x, z) output bands.
 
+    Mixed-precision storage: ``x``/``z`` may be float32 or bfloat16
+    independently (``b`` follows ``x``).  All arithmetic runs in float32 in
+    VMEM; bf16 state is cast on load and quantized once on store, so the
+    only numerical effect is per-iteration state rounding.  bf16 halves the
+    HBM traffic of the buffers it is applied to (the kernel is
+    bandwidth-bound — BASELINE.md round-3/4).
+
     Deliberately NOT wrapped in jax.jit: an effectful (DMA-semaphore)
     closed_call nested inside an outer jit trips XLA's lowering cache;
     callers trace this inline and the pallas_call object is memoised on the
     static configuration instead.
     """
     return _build_tv_pallas(
-        x.shape, str(x.dtype), tuple(float(v) for v in k0),
+        x.shape, str(x.dtype), str(z.dtype), tuple(float(v) for v in k0),
         tuple(float(v) for v in k1), int(c0), int(c1), float(cst),
         float(lam), float(tau), float(sigma), float(rho), mode_k, mode_d,
         band, interpret)(x, z, b)
 
 
 @functools.lru_cache(maxsize=128)
-def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
-                     rho, mode_k, mode_d, band, interpret):
+def _build_tv_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst, lam,
+                     tau, sigma, rho, mode_k, mode_d, band, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -219,26 +228,41 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
     assert mode_k in ("symmetric", "constant")
     assert mode_d in ("symmetric", "constant")
 
-    R = band or _band_size(H)
+    xdt = jnp.dtype(dtype_str)
+    zdt = jnp.dtype(z_dtype_str)
+    bf16 = jnp.dtype(jnp.bfloat16)
+    # compute dtype: all VMEM arithmetic runs in f32 when any state buffer
+    # is bf16-stored (bf16 is a storage format here, not a compute format)
+    if xdt == bf16 or zdt == bf16:
+        cdt = jnp.dtype(jnp.float32)
+    else:
+        cdt = jnp.promote_types(xdt, zdt)
+    bdt = cdt                          # linear term rides at compute precision
+    # Mosaic sublane tiling: (8, 128) for 4-byte dtypes, (16, 128) for
+    # 2-byte — DMA row-window starts/sizes must respect each buffer's tile
+    ax_al = 16 if xdt == bf16 else 8
+    az_al = 16 if zdt == bf16 else 8
+
+    R = band or _band_size(H, align=max(ax_al, az_al))
     nb = H // R
     assert H % R == 0 and nb >= 2, (H, R)
     # Virtual windows per input (rows [a0-T, a0-T+N)).  Mosaic constrains
-    # HBM DMA row-slices to the (8, 128) tiling: both the start offset and
-    # the window size must be multiples of 8.  With R, H, T, N all 8-aligned
-    # every clamped start a0-T stays aligned, so halos are rounded up (the
-    # extra rows are dead weight in VMEM, nothing else).
-    def _a8(v):
-        return -(-v // 8) * 8
+    # HBM DMA row-slices to the dtype tiling: both the start offset and
+    # the window size must be multiples of the sublane count.  With R, H,
+    # T, N all aligned every clamped start a0-T stays aligned, so halos are
+    # rounded up (the extra rows are dead weight in VMEM, nothing else).
+    def _au(v, a):
+        return -(-v // a) * a
 
-    aligned = (R % 8 == 0) and (H % 8 == 0)
+    aligned = (R % max(ax_al, az_al) == 0) and (H % max(ax_al, az_al) == 0)
     assert aligned or interpret, (H, R)   # compiled path needs the tiling
     if aligned:
-        TX = _a8(hk + lo0)
-        NX = _a8(TX + R + hk + hi0 + 1)
-        TZ = 8
-        NZ = _a8(TZ + R + 1)
+        TX = _au(hk + lo0, ax_al)
+        NX = _au(TX + R + hk + hi0 + 1, ax_al)
+        TZ = az_al
+        NZ = _au(TZ + R + 1, az_al)
         TB = 0
-        NB_ = _a8(R + 1)
+        NB_ = _au(R + 1, 8)
     else:                               # interpret mode: exact halos
         TX = hk + lo0
         NX = TX + R + hk + hi0 + 1
@@ -255,7 +279,7 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         assert T_ <= R and N_ - R - T_ <= R, \
             (f"band {R} smaller than halo window (T={T_}, N={N_}); "
              f"use a larger band or the generic path")
-    dtype = jnp.dtype(dtype_str)
+    dtype = cdt                        # kernel-body arithmetic dtype
 
     def _revrows(a, n):
         """First n rows of ``a`` in reverse order (Mosaic has no `rev`
@@ -349,12 +373,13 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         # lax.cond lowers to inside kernels, so both fixes are computed for
         # every band (cheap VMEM shuffles) and chosen by broadcast masks.
         if T:
-            top = _revrows(buf, T) if reflect else jnp.zeros((T, W), dtype)
+            top = _revrows(buf, T) if reflect else \
+                jnp.zeros((T, W), buf.dtype)
             first = jnp.concatenate([top, buf[:N - T]], axis=0)
             out = _sel_band(i == 0, first, out)
         if B:
             bot = _revrows(buf[N - B:], B) if reflect else \
-                jnp.zeros((B, W), dtype)
+                jnp.zeros((B, W), buf.dtype)
             last = jnp.concatenate([buf[B:], bot], axis=0)
             out = _sel_band(i == nb - 1, last, out)
         return out
@@ -383,23 +408,23 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         def _copies(band, slot):
             base = band * R
 
-            def _start(T, N):
+            def _start(T, N, al):
                 v = jax.lax.clamp(jnp.int32(0), base - jnp.int32(T),
                                   jnp.int32(H - N))
-                # every reachable value is 8-aligned (R, H, T, N all are),
-                # but Mosaic cannot prove it through the clamp — hint it
-                return pl.multiple_of(v, 8) if aligned else v
+                # every reachable value is tile-aligned (R, H, T, N all
+                # are), but Mosaic cannot prove it through the clamp — hint
+                return pl.multiple_of(v, al) if aligned else v
 
             return (
                 pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(_start(TX, NX), NX), :], xs.at[slot],
-                    sems.at[slot, 0]),
+                    x_hbm.at[pl.ds(_start(TX, NX, ax_al), NX), :],
+                    xs.at[slot], sems.at[slot, 0]),
                 pltpu.make_async_copy(
-                    z_hbm.at[:, pl.ds(_start(TZ, NZ), NZ), :], zs.at[slot],
-                    sems.at[slot, 1]),
+                    z_hbm.at[:, pl.ds(_start(TZ, NZ, az_al), NZ), :],
+                    zs.at[slot], sems.at[slot, 1]),
                 pltpu.make_async_copy(
-                    b_hbm.at[pl.ds(_start(TB, NB_), NB_), :], bs.at[slot],
-                    sems.at[slot, 2]),
+                    b_hbm.at[pl.ds(_start(TB, NB_, 8), NB_), :],
+                    bs.at[slot], sems.at[slot, 2]),
             )
 
         slot = jax.lax.rem(i, jnp.int32(2))
@@ -418,10 +443,12 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         for cp in _copies(i, slot):
             cp.wait()
 
-        xb = _virtualize(xs[slot], NX, TX, i, sym_k)
-        z0b = _virtualize(zs[slot, 0], NZ, TZ, i, False)
-        z1b = _virtualize(zs[slot, 1], NZ, TZ, i, False)
-        bb = _virtualize(bs[slot], NB_, TB, i, False)
+        # bf16 state is cast to the compute dtype right after the boundary
+        # virtualization — all downstream arithmetic runs at full precision
+        xb = _virtualize(xs[slot], NX, TX, i, sym_k).astype(dtype)
+        z0b = _virtualize(zs[slot, 0], NZ, TZ, i, False).astype(dtype)
+        z1b = _virtualize(zs[slot, 1], NZ, TZ, i, False).astype(dtype)
+        bb = _virtualize(bs[slot], NB_, TB, i, False).astype(dtype)
         # (z/b fills are zeros: the affected rows are the gradient edge rows
         # handled by select, or the virtual row a0+R == H whose values only
         # reach u0's overridden last row.)
@@ -526,14 +553,15 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
         zt1 = z1wR + sigma * u1
         zp0, zp1 = _l21_fenchel(zt0, zt1, lam)
 
+        # state quantizes to its storage dtype exactly once, on store
         if rho == 1.0:
-            xo_ref[...] = xp_[:R]
-            zo_ref[0] = zp0
-            zo_ref[1] = zp1
+            xo_ref[...] = xp_[:R].astype(xdt)
+            zo_ref[0] = zp0.astype(zdt)
+            zo_ref[1] = zp1.astype(zdt)
         else:
-            xo_ref[...] = xw[:R] + rho * (xp_[:R] - xw[:R])
-            zo_ref[0] = z0w + rho * (zp0 - z0w)
-            zo_ref[1] = z1wR + rho * (zp1 - z1wR)
+            xo_ref[...] = (xw[:R] + rho * (xp_[:R] - xw[:R])).astype(xdt)
+            zo_ref[0] = (z0w + rho * (zp0 - z0w)).astype(zdt)
+            zo_ref[1] = (z1wR + rho * (zp1 - z1wR)).astype(zdt)
 
     n_e = max(n_edge, 1)               # zero-size blocks are not allowed
     E_np = E_rows if n_edge else np.zeros((1, W), np.float32)
@@ -552,12 +580,12 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
             pl.BlockSpec((2, R, W), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((H, W), dtype),
-                   jax.ShapeDtypeStruct((2, H, W), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((H, W), xdt),
+                   jax.ShapeDtypeStruct((2, H, W), zdt)],
         scratch_shapes=[
-            pltpu.VMEM((2, NX, W), dtype),
-            pltpu.VMEM((2, 2, NZ, W), dtype),
-            pltpu.VMEM((2, NB_, W), dtype),
+            pltpu.VMEM((2, NX, W), xdt),
+            pltpu.VMEM((2, 2, NZ, W), zdt),
+            pltpu.VMEM((2, NB_, W), bdt),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -568,8 +596,9 @@ def _build_tv_pallas(shape, dtype_str, k0, k1, c0, c1, cst, lam, tau, sigma,
     def fn(x, z, b):
         # host arrays converted per call: a device constant created inside
         # one trace must not be closed over by later traces (the builder is
-        # lru-cached across jit scopes)
-        return inner(x, z, b, jnp.asarray(E_np), jnp.asarray(O_np))
+        # lru-cached across jit scopes).  b rides at compute precision (it
+        # is a trace constant inside solver loops — the cast folds away).
+        return inner(x, z, b.astype(bdt), jnp.asarray(E_np), jnp.asarray(O_np))
 
     return fn
 
@@ -724,13 +753,20 @@ def match_fused_tv(f, g, h, K, *, tau, sigma, rho):
 
     if flag == "xla":
         def step(x, z):
+            # bf16 state computes at f32 (mirrors the Pallas kernel's
+            # storage-vs-compute split) and re-quantizes on return, keeping
+            # the solver carry dtype-stable
+            cdt = (jnp.float32 if jnp.bfloat16 in (x.dtype, z.dtype)
+                   else jnp.promote_types(x.dtype, z.dtype))
             xn, z0n, z1n = tv_step_xla(
-                x, z[0], z[1], b, jnp.asarray(np.asarray(k0, np.float32)),
+                x.astype(cdt), z[0].astype(cdt), z[1].astype(cdt),
+                b.astype(cdt), jnp.asarray(np.asarray(k0, np.float32)),
                 jnp.asarray(np.asarray(k1, np.float32)), c0, c1,
                 cst=float(cst), lam=float(lam), tau=float(tau),
                 sigma=float(sigma), rho=float(rho),
                 mode_k=mode_k, mode_d=mode_d)
-            return xn, jnp.stack([z0n, z1n])
+            return (xn.astype(x.dtype),
+                    jnp.stack([z0n, z1n]).astype(z.dtype))
         return step
 
     interp = backend in ("cpu", "gpu")

@@ -165,3 +165,54 @@ def test_band_smaller_than_halo_rejected(monkeypatch):
         tv_step_pallas(x, z, b, k0=tuple(k1.tolist()), k1=tuple(k1.tolist()),
                        c0=4, c1=4, band=8, interpret=True,
                        cst=1.0, lam=0.01, tau=0.1, sigma=0.1, rho=1.0)
+
+
+@pytest.mark.parametrize("xdt,zdt", [
+    (jnp.float32, jnp.bfloat16),       # bf16 dual storage
+    (jnp.bfloat16, jnp.bfloat16),      # full bf16 state
+])
+def test_pallas_bf16_storage_matches_f32(xdt, zdt):
+    """Mixed-precision storage: arithmetic runs at f32 in VMEM; the only
+    numerical effect is one storage-rounding per state write, so a single
+    step must match the f32 step to bf16 resolution (~4e-3 relative)."""
+    H, W = 64, 41
+    k1 = _gauss()
+    x32 = jnp.asarray(rng0.random((H, W), np.float32))
+    z32 = jnp.asarray(rng0.standard_normal((2, H, W)).astype(np.float32) * .1)
+    b = jnp.asarray(rng0.standard_normal((H, W)).astype(np.float32) * 0.1)
+    kw = dict(k0=tuple(k1.tolist()), k1=tuple(k1.tolist()), c0=4, c1=4,
+              cst=1.0, lam=0.01, tau=0.2, sigma=0.15, rho=0.9,
+              mode_k="symmetric", mode_d="symmetric", band=16,
+              interpret=True)
+    want_x, want_z = tv_step_pallas(x32, z32, b, **kw)
+    got_x, got_z = tv_step_pallas(x32.astype(xdt), z32.astype(zdt), b, **kw)
+    assert got_x.dtype == xdt and got_z.dtype == zdt     # carry-stable
+    scale = float(np.abs(np.asarray(want_x)).max())
+    assert np.abs(np.asarray(got_x, np.float32)
+                  - np.asarray(want_x)).max() < 4e-3 * max(scale, 1.0)
+    assert np.abs(np.asarray(got_z, np.float32)
+                  - np.asarray(want_z)).max() < 4e-3
+
+
+def test_condatvu_dual_dtype_solve(monkeypatch):
+    """fit(dual_dtype=bf16) keeps the while-loop carry stable (z stays bf16
+    across segments) on both the fused-XLA and the generic path, and the
+    solution tracks the f32 solve."""
+    H, W = 96, 67
+    iters = 25
+    sols = {}
+    for fl, dd in (("xla", None), ("xla", jnp.bfloat16), ("0", jnp.bfloat16)):
+        monkeypatch.setenv("PYXU_TPU_FUSED", fl)
+        f, h, D, _, y = _problem(H, W, "symmetric")
+        slv = CondatVu(f=f, h=h, K=D, stop_rate=iters)
+        slv.fit(x0=y, stop_crit=MaxIter(iters), max_iter=iters,
+                segment_size=iters, dual_dtype=dd)
+        if dd is not None:
+            assert slv._mstate["z"].dtype == jnp.bfloat16
+        sols[(fl, dd)] = np.asarray(slv.solution(), np.float32)
+    ref = sols[("xla", None)]
+    scale = np.abs(ref).max()
+    # bf16 dual quantization perturbs the iterates slightly; both bf16-dual
+    # paths must agree with each other tightly and with f32 loosely
+    assert np.abs(sols[("xla", jnp.bfloat16)] - ref).max() < 2e-2 * scale
+    assert np.abs(sols[("0", jnp.bfloat16)] - ref).max() < 2e-2 * scale
