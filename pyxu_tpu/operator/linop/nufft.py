@@ -250,7 +250,8 @@ def _interp(g, idxs, wts, mm3_plan=None):
     Returns (M,) complex."""
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
-        if (mm3_plan.pencil is not None or mm3_plan.l0T is not None) \
+        if (mm3_plan.pencil is not None or mm3_plan.strip2 is not None
+                or mm3_plan.l0T is not None) \
                 and _use_slab_pallas(g.real.dtype):
             return _interp_slab_pallas(g, mm3_plan)
         if mm3_plan.l0 is not None:     # pencil-only plans have no slab
@@ -485,7 +486,7 @@ class _SlabPlan:
     def __init__(self, perm, l0, w0, i1, w1, i2, w2, invperm, T: int,
                  n1ext: int, chunk: int = _SLAB_CHUNK,
                  l0T=None, w0T=None, i1T=None, w1T=None, i2T=None,
-                 w2T=None, pencil=None):
+                 w2T=None, pencil=None, strip2=None):
         self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
         self.l0 = l0            # (S, Mp, w) int32 window-local rows
         self.w0 = w0            # (S, Mp, w) axis-0 tap weights (0 on pads)
@@ -502,6 +503,8 @@ class _SlabPlan:
         self.w2T = w2T
         self.pencil = pencil    # `_PencilPlan` for the 3-D Pallas kernels,
                                 #   or None (2-D / too-clustered sets)
+        self.strip2 = strip2    # `_StripPlan2` for the 2-D strip kernels,
+                                #   or None (3-D / too-clustered sets)
         self.T = int(T)
         self.n1ext = int(n1ext)
         self.chunk = int(chunk)
@@ -510,7 +513,8 @@ class _SlabPlan:
 jax.tree_util.register_pytree_node(
     _SlabPlan,
     lambda p: ((p.perm, p.l0, p.w0, p.i1, p.w1, p.i2, p.w2, p.invperm,
-                p.l0T, p.w0T, p.i1T, p.w1T, p.i2T, p.w2T, p.pencil),
+                p.l0T, p.w0T, p.i1T, p.w1T, p.i2T, p.w2T, p.pencil,
+                p.strip2),
                (p.T, p.n1ext, p.chunk)),
     lambda aux, ch: _SlabPlan(*ch[:8], *aux, *ch[8:]),
 )
@@ -563,19 +567,24 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
         # inflates FLOPs and plan memory linearly — stay moderate
         max_blowup = 4.0
     pallas_ok = _slab_pallas_possible()
-    pencil = None
-    if pallas_ok and d == 3 and n2 is not None:
+    pencil = strip2 = None
+    if pallas_ok and n2 is not None:
         # axis-1 base cell = first wrapped tap column (idx = i0 + t,
         # t = 0 -> mod(i0, n2)), same convention as the slab's base
         base1 = np.asarray(idxs[1])[:, 0].astype(np.int64)
-        pencil = _pencil_plan(np.asarray(base, np.int64), base1,
-                              idxs, wts, n1, n2, n3=n3)
+        if d == 3:
+            pencil = _pencil_plan(np.asarray(base, np.int64), base1,
+                                  idxs, wts, n1, n2, n3=n3)
+        else:
+            strip2 = _strip2_plan(np.asarray(base, np.int64), base1,
+                                  idxs, wts, n1, n2)
     part = _slab_partition_np(base, n1, w, chunk, max_blowup=max_blowup)
     if part is None:
-        if pencil is None:
+        sub = pencil if pencil is not None else strip2
+        if sub is None:
             return None
         return _SlabPlan(None, None, None, None, None, None, None, None,
-                         w, 0, pencil.chunk, pencil=pencil)
+                         w, 0, sub.chunk, pencil=pencil, strip2=strip2)
     perm, starts, inv, T, n1ext, chunk = part
 
     from pyxu_tpu import native
@@ -610,7 +619,7 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
     # (the pencil route always wins the dispatch, so the slab-transposed
     # arrays would be dead weight).
     l0T = w0T = i1T = w1T = i2T = w2T = None
-    if pallas_ok and pencil is None:
+    if pallas_ok and pencil is None and strip2 is None:
         w_pad = -(-w // 8) * 8
 
         def _transposed(a, fill):
@@ -632,7 +641,7 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
     return _SlabPlan(jnp.asarray(perm), jnp.asarray(l0), jnp.asarray(w0),
                      jnp.asarray(i1), jnp.asarray(w1), i2, w2,
                      jnp.asarray(inv.astype(np.int32)), T, n1ext, chunk,
-                     l0T, w0T, i1T, w1T, i2T, w2T, pencil)
+                     l0T, w0T, i1T, w1T, i2T, w2T, pencil, strip2)
 
 
 class _PencilPlan:
@@ -787,6 +796,116 @@ def _pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
         T, S0, S1, S0 * T + T, S1 * T + T, chunk, S1p, G, w, strip)
 
 
+class _StripPlan2:
+    r"""Host-built 2-axis (pencil) partition for the 2-D strip-resident
+    Pallas spreader (`ops/pallas_nufft.strip_spread2`).
+
+    The 2-D slab kernels' dominant cost is the axis-1 one-hot built over
+    ALL n2 fine-grid columns per point chunk (~n2*w VPU ops per point);
+    binning axis 1 as well shrinks the one-hot support to a
+    ``win1 = T1 + w - 1`` column window (~n2/win1 less VPU work, ~14x at
+    512² modes).  Points are binned into ``T0 x T1`` pencils: T0 =
+    8-rounded w-1 (rows, as the 3-D pencils), T1 a larger 8-rounded
+    column-bin width balancing one-hot support against padding blowup.
+    The kernel accumulates each pencil's (win1_pad, 2*T0) window into a
+    VMEM-resident COLUMN-MAJOR strip (n2ext, 2*T0) at dynamic sublane
+    offset s1*T1 — the axis-1 overlap-add never exists in HBM, and the
+    transposed layout keeps the dynamic offsets on the (8-aligned)
+    sublane axis.  Cf. FINUFFT's binned subgrid spreader (reference
+    nufft.py:275-277).
+
+    Pytree leaves: (perm, l0T, w0T, l1T, w1T, invperm); static aux:
+    (T0, T1, S0, S1, n1ext, n2ext, win1_pad, chunk, w).
+    """
+
+    def __init__(self, perm, l0T, w0T, l1T, w1T, invperm, T0: int, T1: int,
+                 S0: int, S1: int, n1ext: int, n2ext: int, win1_pad: int,
+                 chunk: int, w: int):
+        self.perm = perm
+        self.l0T = l0T
+        self.w0T = w0T
+        self.l1T = l1T
+        self.w1T = w1T
+        self.invperm = invperm
+        self.T0 = int(T0)
+        self.T1 = int(T1)
+        self.S0 = int(S0)
+        self.S1 = int(S1)
+        self.n1ext = int(n1ext)
+        self.n2ext = int(n2ext)
+        self.win1_pad = int(win1_pad)
+        self.chunk = int(chunk)
+        self.w = int(w)
+
+
+jax.tree_util.register_pytree_node(
+    _StripPlan2,
+    lambda p: ((p.perm, p.l0T, p.w0T, p.l1T, p.w1T, p.invperm),
+               (p.T0, p.T1, p.S0, p.S1, p.n1ext, p.n2ext, p.win1_pad,
+                p.chunk, p.w)),
+    lambda aux, ch: _StripPlan2(*ch, *aux),
+)
+
+
+def _strip2_plan(base0, base1, idxs, wts, n1: int, n2: int,
+                 chunk: int = _SLAB_CHUNK, max_blowup: float = 6.0):
+    """Build a `_StripPlan2` from per-axis unwrapped base cells + tap
+    arrays (d == 2 only), or None when the 2-axis padding blowup exceeds
+    ``max_blowup`` (tap-array DMA scales with it) or the grid is too
+    small for the window/wrap geometry."""
+    w = idxs[0].shape[1]
+    T0 = max(8, -(-(w - 1) // 8) * 8)
+    # column-bin width: larger T1 -> fewer bins (less padding, fewer grid
+    # steps) but a wider one-hot support; ~n2/16 balances both at the
+    # benchmark sizes (64 at 1024² fine grids)
+    import os
+    if os.environ.get("PYXU_TPU_NUFFT_STRIP2", "1") == "0":
+        return None                      # bisection/off switch
+    T1 = int(os.environ.get("PYXU_TPU_NUFFT_STRIP2_T1", "0")) or \
+        max(32, min(128, -(-(n2 // 16) // 8) * 8))
+    win1_pad = -(-(T1 + w - 1) // 8) * 8
+    if n1 < 2 * T0 or n2 < win1_pad:
+        return None
+    S0 = -(-n1 // T0)
+    S1 = -(-n2 // T1)
+    bins = (base0 // T0) * S1 + (base1 // T1)
+    part = _bin_partition_np(bins.astype(np.int64), S0 * S1, chunk,
+                             max_blowup)
+    if part is None:
+        return None
+    perm, inv, chunk = part
+    Mp = perm.shape[1]
+    if Mp <= 512:
+        chunk = Mp                      # one grid step per pencil
+    w_pad = -(-w // 8) * 8
+
+    def padrow_perm_T(a, fill):
+        a = np.asarray(a)
+        g = np.concatenate(
+            [a, np.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)[perm]
+        gT = np.ascontiguousarray(np.transpose(g, (0, 2, 1)))
+        if w_pad != w:
+            pad = np.full((gT.shape[0], w_pad - w, gT.shape[2]), fill,
+                          gT.dtype)
+            gT = np.concatenate([gT, pad], axis=1)
+        return jnp.asarray(gT)
+
+    t = np.arange(w, dtype=np.int32)
+    l0 = base0.astype(np.int32)[:, None] + t - ((bins // S1) * T0
+                                                ).astype(np.int32)[:, None]
+    l1 = base1.astype(np.int32)[:, None] + t - ((bins % S1) * T1
+                                                ).astype(np.int32)[:, None]
+    return _StripPlan2(
+        jnp.asarray(perm),
+        padrow_perm_T(l0, -(1 << 20)),
+        padrow_perm_T(np.ascontiguousarray(wts[0]).astype(np.float32), 0.0),
+        padrow_perm_T(l1, -(1 << 20)),
+        padrow_perm_T(np.ascontiguousarray(wts[1]).astype(np.float32), 0.0),
+        jnp.asarray(inv.astype(np.int32)),
+        T0, T1, S0, S1, S0 * T0 + T0, S1 * T1 + (win1_pad - T1), win1_pad,
+        chunk, w)
+
+
 def _axis_overlap_add(X, n: int, T: int, next_len: int):
     """1-axis overlap-add of (B, S, 2T, ...) windows onto (B, n, ...)."""
     B, S = X.shape[0], X.shape[1]
@@ -931,6 +1050,22 @@ def _spread_slab_pallas(c, n_fs, plan):
     interp = jax.default_backend() != "tpu"
     w = plan.T                                  # T == w by construction
     win = 2 * plan.T
+    sp = plan.strip2
+    if sp is not None:
+        from pyxu_tpu.ops.pallas_nufft import strip_spread2
+        csp = _pad_pt(c)[sp.perm]
+        Rr, Ri = strip_spread2(
+            csp.real.astype(jnp.float32), csp.imag.astype(jnp.float32),
+            (sp.l0T, sp.w0T, sp.l1T, sp.w1T), S0=sp.S0, S1=sp.S1,
+            T0=sp.T0, T1=sp.T1, win1_pad=sp.win1_pad, w=sp.w,
+            chunk=sp.chunk, interpret=interp)
+        # (S0, n2ext, 2T0) column-major strips -> transpose (16 lanes,
+        # cheap), wrap-fold the column extension, 1-axis overlap-add rows
+        R = jnp.swapaxes(Rr + 1j * Ri, 1, 2).astype(c.dtype)
+        n1f, n2f = int(n_fs[0]), int(n_fs[1])
+        wrap = sp.n2ext - n2f
+        Y = R[:, :, :n2f].at[:, :, :wrap].add(R[:, :, n2f:])
+        return _axis_overlap_add(Y[None], n1f, sp.T0, sp.n1ext)[0]
     pp = plan.pencil
     if pp is not None:
         cpp = _pad_pt(c)[pp.perm]
@@ -984,6 +1119,21 @@ def _interp_slab_pallas(g, plan):
     w = plan.T
     win = 2 * plan.T
     win_pad = -(-win // 8) * 8
+    sp = plan.strip2
+    if sp is not None:
+        from pyxu_tpu.ops.pallas_nufft import strip_interp2
+        n2f = g.shape[1]
+        # axis-0 2T0-windows, column extension with periodic wrap, then
+        # the kernels' column-major (S0, n2ext, 2T0) strip layout
+        X = _axis_windows(g[None], sp.S0, sp.T0, sp.n1ext)[0]
+        Xe = jnp.concatenate([X, X[:, :, :sp.n2ext - n2f]], axis=2)
+        Gw = jnp.swapaxes(Xe, 1, 2)
+        vr, vi = strip_interp2(
+            Gw.real.astype(jnp.float32), Gw.imag.astype(jnp.float32),
+            (sp.l0T, sp.w0T, sp.l1T, sp.w1T), S1=sp.S1, T0=sp.T0,
+            T1=sp.T1, w=sp.w, chunk=sp.chunk, interpret=interp)
+        outs = (vr + 1j * vi).astype(g.dtype)
+        return outs.ravel()[sp.invperm]
     pp = plan.pencil
     if pp is not None:
         arrs = (pp.l0T, pp.w0T, pp.l1T, pp.w1T, pp.i2T, pp.w2T)
@@ -1072,7 +1222,8 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     """Scatter-add point strengths c (M,) complex onto the fine grid."""
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
-        if (mm3_plan.pencil is not None or mm3_plan.l0T is not None) \
+        if (mm3_plan.pencil is not None or mm3_plan.strip2 is not None
+                or mm3_plan.l0T is not None) \
                 and _use_slab_pallas(c.real.dtype):
             return _spread_slab_pallas(c, n_fs, mm3_plan)
         if mm3_plan.l0 is not None:     # pencil-only plans have no slab
@@ -1166,7 +1317,7 @@ class _NUFFT12(_NUFFTDiagnostics, LinOp):
         if d in (2, 3) and slab:
             self._mm3 = _slab_plan(
                 _slab_base_np(xh[:, 0], self._nf[0], w), idxs, wts,
-                self._nf[0], n2=self._nf[1] if d == 3 else None,
+                self._nf[0], n2=self._nf[1],
                 n3=self._nf[2] if d == 3 else None)
         dim = (M,) if real_in else (M, 2)
         super().__init__(dim, N + (2,))
@@ -1755,7 +1906,7 @@ class _NUFFT3(_NUFFTDiagnostics, LinOp):
         if d in (2, 3) and mm3:
             s_base = np.mod(np.ceil(sp[:, 0] - w / 2.0).astype(np.int64),
                             nf[0])
-            nf2 = nf[1] if d == 3 else None
+            nf2 = nf[1]
             nf3 = nf[2] if d == 3 else None
             self._mm3_x = _slab_plan(
                 _slab_base_np(np.mod(xp[:, 0], 2 * np.pi), nf[0], w),

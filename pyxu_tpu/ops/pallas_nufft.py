@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 __all__ = ["slab_spread", "slab_interp", "slab_spread3", "slab_interp3",
            "pencil_spread3", "pencil_interp3", "strip_spread3",
-           "strip_interp3"]
+           "strip_interp3", "strip_spread2", "strip_interp2"]
 
 
 def _round8(v: int) -> int:
@@ -647,4 +647,165 @@ def strip_interp3(GR, GI, plan_arrays, *, S1: int, T: int, w: int,
     assert Mp % CH == 0 and win_pad == 2 * T and n2ext == S1 * T + T
     fn = _build_strip_interp(S0, S1, T, w_pad, Mp, CH, n3, w, interpret)
     vr, vi = fn(GR, GI, l0T, w0T, l1T, w1T, i2T, w2T)
+    return vr[:, 0], vi[:, 0]
+
+
+# ------------------------------------------- 2-D strip-resident pencils ----
+#
+# The 2-D slab kernels' dominant cost is NOT HBM traffic or MXU FLOPs but
+# the axis-1 one-hot construction: U1 is built over ALL n2 fine-grid
+# columns for every point chunk (w VPU passes over an (n2, CH) tile ==
+# ~n2*w VPU ops per point; ~9.2k at 512^2/eps=1e-6).  Binning axis 1 as
+# well (2-axis pencils, the 3-D insight applied to 2-D) shrinks the
+# one-hot support to a (T1 + w - 1)-column window — an ~n2/win1 reduction
+# in VPU work (~14x at 512^2).
+#
+# Layout: the strip accumulator stores COLUMNS AS SUBLANES —
+# (1, n2ext, win0_pad), lanes = the 2T0 window rows — so each pencil's
+# (win1_pad, win0_pad) window accumulates at the dynamic SUBLANE offset
+# s1*T1 (T1 is a multiple of 8; Mosaic handles hinted 8-aligned dynamic
+# sublane stores — the round-4 lesson).  Lane-dimension dynamic offsets
+# (the untransposed layout) would need 128-alignment.  The strip stays
+# VMEM-resident across its S1 x Q grid steps; the axis-1 overlap-add
+# never exists in HBM.  Callers transpose back (tiny: 16 lanes), wrap-
+# fold the n2ext extension, and 1-axis overlap-add axis 0 (as slab).
+
+@functools.lru_cache(maxsize=64)
+def _build_strip_spread2(S0, S1, T0, T1, w_pad, Mp, CH, win1_pad, w,
+                         interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+    win0 = 2 * T0
+    n2ext = S1 * T1 + (win1_pad - T1)
+
+    def kernel(cr_ref, ci_ref, l0_ref, w0_ref, l1_ref, w1_ref,
+               outr_ref, outi_ref):
+        s1 = pl.program_id(1)
+        q = pl.program_id(2)
+
+        def onehot(idx, wt, n):
+            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+            U = jnp.zeros((n, CH), jnp.float32)
+            for s in range(w):
+                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+                    jnp.float32)
+            return U
+
+        @pl.when(jnp.logical_and(s1 == 0, q == 0))
+        def _():
+            outr_ref[...] = jnp.zeros((1, n2ext, win0), jnp.float32)
+            outi_ref[...] = jnp.zeros((1, n2ext, win0), jnp.float32)
+
+        U0 = onehot(l0_ref[0], w0_ref[0], win0)        # (win0, CH)
+        U1 = onehot(l1_ref[0], w1_ref[0], win1_pad)    # (win1_pad, CH)
+        dims = (((1,), (1,)), ((), ()))                # contract points
+        Wr = jax.lax.dot_general(U1 * cr_ref[0], U0, dims,
+                                 preferred_element_type=jnp.float32)
+        Wi = jax.lax.dot_general(U1 * ci_ref[0], U0, dims,
+                                 preferred_element_type=jnp.float32)
+        off = pl.multiple_of(s1 * T1, 8)   # T1 is 8-rounded by the planner
+        sl = (slice(None), pl.ds(off, win1_pad), slice(None))
+        outr_ref[sl] = outr_ref[sl] + Wr[None]
+        outi_ref[sl] = outi_ref[sl] + Wi[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, s, q: (p * S1 + s, 0, q))
+    pt_spec = pl.BlockSpec((1, 1, CH), lambda p, s, q: (p * S1 + s, 0, q))
+    out_spec = pl.BlockSpec((1, n2ext, win0), lambda p, s, q: (p, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(S0, S1, Q),
+        in_specs=[pt_spec, pt_spec] + [plan_spec] * 4,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((S0, n2ext, win0), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def strip_spread2(cr, ci, plan_arrays, *, S0: int, S1: int, T0: int,
+                  T1: int, win1_pad: int, w: int, chunk: int,
+                  interpret: bool = False):
+    """2-D strip-resident pencil spreading: returns (Rr, Ri), each
+    (S0, S1*T1 + win1_pad - T1, 2*T0) — COLUMN-MAJOR strips (axis-1
+    overlap-add already done in VMEM); callers transpose, wrap-fold the
+    column extension, and 1-axis overlap-add axis 0."""
+    l0T, w0T, l1T, w1T = plan_arrays
+    P, Mp = cr.shape
+    w_pad = l0T.shape[1]
+    CH = int(chunk)
+    assert Mp % CH == 0 and P == S0 * S1
+    fn = _build_strip_spread2(S0, S1, T0, T1, w_pad, Mp, CH, win1_pad, w,
+                              interpret)
+    return fn(cr[:, None, :], ci[:, None, :], l0T, w0T, l1T, w1T)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_strip_interp2(S0, S1, T0, T1, w_pad, Mp, CH, win1_pad, w,
+                         interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q = Mp // CH
+    win0 = 2 * T0
+    n2ext = S1 * T1 + (win1_pad - T1)
+
+    def kernel(gr_ref, gi_ref, l0_ref, w0_ref, l1_ref, w1_ref,
+               outr_ref, outi_ref):
+        s1 = pl.program_id(1)
+
+        def onehot(idx, wt, n):
+            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+            U = jnp.zeros((n, CH), jnp.float32)
+            for s in range(w):
+                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+                    jnp.float32)
+            return U
+
+        U0 = onehot(l0_ref[0], w0_ref[0], win0)        # (win0, CH)
+        U1 = onehot(l1_ref[0], w1_ref[0], win1_pad)    # (win1_pad, CH)
+        off = pl.multiple_of(s1 * T1, 8)
+        G2 = gr_ref[0, pl.ds(off, win1_pad), :]        # (win1_pad, win0)
+        H2 = gi_ref[0, pl.ds(off, win1_pad), :]
+        dims = (((1,), (0,)), ((), ()))                # contract win0 rows
+        TRr = jax.lax.dot_general(G2, U0, dims,
+                                  preferred_element_type=jnp.float32)
+        TRi = jax.lax.dot_general(H2, U0, dims,
+                                  preferred_element_type=jnp.float32)
+        outr_ref[...] = jnp.sum(TRr * U1, axis=0, keepdims=True)[None]
+        outi_ref[...] = jnp.sum(TRi * U1, axis=0, keepdims=True)[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, s, q: (p * S1 + s, 0, q))
+    g_spec = pl.BlockSpec((1, n2ext, win0), lambda p, s, q: (p, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, CH), lambda p, s, q: (p * S1 + s, 0, q))
+    return pl.pallas_call(
+        kernel,
+        grid=(S0, S1, Q),
+        in_specs=[g_spec, g_spec] + [plan_spec] * 4,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((S0 * S1, 1, Mp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def strip_interp2(GR, GI, plan_arrays, *, S1: int, T0: int, T1: int,
+                  w: int, chunk: int, interpret: bool = False):
+    """2-D strip-resident pencil interpolation: GR/GI (S0, n2ext, 2*T0)
+    column-major axis-0-windowed strips (transpose of
+    :func:`strip_spread2`'s output layout); returns (vr, vi), each
+    (S0*S1, Mp) pencil-ordered point values."""
+    l0T, w0T, l1T, w1T = plan_arrays
+    S0, n2ext, win0 = GR.shape
+    Mp = l0T.shape[2]
+    w_pad = l0T.shape[1]
+    CH = int(chunk)
+    win1_pad = n2ext - S1 * T1 + T1
+    assert Mp % CH == 0 and win0 == 2 * T0
+    fn = _build_strip_interp2(S0, S1, T0, T1, w_pad, Mp, CH, win1_pad, w,
+                              interpret)
+    vr, vi = fn(GR, GI, l0T, w0T, l1T, w1T)
     return vr[:, 0], vi[:, 0]
