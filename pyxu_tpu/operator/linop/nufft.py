@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import collections as _collections
 import math as _math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -258,6 +259,8 @@ def _interp(g, idxs, wts, mm3_plan=None):
             return _interp_slab(g, mm3_plan)
     if d == 2 and _use_mm():
         return _interp_mm2(g, idxs, wts)
+    if d == 1 and _use_mm():
+        return _interp_mm1(g, idxs, wts)
     wts = [w_.astype(g.real.dtype) for w_ in wts]  # keep caller's precision
     if d == 1:
         vals = g[idxs[0]]                        # (M, w)
@@ -317,6 +320,65 @@ def _onehot_w(idx, wt, n, dtype):
     for s in range(w):
         U = U + wt[:, s:s + 1].astype(dtype) * (idx[:, s:s + 1] == a[None, :]).astype(dtype)
     return U
+
+
+def _spread_mm1(c, idxs, wts, n_fs):
+    r"""1-D spreading as chunked dense matmuls: g = U^T c with U (Mc, n1)
+    the one-hot tap matrix — 2·M·n1 MXU FLOPs replace the (slow on TPU)
+    scatter-add.  At d=1 the dense matrix is cheap enough that no binned
+    partition is needed (n1 ~ thousands)."""
+    (n1,) = tuple(n_fs)
+    M = c.shape[0]
+    dtype = c.real.dtype
+    pad = (-M) % _MM_CHUNK
+    cp = jnp.pad(c, (0, pad))
+    i0 = jnp.pad(idxs[0], ((0, pad), (0, 0)))
+    w0 = jnp.pad(wts[0], ((0, pad), (0, 0)))
+    n_chunks = cp.shape[0] // _MM_CHUNK
+
+    def body(carry, args):
+        g_re, g_im = carry
+        cc, ia, wa = args
+        U = _onehot_w(ia, wa, n1, dtype)            # (Mc, n1)
+        dims = (((0,), (0,)), ((), ()))             # contract points
+        g_re = g_re + jax.lax.dot_general(
+            cc.real, U, dims, precision=jax.lax.Precision.HIGHEST)
+        g_im = g_im + jax.lax.dot_general(
+            cc.imag, U, dims, precision=jax.lax.Precision.HIGHEST)
+        return (g_re, g_im), None
+
+    args = tuple(a.reshape((n_chunks, _MM_CHUNK) + a.shape[1:])
+                 for a in (cp, i0, w0))
+    init = _match_vma((jnp.zeros(n1, dtype), jnp.zeros(n1, dtype)), c)
+    (g_re, g_im), _ = jax.lax.scan(body, init, args)
+    return g_re + 1j * g_im
+
+
+def _interp_mm1(g, idxs, wts):
+    r"""1-D interpolation as chunked matmuls: c = U g (transpose of
+    :func:`_spread_mm1`)."""
+    (n1,) = g.shape
+    M = idxs[0].shape[0]
+    dtype = g.real.dtype
+    pad = (-M) % _MM_CHUNK
+    i0 = jnp.pad(idxs[0], ((0, pad), (0, 0)))
+    w0 = jnp.pad(wts[0], ((0, pad), (0, 0)))
+    n_chunks = i0.shape[0] // _MM_CHUNK
+
+    def body(_, args):
+        ia, wa = args
+        U = _onehot_w(ia, wa, n1, dtype)            # (Mc, n1)
+        dims = (((1,), (0,)), ((), ()))
+        vr = jax.lax.dot_general(U, g.real, dims,
+                                 precision=jax.lax.Precision.HIGHEST)
+        vi = jax.lax.dot_general(U, g.imag, dims,
+                                 precision=jax.lax.Precision.HIGHEST)
+        return None, vr + 1j * vi
+
+    args = tuple(a.reshape((n_chunks, _MM_CHUNK) + a.shape[1:])
+                 for a in (i0, w0))
+    _, v = jax.lax.scan(body, None, args)
+    return v.reshape(-1)[:M]
 
 
 def _spread_mm2(c, idxs, wts, n_fs):
@@ -617,9 +679,13 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
     # Skipped when no Pallas route can consume them (plan memory + relay
     # transfers are not free), and in 3-D when the pencil plan exists
     # (the pencil route always wins the dispatch, so the slab-transposed
-    # arrays would be dead weight).
+    # arrays would be dead weight).  In 2-D they coexist with a strip2
+    # plan: the hybrid route spreads through the slab kernel (points
+    # contracted -> MXU lanes carry n2, well-shaped) and interpolates
+    # through the strip2 kernel (points in the output dim — measured
+    # 5.5/4.2 ms vs strip2-spread 10.6 / slab-interp 6.6 at 200k/512²).
     l0T = w0T = i1T = w1T = i2T = w2T = None
-    if pallas_ok and pencil is None and strip2 is None:
+    if pallas_ok and pencil is None and (strip2 is None or d == 2):
         w_pad = -(-w // 8) * 8
 
         def _transposed(a, fill):
@@ -856,13 +922,15 @@ def _strip2_plan(base0, base1, idxs, wts, n1: int, n2: int,
     w = idxs[0].shape[1]
     T0 = max(8, -(-(w - 1) // 8) * 8)
     # column-bin width: larger T1 -> fewer bins (less padding, fewer grid
-    # steps) but a wider one-hot support; ~n2/16 balances both at the
-    # benchmark sizes (64 at 1024² fine grids)
+    # steps) but a wider one-hot support.  Interp sweep on v5e (200k pts,
+    # 1024² fine grid): 3.75 ms at T1=128 vs 4.06/4.17/4.34 at 120/64/96
+    # — the MXU M-dim prefers the largest window, so default to 128
+    # (capped by the grid itself on small problems).
     import os
     if os.environ.get("PYXU_TPU_NUFFT_STRIP2", "1") == "0":
         return None                      # bisection/off switch
     T1 = int(os.environ.get("PYXU_TPU_NUFFT_STRIP2_T1", "0")) or \
-        max(32, min(128, -(-(n2 // 16) // 8) * 8))
+        max(32, min(128, -(-(n2 // 8) // 8) * 8))
     win1_pad = -(-(T1 + w - 1) // 8) * 8
     if n1 < 2 * T0 or n2 < win1_pad:
         return None
@@ -1051,6 +1119,14 @@ def _spread_slab_pallas(c, n_fs, plan):
     w = plan.T                                  # T == w by construction
     win = 2 * plan.T
     sp = plan.strip2
+    # Hybrid 2-D routing: spread through the slab kernel when its arrays
+    # exist (the strip2 spread contracts points on the MXU K dim, leaving
+    # only win0=2*T0 output lanes — measured ~2x slower than slab; interp
+    # keeps strip2, where points fill the output lanes).  Set
+    # PYXU_TPU_NUFFT_STRIP2_SPREAD=1 to force the strip2 spread.
+    if (sp is not None and plan.l0T is not None
+            and os.environ.get("PYXU_TPU_NUFFT_STRIP2_SPREAD") != "1"):
+        sp = None
     if sp is not None:
         from pyxu_tpu.ops.pallas_nufft import strip_spread2
         csp = _pad_pt(c)[sp.perm]
@@ -1230,6 +1306,8 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
             return _spread_slab(c, n_fs, mm3_plan)
     if d == 2 and _use_mm():
         return _spread_mm2(c, idxs, wts, n_fs)
+    if d == 1 and _use_mm():
+        return _spread_mm1(c, idxs, wts, n_fs)
     wts = [w_.astype(c.real.dtype) for w_ in wts]  # keep caller's precision
     g = jnp.zeros(tuple(n_fs), dtype=c.dtype)
     if d == 1:

@@ -265,6 +265,12 @@ class Memorize(StoppingCriterion):
 def _batched_norm(v, rank: int, ord):
     """Per-batch-element norm over the trailing ``rank`` axes."""
     v = jnp.asarray(v)
+    if not 0 <= rank <= v.ndim:
+        raise ValueError(
+            f"rank={rank} incompatible with a variable of ndim {v.ndim}: "
+            "rank counts the trailing axes that form one solution point "
+            "(e.g. rank=2 for an (H, W) image, rank=3 for an (H, W, 2) "
+            "complex-as-real view).")
     axes = tuple(range(v.ndim - rank, v.ndim))
     if ord == 2:
         return jnp.sqrt(jnp.sum(v * v, axis=axes))

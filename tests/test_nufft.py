@@ -114,6 +114,32 @@ def test_type1_batch():
         assert _rel(view_as_complex(got[b]), want) < 1e-4
 
 
+class TestMM1SpreadInterp:
+    """1-D dense one-hot MXU path (PYXU_TPU_NUFFT_MM) must agree with the
+    XLA scatter/gather path and the direct NUDFT (at d=1 a dense (Mc, n1)
+    tap matrix is cheap — no binned partition needed)."""
+
+    def test_mm1_matches_scatter_and_direct(self, monkeypatch):
+        M, N = 700, 48
+        x = _pts(M, 1)
+        op = NUFFT.type1(x, N, eps=1e-6)
+        c = (rng0.standard_normal(M)
+             + 1j * rng0.standard_normal(M)).astype(np.complex64)
+        cr = jnp.asarray(view_as_real(c))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
+        f_sc = np.asarray(op.apply(cr))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        f_mm = np.asarray(op.apply(cr))
+        assert _rel(f_mm, f_sc) < 1e-5
+        assert _rel(view_as_complex(f_mm), nudft1(c, x, N)) < 1e-4
+        fr = jnp.asarray(rng0.standard_normal(op.codim_shape), jnp.float32)
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "0")
+        a_sc = np.asarray(op.adjoint(fr))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        a_mm = np.asarray(op.adjoint(fr))
+        assert _rel(a_mm, a_sc) < 1e-5
+
+
 class TestMM3SpreadInterp:
     """3-D slab-binned MXU spreading path (PYXU_TPU_NUFFT_MM) must agree
     with the XLA scatter/gather path and the direct NUDFT."""

@@ -199,7 +199,9 @@ class TestStrip2Routes:
         x = rng.uniform(-np.pi, np.pi, (M, 2))
         op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
         assert op._mm3 is not None and op._mm3.strip2 is not None
-        assert op._mm3.l0T is None        # strip2 supersedes slab-Pallas
+        # hybrid routing: the slab-transposed arrays coexist with strip2
+        # (slab kernel spreads, strip2 kernel interpolates)
+        assert op._mm3.l0T is not None
         return op, x, rng
 
     @pytest.mark.parametrize("t1", [None, 32])
@@ -213,6 +215,11 @@ class TestStrip2Routes:
         g_xla = np.asarray(nf._spread_slab(cc, op._nf, plan))
         g_pl = np.asarray(nf._spread_slab_pallas(cc, op._nf, plan))
         assert np.max(np.abs(g_xla - g_pl)) < 1e-5 * np.max(np.abs(g_xla))
+        # forced strip2 spread kernel (non-default): same numerics
+        monkeypatch.setenv("PYXU_TPU_NUFFT_STRIP2_SPREAD", "1")
+        g_sp = np.asarray(nf._spread_slab_pallas(cc, op._nf, plan))
+        monkeypatch.delenv("PYXU_TPU_NUFFT_STRIP2_SPREAD")
+        assert np.max(np.abs(g_xla - g_sp)) < 1e-5 * np.max(np.abs(g_xla))
         g = jnp.asarray((rng.standard_normal(op._nf)
                          + 1j * rng.standard_normal(op._nf))
                         .astype(np.complex64))

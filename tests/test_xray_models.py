@@ -60,8 +60,21 @@ def test_ct_workload_converges():
 
 
 def test_ri_workload_converges():
+    # default real_sky=True: iterates are the real (H, W) sky image
     from pyxu_tpu.models import radio_interferometry
     slv, kw, aux = radio_interferometry(shape=(32, 32), n_vis=800, lam=0.02)
+    slv.fit(stop_crit=RelError(eps=1e-6, var="x", rank=2) | MaxIter(200),
+            max_iter=200, **kw)
+    x = np.asarray(slv.solution())
+    err = np.linalg.norm(x - aux["x_true"]) / np.linalg.norm(aux["x_true"])
+    assert err < 0.5
+
+
+def test_ri_workload_converges_complex():
+    # legacy complex-image formulation: iterates are (H, W, 2) real views
+    from pyxu_tpu.models import radio_interferometry
+    slv, kw, aux = radio_interferometry(shape=(32, 32), n_vis=800, lam=0.02,
+                                        real_sky=False)
     slv.fit(stop_crit=RelError(eps=1e-6, var="x", rank=3) | MaxIter(200),
             max_iter=200, **kw)
     x = np.asarray(slv.solution())[..., 0]

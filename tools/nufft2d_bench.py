@@ -69,12 +69,19 @@ def main():
     ci = jnp.asarray(cih)
     gr = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
     gi = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
+    fr = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    fi = jnp.asarray(rng.standard_normal(N).astype(np.float32))
     floor = _floor(jax, jnp)
     print(f"# dispatch floor {floor*1e3:.1f} ms", flush=True)
 
+    args = [a for a in sys.argv[1:]
+            if a not in ("--spread-only", "--interp-only")]
+    spread_only = "--spread-only" in sys.argv[1:]
+    interp_only = "--interp-only" in sys.argv[1:]
     variants = [("strip2_T1_" + t, {"PYXU_TPU_NUFFT_STRIP2_T1": t})
-                for t in (sys.argv[1:] or ["64"])]
-    variants += [("slab_pallas", {"PYXU_TPU_NUFFT_STRIP2": "0"})]
+                for t in (args or ["64"])]
+    if not spread_only:
+        variants += [("slab_pallas", {"PYXU_TPU_NUFFT_STRIP2": "0"})]
 
     for tag, env in variants:
         for k, v in env.items():
@@ -99,9 +106,18 @@ def main():
             out = op.apply(jnp.stack([a, b], axis=-1))
             return out.sum()
 
-        measure(f"{tag} spread", spread_s, cr, ci, jax, jnp, floor)
-        measure(f"{tag} interp", interp_s, cr, ci, jax, jnp, floor)
-        measure(f"{tag} type1", type1_s, cr, ci, jax, jnp, floor)
+        def type1adj_s(a, b, op=op):
+            # modes -> points (the type-2 compute path: interp stage)
+            m = jnp.stack([fr * (1 + a[0]), fi * (1 + b[0])], axis=-1)
+            return op.adjoint(m).sum()
+
+        if not interp_only:
+            measure(f"{tag} spread", spread_s, cr, ci, jax, jnp, floor)
+        if not spread_only:
+            measure(f"{tag} interp", interp_s, cr, ci, jax, jnp, floor)
+        if not (spread_only or interp_only):
+            measure(f"{tag} type1", type1_s, cr, ci, jax, jnp, floor)
+            measure(f"{tag} type1adj", type1adj_s, cr, ci, jax, jnp, floor)
         for k in env:
             del os.environ[k]
 
