@@ -259,7 +259,7 @@ def _interp(g, idxs, wts, mm3_plan=None):
             return _interp_slab(g, mm3_plan)
     if d == 2 and _use_mm():
         return _interp_mm2(g, idxs, wts)
-    if d == 1 and _use_mm():
+    if d == 1 and _use_mm() and _mm1_ok(g.shape[0]):
         return _interp_mm1(g, idxs, wts)
     wts = [w_.astype(g.real.dtype) for w_ in wts]  # keep caller's precision
     if d == 1:
@@ -322,19 +322,38 @@ def _onehot_w(idx, wt, n, dtype):
     return U
 
 
+_MM1_MAX_N = 16384
+
+
+def _mm1_ok(n1) -> bool:
+    """Break-even guard for the dense 1-D one-hot path: its cost is
+    bandwidth over the (Mc, n1) tap matrix (~M·n1·4 bytes), so beyond
+    ~16k fine-grid cells the (slow but O(M·w)) scatter/gather path wins
+    and the dense matrix would anyway be enormous."""
+    return int(n1) <= _MM1_MAX_N
+
+
+def _mm1_chunk(n1: int) -> int:
+    """Point-chunk size keeping the per-step (Mc, n1) tap matrix <= 64 MB."""
+    ch = (16 << 20) // max(int(n1), 1)
+    return max(256, min(_MM_CHUNK, ch // 256 * 256))
+
+
 def _spread_mm1(c, idxs, wts, n_fs):
     r"""1-D spreading as chunked dense matmuls: g = U^T c with U (Mc, n1)
     the one-hot tap matrix — 2·M·n1 MXU FLOPs replace the (slow on TPU)
-    scatter-add.  At d=1 the dense matrix is cheap enough that no binned
-    partition is needed (n1 ~ thousands)."""
+    scatter-add.  At d=1 a dense tap matrix needs no binned partition for
+    moderate n1 (the :func:`_mm1_ok` guard routes large grids back to
+    scatter)."""
     (n1,) = tuple(n_fs)
     M = c.shape[0]
     dtype = c.real.dtype
-    pad = (-M) % _MM_CHUNK
+    CH = _mm1_chunk(n1)
+    pad = (-M) % CH
     cp = jnp.pad(c, (0, pad))
     i0 = jnp.pad(idxs[0], ((0, pad), (0, 0)))
     w0 = jnp.pad(wts[0], ((0, pad), (0, 0)))
-    n_chunks = cp.shape[0] // _MM_CHUNK
+    n_chunks = cp.shape[0] // CH
 
     def body(carry, args):
         g_re, g_im = carry
@@ -347,7 +366,7 @@ def _spread_mm1(c, idxs, wts, n_fs):
             cc.imag, U, dims, precision=jax.lax.Precision.HIGHEST)
         return (g_re, g_im), None
 
-    args = tuple(a.reshape((n_chunks, _MM_CHUNK) + a.shape[1:])
+    args = tuple(a.reshape((n_chunks, CH) + a.shape[1:])
                  for a in (cp, i0, w0))
     init = _match_vma((jnp.zeros(n1, dtype), jnp.zeros(n1, dtype)), c)
     (g_re, g_im), _ = jax.lax.scan(body, init, args)
@@ -360,10 +379,11 @@ def _interp_mm1(g, idxs, wts):
     (n1,) = g.shape
     M = idxs[0].shape[0]
     dtype = g.real.dtype
-    pad = (-M) % _MM_CHUNK
+    CH = _mm1_chunk(n1)
+    pad = (-M) % CH
     i0 = jnp.pad(idxs[0], ((0, pad), (0, 0)))
     w0 = jnp.pad(wts[0], ((0, pad), (0, 0)))
-    n_chunks = i0.shape[0] // _MM_CHUNK
+    n_chunks = i0.shape[0] // CH
 
     def body(_, args):
         ia, wa = args
@@ -375,7 +395,7 @@ def _interp_mm1(g, idxs, wts):
                                  precision=jax.lax.Precision.HIGHEST)
         return None, vr + 1j * vi
 
-    args = tuple(a.reshape((n_chunks, _MM_CHUNK) + a.shape[1:])
+    args = tuple(a.reshape((n_chunks, CH) + a.shape[1:])
                  for a in (i0, w0))
     _, v = jax.lax.scan(body, None, args)
     return v.reshape(-1)[:M]
@@ -680,12 +700,13 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
     # transfers are not free), and in 3-D when the pencil plan exists
     # (the pencil route always wins the dispatch, so the slab-transposed
     # arrays would be dead weight).  In 2-D they coexist with a strip2
-    # plan: the hybrid route spreads through the slab kernel (points
-    # contracted -> MXU lanes carry n2, well-shaped) and interpolates
-    # through the strip2 kernel (points in the output dim — measured
-    # 5.5/4.2 ms vs strip2-spread 10.6 / slab-interp 6.6 at 200k/512²).
+    # plan (strip2 is only ever built at d == 2): the hybrid route spreads
+    # through the slab kernel (points contracted -> MXU lanes carry n2,
+    # well-shaped) and interpolates through the strip2 kernel (points in
+    # the output dim — measured 5.5/4.2 ms vs strip2-spread 10.6 /
+    # slab-interp 6.6 at 200k/512²).
     l0T = w0T = i1T = w1T = i2T = w2T = None
-    if pallas_ok and pencil is None and (strip2 is None or d == 2):
+    if pallas_ok and pencil is None:
         w_pad = -(-w // 8) * 8
 
         def _transposed(a, fill):
@@ -832,16 +853,7 @@ def _pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
     w_pad = -(-w // 8) * 8
 
     def padrow_perm_T(a, fill):
-        """Transposed padded gather: (P, Mp, w) -> (P, w_pad, Mp)."""
-        a = np.asarray(a)
-        g = np.concatenate(
-            [a, np.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)[perm]
-        gT = np.ascontiguousarray(np.transpose(g, (0, 2, 1)))
-        if w_pad != w:
-            pad = np.full((gT.shape[0], w_pad - w, gT.shape[2]), fill,
-                          gT.dtype)
-            gT = np.concatenate([gT, pad], axis=1)
-        return jnp.asarray(gT)
+        return _padrow_perm_T(a, fill, perm, w, w_pad)
 
     t = np.arange(w, dtype=np.int32)
     rows0 = base0.astype(np.int32)[:, None] + t
@@ -913,6 +925,22 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _padrow_perm_T(a, fill, perm, w: int, w_pad: int):
+    """Transposed padded gather shared by the pencil/strip2 planners:
+    (M, w) host arrays -> (P, w_pad, Mp) slab/pencil-ordered, taps
+    sublane-major, dummy rows filled with ``fill`` (a huge-negative index
+    makes the kernels' one-hot contribute nothing)."""
+    a = np.asarray(a)
+    g = np.concatenate(
+        [a, np.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)[perm]
+    gT = np.ascontiguousarray(np.transpose(g, (0, 2, 1)))
+    if w_pad != w:
+        pad = np.full((gT.shape[0], w_pad - w, gT.shape[2]), fill,
+                      gT.dtype)
+        gT = np.concatenate([gT, pad], axis=1)
+    return jnp.asarray(gT)
+
+
 def _strip2_plan(base0, base1, idxs, wts, n1: int, n2: int,
                  chunk: int = _SLAB_CHUNK, max_blowup: float = 6.0):
     """Build a `_StripPlan2` from per-axis unwrapped base cells + tap
@@ -926,11 +954,13 @@ def _strip2_plan(base0, base1, idxs, wts, n1: int, n2: int,
     # 1024² fine grid): 3.75 ms at T1=128 vs 4.06/4.17/4.34 at 120/64/96
     # — the MXU M-dim prefers the largest window, so default to 128
     # (capped by the grid itself on small problems).
-    import os
     if os.environ.get("PYXU_TPU_NUFFT_STRIP2", "1") == "0":
         return None                      # bisection/off switch
     T1 = int(os.environ.get("PYXU_TPU_NUFFT_STRIP2_T1", "0")) or \
         max(32, min(128, -(-(n2 // 8) // 8) * 8))
+    # the kernels' dynamic sublane offsets s1*T1 carry a pl.multiple_of(8)
+    # hint — round any env override up so the hint stays truthful
+    T1 = -(-T1 // 8) * 8
     win1_pad = -(-(T1 + w - 1) // 8) * 8
     if n1 < 2 * T0 or n2 < win1_pad:
         return None
@@ -948,15 +978,7 @@ def _strip2_plan(base0, base1, idxs, wts, n1: int, n2: int,
     w_pad = -(-w // 8) * 8
 
     def padrow_perm_T(a, fill):
-        a = np.asarray(a)
-        g = np.concatenate(
-            [a, np.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)[perm]
-        gT = np.ascontiguousarray(np.transpose(g, (0, 2, 1)))
-        if w_pad != w:
-            pad = np.full((gT.shape[0], w_pad - w, gT.shape[2]), fill,
-                          gT.dtype)
-            gT = np.concatenate([gT, pad], axis=1)
-        return jnp.asarray(gT)
+        return _padrow_perm_T(a, fill, perm, w, w_pad)
 
     t = np.arange(w, dtype=np.int32)
     l0 = base0.astype(np.int32)[:, None] + t - ((bins // S1) * T0
@@ -1306,7 +1328,7 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
             return _spread_slab(c, n_fs, mm3_plan)
     if d == 2 and _use_mm():
         return _spread_mm2(c, idxs, wts, n_fs)
-    if d == 1 and _use_mm():
+    if d == 1 and _use_mm() and _mm1_ok(n_fs[0]):
         return _spread_mm1(c, idxs, wts, n_fs)
     wts = [w_.astype(c.real.dtype) for w_ in wts]  # keep caller's precision
     g = jnp.zeros(tuple(n_fs), dtype=c.dtype)

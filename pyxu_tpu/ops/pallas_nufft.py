@@ -43,6 +43,18 @@ def _round8(v: int) -> int:
     return -(-int(v) // 8) * 8
 
 
+def _onehot_tap(idx, wt, n, CH, w):
+    """U[a, j] = sum_s wt[s, j] * (a == idx[s, j]) — the (n, CH) one-hot
+    tap matrix built in VMEM with w VPU passes (no scatter); shared by all
+    kernel builders below (traced inside each kernel)."""
+    cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
+    U = jnp.zeros((n, CH), jnp.float32)
+    for s in range(w):
+        U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
+            jnp.float32)
+    return U
+
+
 @functools.lru_cache(maxsize=64)
 def _build_spread(S, w_pad, Mp, CH, win_pad, n2, w, interpret):
     from jax.experimental import pallas as pl
@@ -213,12 +225,7 @@ def _build_spread3(S, w_pad, Mp, CH, win_pad, n2, n3, w, interpret):
         q = pl.program_id(1)
 
         def onehot(idx, wt, n):
-            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
-            U = jnp.zeros((n, CH), jnp.float32)
-            for s in range(w):
-                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
-                    jnp.float32)
-            return U
+            return _onehot_tap(idx, wt, n, CH, w)
 
         U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
         U1 = onehot(i1_ref[0], w1_ref[0], n2)
@@ -280,12 +287,7 @@ def _build_interp3(S, w_pad, Mp, CH, win_pad, n2, n3, w, interpret):
     def kernel(gr_ref, gi_ref, l0_ref, w0_ref, i1_ref, w1_ref, i2_ref,
                w2_ref, outr_ref, outi_ref):
         def onehot(idx, wt, n):
-            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
-            U = jnp.zeros((n, CH), jnp.float32)
-            for s in range(w):
-                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
-                    jnp.float32)
-            return U
+            return _onehot_tap(idx, wt, n, CH, w)
 
         U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
         U1 = onehot(i1_ref[0], w1_ref[0], n2)
@@ -348,12 +350,7 @@ def _build_pencil_spread(S0, S1, G, w_pad, Mp, CH, win_pad, n3, w,
         q = pl.program_id(1)
 
         def onehot(idx, wt, n):
-            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
-            U = jnp.zeros((n, CH), jnp.float32)
-            for s in range(w):
-                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
-                    jnp.float32)
-            return U
+            return _onehot_tap(idx, wt, n, CH, w)
 
         # G pencils per grid step: one DMA round per G pencils instead of
         # one per pencil — the pencil kernels are per-step-latency-bound,
@@ -431,12 +428,7 @@ def _build_pencil_interp(S0, S1, G, w_pad, Mp, CH, win_pad, n3, w,
     def kernel(gr_ref, gi_ref, l0_ref, w0_ref, l1_ref, w1_ref, i2_ref,
                w2_ref, outr_ref, outi_ref):
         def onehot(idx, wt, n):
-            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
-            U = jnp.zeros((n, CH), jnp.float32)
-            for s in range(w):
-                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
-                    jnp.float32)
-            return U
+            return _onehot_tap(idx, wt, n, CH, w)
 
         # G pencils per grid step (see _build_pencil_spread)
         for g in range(G):
@@ -523,12 +515,7 @@ def _build_strip_spread(S0, S1, T, w_pad, Mp, CH, n3, w, interpret):
         q = pl.program_id(2)
 
         def onehot(idx, wt, n):
-            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
-            U = jnp.zeros((n, CH), jnp.float32)
-            for s in range(w):
-                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
-                    jnp.float32)
-            return U
+            return _onehot_tap(idx, wt, n, CH, w)
 
         @pl.when(jnp.logical_and(s1 == 0, q == 0))
         def _():
@@ -595,12 +582,7 @@ def _build_strip_interp(S0, S1, T, w_pad, Mp, CH, n3, w, interpret):
         s1 = pl.program_id(1)
 
         def onehot(idx, wt, n):
-            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
-            U = jnp.zeros((n, CH), jnp.float32)
-            for s in range(w):
-                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
-                    jnp.float32)
-            return U
+            return _onehot_tap(idx, wt, n, CH, w)
 
         U0 = onehot(l0_ref[0], w0_ref[0], win_pad)
         U1 = onehot(l1_ref[0], w1_ref[0], win_pad)
@@ -686,12 +668,7 @@ def _build_strip_spread2(S0, S1, T0, T1, w_pad, Mp, CH, win1_pad, w,
         q = pl.program_id(2)
 
         def onehot(idx, wt, n):
-            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
-            U = jnp.zeros((n, CH), jnp.float32)
-            for s in range(w):
-                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
-                    jnp.float32)
-            return U
+            return _onehot_tap(idx, wt, n, CH, w)
 
         @pl.when(jnp.logical_and(s1 == 0, q == 0))
         def _():
@@ -757,12 +734,7 @@ def _build_strip_interp2(S0, S1, T0, T1, w_pad, Mp, CH, win1_pad, w,
         s1 = pl.program_id(1)
 
         def onehot(idx, wt, n):
-            cell = jax.lax.broadcasted_iota(jnp.int32, (n, CH), 0)
-            U = jnp.zeros((n, CH), jnp.float32)
-            for s in range(w):
-                U = U + wt[s:s + 1, :] * (idx[s:s + 1, :] == cell).astype(
-                    jnp.float32)
-            return U
+            return _onehot_tap(idx, wt, n, CH, w)
 
         U0 = onehot(l0_ref[0], w0_ref[0], win0)        # (win0, CH)
         U1 = onehot(l1_ref[0], w1_ref[0], win1_pad)    # (win1_pad, CH)

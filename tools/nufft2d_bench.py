@@ -78,10 +78,13 @@ def main():
             if a not in ("--spread-only", "--interp-only")]
     spread_only = "--spread-only" in sys.argv[1:]
     interp_only = "--interp-only" in sys.argv[1:]
-    variants = [("strip2_T1_" + t, {"PYXU_TPU_NUFFT_STRIP2_T1": t})
+    # hybrid plans route spread -> slab kernel unless forced, so strip2
+    # spread legs must set the force switch to measure what the label says
+    variants = [("strip2_T1_" + t, {"PYXU_TPU_NUFFT_STRIP2_T1": t,
+                                    "PYXU_TPU_NUFFT_STRIP2_SPREAD": "1"})
                 for t in (args or ["64"])]
-    if not spread_only:
-        variants += [("slab_pallas", {"PYXU_TPU_NUFFT_STRIP2": "0"})]
+    variants += [("hybrid_default", {}),
+                 ("slab_pallas", {"PYXU_TPU_NUFFT_STRIP2": "0"})]
 
     for tag, env in variants:
         for k, v in env.items():
