@@ -11,6 +11,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 REPS = 8
@@ -82,7 +84,7 @@ def main():
     # spread legs must set the force switch to measure what the label says
     variants = [("strip2_T1_" + t, {"PYXU_TPU_NUFFT_STRIP2_T1": t,
                                     "PYXU_TPU_NUFFT_STRIP2_SPREAD": "1"})
-                for t in (args or ["64"])]
+                for t in args]          # no args -> hybrid + slab only
     variants += [("hybrid_default", {}),
                  ("slab_pallas", {"PYXU_TPU_NUFFT_STRIP2": "0"})]
 
