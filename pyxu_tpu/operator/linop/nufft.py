@@ -540,6 +540,13 @@ def _pad_pt(a, fill=0):
 _SLAB_CHUNK = 512  # per-step batched tap matrix is (S, CHUNK, n2)
 
 
+def _chunk_override(chunk: int) -> int:
+    """Resolve the per-grid-step point-chunk size: PYXU_TPU_NUFFT_CHUNK
+    overrides the caller's value (kernel-sweep knob; larger chunks mean
+    fewer grid steps but bigger VMEM tap matrices)."""
+    return int(os.environ.get("PYXU_TPU_NUFFT_CHUNK", "0")) or int(chunk)
+
+
 class _SlabPlan:
     """Host-built slab partition for 2-D/3-D MXU spreading, with taps
     **pre-permuted into slab order at plan time** so the kernels run zero
@@ -635,6 +642,7 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
     pencil-partition well), in which case the returned plan is
     pencil-only (slab leaves None; Pallas-off paths fall back to
     dense/scatter)."""
+    chunk = _chunk_override(chunk)
     M = base.shape[0]
     d = len(idxs)
     w = idxs[0].shape[1]
@@ -801,6 +809,7 @@ def _pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
     arrays (d == 3 only).  ``max_blowup`` is generous: the pencil kernel's
     FLOPs are n2/2w lower per point than the slab fallback's, so heavy
     padding still wins."""
+    chunk = _chunk_override(chunk)
     M = base0.shape[0]
     w = idxs[0].shape[1]
     # 8-rounded pencil thickness: T >= w-1 keeps a point's tap span
@@ -947,6 +956,7 @@ def _strip2_plan(base0, base1, idxs, wts, n1: int, n2: int,
     arrays (d == 2 only), or None when the 2-axis padding blowup exceeds
     ``max_blowup`` (tap-array DMA scales with it) or the grid is too
     small for the window/wrap geometry."""
+    chunk = _chunk_override(chunk)
     w = idxs[0].shape[1]
     T0 = max(8, -(-(w - 1) // 8) * 8)
     # column-bin width: larger T1 -> fewer bins (less padding, fewer grid
