@@ -252,6 +252,7 @@ def _interp(g, idxs, wts, mm3_plan=None):
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
         if (mm3_plan.pencil is not None or mm3_plan.strip2 is not None
+                or mm3_plan.ragged is not None
                 or mm3_plan.l0T is not None) \
                 and _use_slab_pallas(g.real.dtype):
             return _interp_slab_pallas(g, mm3_plan)
@@ -575,7 +576,7 @@ class _SlabPlan:
     def __init__(self, perm, l0, w0, i1, w1, i2, w2, invperm, T: int,
                  n1ext: int, chunk: int = _SLAB_CHUNK,
                  l0T=None, w0T=None, i1T=None, w1T=None, i2T=None,
-                 w2T=None, pencil=None, strip2=None):
+                 w2T=None, pencil=None, strip2=None, ragged=None):
         self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
         self.l0 = l0            # (S, Mp, w) int32 window-local rows
         self.w0 = w0            # (S, Mp, w) axis-0 tap weights (0 on pads)
@@ -594,6 +595,9 @@ class _SlabPlan:
                                 #   or None (2-D / too-clustered sets)
         self.strip2 = strip2    # `_StripPlan2` for the 2-D strip kernels,
                                 #   or None (3-D / too-clustered sets)
+        self.ragged = ragged    # `_RaggedPlan2`: flat-chunk-list 2-D slab
+                                #   partition (built when the classic
+                                #   padded partition is refused), or None
         self.T = int(T)
         self.n1ext = int(n1ext)
         self.chunk = int(chunk)
@@ -603,7 +607,7 @@ jax.tree_util.register_pytree_node(
     _SlabPlan,
     lambda p: ((p.perm, p.l0, p.w0, p.i1, p.w1, p.i2, p.w2, p.invperm,
                 p.l0T, p.w0T, p.i1T, p.w1T, p.i2T, p.w2T, p.pencil,
-                p.strip2),
+                p.strip2, p.ragged),
                (p.T, p.n1ext, p.chunk)),
     lambda aux, ch: _SlabPlan(*ch[:8], *aux, *ch[8:]),
 )
@@ -669,12 +673,23 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
             strip2 = _strip2_plan(np.asarray(base, np.int64), base1,
                                   idxs, wts, n1, n2)
     part = _slab_partition_np(base, n1, w, chunk, max_blowup=max_blowup)
+    ragged = None
+    if part is None and d == 2 and pallas_ok:
+        # classic padded partition refused (clustered / partially
+        # occupied sets — e.g. type-3 fine grids): the ragged flat-chunk
+        # partition pays one chunk per occupied slab instead
+        ragged = _ragged_plan2(np.asarray(base, np.int64), idxs, wts,
+                               n1, n2, chunk=chunk)
     if part is None:
-        sub = pencil if pencil is not None else strip2
+        sub = next((p for p in (pencil, strip2, ragged)
+                    if p is not None), None)
         if sub is None:
             return None
+        n1e = ragged.n1ext if ragged is not None else 0
         return _SlabPlan(None, None, None, None, None, None, None, None,
-                         w, 0, sub.chunk, pencil=pencil, strip2=strip2)
+                         w, n1e, getattr(sub, "chunk", 0) or
+                         getattr(sub, "CH", 0),
+                         pencil=pencil, strip2=strip2, ragged=ragged)
     perm, starts, inv, T, n1ext, chunk = part
 
     from pyxu_tpu import native
@@ -934,6 +949,123 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class _RaggedPlan2:
+    r"""Host-built ragged (flat chunk list) 2-D slab partition for the
+    Pallas spread/interp kernels with scalar-prefetched index maps.
+
+    The classic `_SlabPlan` pads every slab to the max per-slab count, so
+    clustered or partially-occupied point sets (Gaussian clouds, type-3
+    fine grids whose points span only 1/upsampfac of the extent) blow up
+    the padding and get REFUSED, falling back to the ~30x-more-FLOPs
+    dense one-hot path.  Here each occupied slab contributes
+    ``ceil(cnt_s / CH)`` grid steps to one flat step list (steps sorted
+    by slab; ``step_first`` marks block initialization), so padding is
+    bounded by one chunk per occupied slab and empty slabs cost nothing.
+    Cf. ragged/MoE Pallas kernels (scalar prefetch drives the BlockSpec
+    index maps); reference counterpart: FINUFFT's per-subproblem bin
+    lists (reference nufft.py:275-277).
+    """
+
+    def __init__(self, perm, l0T, w0T, i1T, w1T, step_slab, step_first,
+                 invperm, occ_mask, S: int, T: int, n1ext: int, CH: int,
+                 w: int):
+        self.perm = perm              # (n_steps, CH) int32 point ids (M=pad)
+        self.l0T = l0T                # (n_steps, w_pad, CH) window-local rows
+        self.w0T = w0T
+        self.i1T = i1T
+        self.w1T = w1T
+        self.step_slab = step_slab    # (n_steps,) int32 slab of each step
+        self.step_first = step_first  # (n_steps,) int32 1 = slab's 1st step
+        self.invperm = invperm        # (M,) int32 into the flat point list
+        self.occ_mask = occ_mask      # (S, 1, 1) f32 1 = slab occupied
+        self.S = int(S)
+        self.T = int(T)
+        self.n1ext = int(n1ext)
+        self.CH = int(CH)
+        self.w = int(w)
+
+
+jax.tree_util.register_pytree_node(
+    _RaggedPlan2,
+    lambda p: ((p.perm, p.l0T, p.w0T, p.i1T, p.w1T, p.step_slab,
+                p.step_first, p.invperm, p.occ_mask),
+               (p.S, p.T, p.n1ext, p.CH, p.w)),
+    lambda aux, ch: _RaggedPlan2(*ch, *aux),
+)
+
+
+def _ragged_partition_np(binid, S: int, chunk: int, max_blowup: float = 6.0):
+    """Flat chunk-list partition: returns (perm (n_steps, CH), step_slab,
+    step_first, invperm, occ (S,), CH) or None when even the ragged
+    layout exceeds ``max_blowup`` (degenerate: M << one chunk per
+    occupied slab)."""
+    M = binid.shape[0]
+    cnt = np.bincount(binid, minlength=S)
+    occ = np.nonzero(cnt)[0]
+    if len(occ) == 0:
+        return None
+    mean_cnt = M / len(occ)
+    CH = int(np.clip(128 * -(-mean_cnt // 128), 128, chunk))
+    steps_per = -(-cnt[occ] // CH)
+    n_steps = int(steps_per.sum())
+    if n_steps * CH > max_blowup * max(M, 1):
+        return None
+    order = np.argsort(binid, kind="stable")
+    perm = np.full((n_steps, CH), M, np.int64)
+    step_slab = np.empty(n_steps, np.int32)
+    step_first = np.zeros(n_steps, np.int32)
+    invperm = np.empty(M, np.int64)
+    t = pos = 0
+    for s, ns in zip(occ, steps_per):
+        c = int(cnt[s])
+        idx = order[pos:pos + c]
+        pos += c
+        ns = int(ns)
+        step_slab[t:t + ns] = s
+        step_first[t] = 1
+        flat = perm[t:t + ns].reshape(-1)
+        flat[:c] = idx
+        perm[t:t + ns] = flat.reshape(ns, CH)
+        invperm[idx] = t * CH + np.arange(c)
+        t += ns
+    occ_flags = np.zeros(S, np.float32)
+    occ_flags[occ] = 1.0
+    return perm, step_slab, step_first, invperm, occ_flags, CH
+
+
+def _ragged_plan2(base0, idxs, wts, n1: int, n2: int,
+                  chunk: int = _SLAB_CHUNK):
+    """Build a `_RaggedPlan2` from unwrapped axis-0 base cells (2-D only),
+    or None (env-disabled / degenerate point sets)."""
+    if os.environ.get("PYXU_TPU_NUFFT_RAGGED", "1") == "0":
+        return None
+    w = idxs[0].shape[1]
+    T = w
+    S = -(-n1 // T)
+    binid = (base0 // T).astype(np.int64)
+    part = _ragged_partition_np(binid, S, _chunk_override(chunk))
+    if part is None:
+        return None
+    perm, step_slab, step_first, invperm, occ_flags, CH = part
+    w_pad = -(-w // 8) * 8
+    t = np.arange(w, dtype=np.int32)
+    l0 = base0.astype(np.int32)[:, None] + t - (binid * T
+                                                ).astype(np.int32)[:, None]
+    return _RaggedPlan2(
+        jnp.asarray(perm),
+        _padrow_perm_T(l0, -(1 << 20), perm, w, w_pad),
+        _padrow_perm_T(np.ascontiguousarray(wts[0]).astype(np.float32), 0.0,
+                       perm, w, w_pad),
+        _padrow_perm_T(np.ascontiguousarray(idxs[1]), -(1 << 20), perm, w,
+                       w_pad),
+        _padrow_perm_T(np.ascontiguousarray(wts[1]).astype(np.float32), 0.0,
+                       perm, w, w_pad),
+        jnp.asarray(step_slab), jnp.asarray(step_first),
+        jnp.asarray(invperm.astype(np.int32)),
+        jnp.asarray(occ_flags[:, None, None]),
+        S, T, S * T + T, CH, w)
+
+
 def _padrow_perm_T(a, fill, perm, w: int, w_pad: int):
     """Transposed padded gather shared by the pencil/strip2 planners:
     (M, w) host arrays -> (P, w_pad, Mp) slab/pencil-ordered, taps
@@ -1150,6 +1282,22 @@ def _spread_slab_pallas(c, n_fs, plan):
     interp = jax.default_backend() != "tpu"
     w = plan.T                                  # T == w by construction
     win = 2 * plan.T
+    rg = plan.ragged
+    if (rg is not None
+            and os.environ.get("PYXU_TPU_NUFFT_STRIP2_SPREAD") != "1"):
+        # ragged flat-chunk-list slab spread (classic partition refused)
+        from pyxu_tpu.ops.pallas_nufft import ragged_spread2
+        cp = _pad_pt(c)[rg.perm]                # (n_steps, CH)
+        Rr, Ri = ragged_spread2(
+            rg.step_slab, rg.step_first,
+            cp.real.astype(jnp.float32), cp.imag.astype(jnp.float32),
+            (rg.l0T, rg.w0T, rg.i1T, rg.w1T), S=rg.S, n2=int(n_fs[1]),
+            win=2 * rg.T, w=rg.w, interpret=interp)
+        occ = rg.occ_mask > 0                   # unvisited blocks are
+        Rr = jnp.where(occ, Rr, 0.0)            # undefined — mask, don't
+        Ri = jnp.where(occ, Ri, 0.0)            # multiply (NaN * 0 = NaN)
+        R = (Rr[:, :2 * rg.T] + 1j * Ri[:, :2 * rg.T]).astype(c.dtype)
+        return _slab_overlap_add(R, int(n_fs[0]), rg)
     sp = plan.strip2
     # Hybrid 2-D routing: spread through the slab kernel when its arrays
     # exist (the strip2 spread contracts points on the MXU K dim, leaving
@@ -1242,6 +1390,21 @@ def _interp_slab_pallas(g, plan):
             T1=sp.T1, w=sp.w, chunk=sp.chunk, interpret=interp)
         outs = (vr + 1j * vi).astype(g.dtype)
         return outs.ravel()[sp.invperm]
+    rg = plan.ragged
+    if rg is not None:
+        # ragged flat-chunk-list slab interp (classic partition refused,
+        # strip2 also refused — heavy clustering / partial occupancy)
+        from pyxu_tpu.ops.pallas_nufft import ragged_interp2
+        Gw = _axis_windows(g[None], rg.S, rg.T, rg.n1ext)[0]  # (S, 2T, n2)
+        wp = -(-2 * rg.T // 8) * 8
+        if wp != 2 * rg.T:
+            Gw = jnp.pad(Gw, ((0, 0), (0, wp - 2 * rg.T), (0, 0)))
+        vr, vi = ragged_interp2(
+            rg.step_slab, Gw.real.astype(jnp.float32),
+            Gw.imag.astype(jnp.float32),
+            (rg.l0T, rg.w0T, rg.i1T, rg.w1T), w=rg.w, interpret=interp)
+        outs = (vr + 1j * vi).astype(g.dtype)
+        return outs.ravel()[rg.invperm]
     pp = plan.pencil
     if pp is not None:
         arrs = (pp.l0T, pp.w0T, pp.l1T, pp.w1T, pp.i2T, pp.w2T)
@@ -1331,6 +1494,7 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     d = len(idxs)
     if d in (2, 3) and mm3_plan is not None and _use_mm():
         if (mm3_plan.pencil is not None or mm3_plan.strip2 is not None
+                or mm3_plan.ragged is not None
                 or mm3_plan.l0T is not None) \
                 and _use_slab_pallas(c.real.dtype):
             return _spread_slab_pallas(c, n_fs, mm3_plan)

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 __all__ = ["slab_spread", "slab_interp", "slab_spread3", "slab_interp3",
            "pencil_spread3", "pencil_interp3", "strip_spread3",
-           "strip_interp3", "strip_spread2", "strip_interp2"]
+           "strip_interp3", "strip_spread2", "strip_interp2",
+           "ragged_spread2", "ragged_interp2"]
 
 
 def _round8(v: int) -> int:
@@ -784,4 +785,119 @@ def strip_interp2(GR, GI, plan_arrays, *, S1: int, T0: int, T1: int,
     fn = _build_strip_interp2(S0, S1, T0, T1, w_pad, Mp, CH, win1_pad, w,
                               interpret)
     vr, vi = fn(GR, GI, l0T, w0T, l1T, w1T)
+    return vr[:, 0], vi[:, 0]
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ragged_spread2(n_steps, S, w_pad, CH, win_pad, n2, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(slab_ref, first_ref, cr_ref, ci_ref, l0_ref, w0_ref,
+               i1_ref, w1_ref, outr_ref, outi_ref):
+        i = pl.program_id(0)
+        U1 = _onehot_tap(i1_ref[0], w1_ref[0], n2, CH, w)       # (n2, CH)
+        A = _onehot_tap(l0_ref[0], w0_ref[0], win_pad, CH, w)   # (win_pad, CH)
+        dims = (((1,), (1,)), ((), ()))
+        A2 = jnp.concatenate([A * cr_ref[0], A * ci_ref[0]], axis=0)
+        R2 = jax.lax.dot_general(A2, U1, dims,
+                                 preferred_element_type=jnp.float32)
+        Rr = R2[:win_pad]
+        Ri = R2[win_pad:]
+
+        @pl.when(first_ref[i] == 1)
+        def _():
+            outr_ref[...] = Rr[None]
+            outi_ref[...] = Ri[None]
+
+        @pl.when(first_ref[i] == 0)
+        def _():
+            outr_ref[...] = outr_ref[...] + Rr[None]
+            outi_ref[...] = outi_ref[...] + Ri[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda i, sl, fi: (i, 0, 0))
+    pt_spec = pl.BlockSpec((1, 1, CH), lambda i, sl, fi: (i, 0, 0))
+    out_spec = pl.BlockSpec((1, win_pad, n2), lambda i, sl, fi: (sl[i], 0, 0))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps,),
+        in_specs=[pt_spec, pt_spec] + [plan_spec] * 4,
+        out_specs=[out_spec, out_spec],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((S, win_pad, n2), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def ragged_spread2(step_slab, step_first, cr, ci, plan_arrays, *, S: int,
+                   n2: int, win: int, w: int, interpret: bool = False):
+    """2-D slab spreading over a ragged flat chunk list: each grid step i
+    processes CH points of slab ``step_slab[i]`` (steps sorted by slab,
+    ``step_first`` marks a slab's first step so the VMEM-resident output
+    block initializes instead of accumulating).  No per-slab padding to a
+    common max count, and empty slabs get NO steps — their (never
+    written) output blocks are undefined and MUST be masked by the
+    caller (``jnp.where(occ_mask, R, 0)``).  Returns (Rr, Ri), each
+    (S, win_pad, n2)."""
+    l0T, w0T, i1T, w1T = plan_arrays
+    n_steps, w_pad, CH = l0T.shape
+    win_pad = _round8(win)
+    fn = _build_ragged_spread2(n_steps, S, w_pad, CH, win_pad, n2, w,
+                               interpret)
+    return fn(step_slab, step_first, cr[:, None, :], ci[:, None, :],
+              l0T, w0T, i1T, w1T)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ragged_interp2(n_steps, S, w_pad, CH, win_pad, n2, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(slab_ref, l0_ref, w0_ref, i1_ref, w1_ref,
+               gr_ref, gi_ref, outr_ref, outi_ref):
+        del slab_ref                  # only consumed by the index maps
+        U0 = _onehot_tap(l0_ref[0], w0_ref[0], win_pad, CH, w)
+        dims = (((0,), (0,)), ((), ()))
+        TRr = jax.lax.dot_general(gr_ref[0], U0, dims,
+                                  preferred_element_type=jnp.float32)
+        TRi = jax.lax.dot_general(gi_ref[0], U0, dims,
+                                  preferred_element_type=jnp.float32)
+        U1 = _onehot_tap(i1_ref[0], w1_ref[0], n2, CH, w)
+        outr_ref[...] = jnp.sum(TRr * U1, axis=0, keepdims=True)[None]
+        outi_ref[...] = jnp.sum(TRi * U1, axis=0, keepdims=True)[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda i, sl: (i, 0, 0))
+    g_spec = pl.BlockSpec((1, win_pad, n2), lambda i, sl: (sl[i], 0, 0))
+    out_spec = pl.BlockSpec((1, 1, CH), lambda i, sl: (i, 0, 0))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[plan_spec] * 4 + [g_spec, g_spec],
+        out_specs=[out_spec, out_spec],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((n_steps, 1, CH), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def ragged_interp2(step_slab, GR, GI, plan_arrays, *, w: int,
+                   interpret: bool = False):
+    """Transpose of :func:`ragged_spread2`: grid step i interpolates CH
+    points of slab ``step_slab[i]`` from that slab's (win_pad, n2)
+    window.  GR/GI: (S, win_pad, n2); returns (vr, vi), each
+    (n_steps, CH) flat point values (caller gathers via invperm)."""
+    l0T, w0T, i1T, w1T = plan_arrays
+    n_steps, w_pad, CH = l0T.shape
+    S, win_pad, n2 = GR.shape
+    fn = _build_ragged_interp2(n_steps, S, w_pad, CH, win_pad, n2, w,
+                               interpret)
+    vr, vi = fn(step_slab, l0T, w0T, i1T, w1T, GR, GI)
     return vr[:, 0], vi[:, 0]

@@ -1,6 +1,7 @@
 """Pallas kernels, run in interpreter mode on CPU (compiled path exercises
 the same kernel code on TPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -265,3 +266,68 @@ class TestStrip2Routes:
         out2 = np.asarray(op.apply(jnp.asarray(arr)))
         err2 = np.max(np.abs(out2[..., 0] + 1j * out2[..., 1] - ref))
         assert err2 < 2e-5 * np.max(np.abs(ref))
+
+
+class TestRaggedRoutes:
+    """Ragged flat-chunk-list 2-D slab kernels (interpret mode on CPU):
+    built when the classic padded slab partition AND the strip2 partition
+    refuse (clustered / partially occupying point sets — e.g. type-3 fine
+    grids), replacing the ~30x-more-FLOPs dense one-hot fallback."""
+
+    def _op(self, monkeypatch, M=5000, N=(64, 56), seed=0):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        rng = np.random.default_rng(seed)
+        from pyxu_tpu.operator.linop.nufft import NUFFT
+        x = np.clip(rng.normal(0.3, 0.35, (M, 2)), -np.pi, np.pi)
+        op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
+        assert op._mm3 is not None and op._mm3.ragged is not None
+        assert op._mm3.l0 is None      # classic partition refused
+        return op, x, rng
+
+    def test_ragged_vs_direct_and_adjoint(self, monkeypatch):
+        from pyxu_tpu.operator.linop.nufft import nudft1
+        op, x, rng = self._op(monkeypatch)
+        arr = rng.standard_normal((op._M, 2)).astype(np.float32)
+        out = np.asarray(op.apply(jnp.asarray(arr)))
+        ref = nudft1(arr[:, 0] + 1j * arr[:, 1], x, op._N, +1)
+        err = np.max(np.abs(out[..., 0] + 1j * out[..., 1] - ref))
+        assert err < 2e-5 * np.max(np.abs(ref))
+        u = jnp.asarray(rng.standard_normal((op._M, 2)), jnp.float32)
+        f = jnp.asarray(rng.standard_normal(op._N + (2,)), jnp.float32)
+        d1 = float(jnp.vdot(op.apply(u), f))
+        d2 = float(jnp.vdot(u, op.adjoint(f)))
+        assert abs(d1 - d2) < 1e-4 * max(abs(d1), 1.0)
+
+    def test_ragged_matches_dense_fallback(self, monkeypatch):
+        op, _, rng = self._op(monkeypatch, seed=3)
+        arr = jnp.asarray(rng.standard_normal((op._M, 2)), jnp.float32)
+        out_ragged = np.asarray(op.apply(arr))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "0")  # dense mm2 path
+        out_dense = np.asarray(op.apply(arr))
+        assert np.max(np.abs(out_ragged - out_dense)) \
+            < 1e-5 * np.max(np.abs(out_dense))
+
+    def test_ragged_plan_jit_roundtrip(self, monkeypatch):
+        # _RaggedPlan2 rides jit as a pytree inside the operator state
+        op, _, rng = self._op(monkeypatch, M=2000, N=(40, 40), seed=5)
+        arr = jnp.asarray(rng.standard_normal((op._M, 2)), jnp.float32)
+        eager = np.asarray(op.apply(arr))
+        jitted = np.asarray(jax.jit(op.apply)(arr))
+        assert np.max(np.abs(eager - jitted)) < 1e-5 * np.max(np.abs(eager))
+
+    def test_ragged_off_switch(self, monkeypatch):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_RAGGED", "0")
+        op, _, _ = None, None, None
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        rng = np.random.default_rng(0)
+        from pyxu_tpu.operator.linop.nufft import NUFFT, nudft1
+        x = np.clip(rng.normal(0.3, 0.35, (3000, 2)), -np.pi, np.pi)
+        op = NUFFT.type1(x, (48, 48), isign=+1, eps=1e-6)
+        assert op._mm3 is None or op._mm3.ragged is None
+        arr = rng.standard_normal((3000, 2)).astype(np.float32)
+        out = np.asarray(op.apply(jnp.asarray(arr)))   # dense fallback
+        ref = nudft1(arr[:, 0] + 1j * arr[:, 1], x, (48, 48), +1)
+        err = np.max(np.abs(out[..., 0] + 1j * out[..., 1] - ref))
+        assert err < 2e-5 * np.max(np.abs(ref))
