@@ -673,13 +673,22 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
             strip2 = _strip2_plan(np.asarray(base, np.int64), base1,
                                   idxs, wts, n1, n2)
     part = _slab_partition_np(base, n1, w, chunk, max_blowup=max_blowup)
+    if os.environ.get("PYXU_TPU_NUFFT_RAGGED") == "force" and d == 2:
+        part = None                     # A/B: ragged even when classic fits
     ragged = None
-    if part is None and d == 2 and pallas_ok:
+    if part is None and pallas_ok and (d == 2 or pencil is None):
         # classic padded partition refused (clustered / partially
         # occupied sets — e.g. type-3 fine grids): the ragged flat-chunk
-        # partition pays one chunk per occupied slab instead
-        ragged = _ragged_plan2(np.asarray(base, np.int64), idxs, wts,
-                               n1, n2, chunk=chunk)
+        # partition pays one chunk per occupied slab instead.  At d == 3
+        # it is the last resort before XLA scatter (the pencil partition,
+        # when accepted, is ~n2/2w cheaper per point).
+        w_ = idxs[0].shape[1]
+        wp_ = -(-2 * w_ // 8) * 8
+        if d == 3 and n3 is not None and wp_ * n2 * n3 * 8 > 48 << 20:
+            pass            # 3-D VMEM out-block too large -> keep scatter
+        else:
+            ragged = _ragged_plan2(np.asarray(base, np.int64), idxs, wts,
+                                   n1, n2, chunk=chunk)
     if part is None:
         sub = next((p for p in (pencil, strip2, ragged)
                     if p is not None), None)
@@ -968,7 +977,7 @@ class _RaggedPlan2:
 
     def __init__(self, perm, l0T, w0T, i1T, w1T, step_slab, step_first,
                  invperm, occ_mask, S: int, T: int, n1ext: int, CH: int,
-                 w: int):
+                 w: int, i2T=None, w2T=None):
         self.perm = perm              # (n_steps, CH) int32 point ids (M=pad)
         self.l0T = l0T                # (n_steps, w_pad, CH) window-local rows
         self.w0T = w0T
@@ -978,6 +987,8 @@ class _RaggedPlan2:
         self.step_first = step_first  # (n_steps,) int32 1 = slab's 1st step
         self.invperm = invperm        # (M,) int32 into the flat point list
         self.occ_mask = occ_mask      # (S, 1, 1) f32 1 = slab occupied
+        self.i2T = i2T                # axis-2 taps (3-D slab), or None
+        self.w2T = w2T
         self.S = int(S)
         self.T = int(T)
         self.n1ext = int(n1ext)
@@ -988,9 +999,9 @@ class _RaggedPlan2:
 jax.tree_util.register_pytree_node(
     _RaggedPlan2,
     lambda p: ((p.perm, p.l0T, p.w0T, p.i1T, p.w1T, p.step_slab,
-                p.step_first, p.invperm, p.occ_mask),
+                p.step_first, p.invperm, p.occ_mask, p.i2T, p.w2T),
                (p.S, p.T, p.n1ext, p.CH, p.w)),
-    lambda aux, ch: _RaggedPlan2(*ch, *aux),
+    lambda aux, ch: _RaggedPlan2(*ch[:9], *aux, *ch[9:]),
 )
 
 
@@ -1035,8 +1046,9 @@ def _ragged_partition_np(binid, S: int, chunk: int, max_blowup: float = 6.0):
 
 def _ragged_plan2(base0, idxs, wts, n1: int, n2: int,
                   chunk: int = _SLAB_CHUNK):
-    """Build a `_RaggedPlan2` from unwrapped axis-0 base cells (2-D only),
-    or None (env-disabled / degenerate point sets)."""
+    """Build a `_RaggedPlan2` from unwrapped axis-0 base cells (2-D, or
+    3-D when ``len(idxs) == 3`` — the axis-2 tap arrays ride along), or
+    None (env-disabled / degenerate point sets)."""
     if os.environ.get("PYXU_TPU_NUFFT_RAGGED", "1") == "0":
         return None
     w = idxs[0].shape[1]
@@ -1051,19 +1063,24 @@ def _ragged_plan2(base0, idxs, wts, n1: int, n2: int,
     t = np.arange(w, dtype=np.int32)
     l0 = base0.astype(np.int32)[:, None] + t - (binid * T
                                                 ).astype(np.int32)[:, None]
+
+    def pT(a, fill):
+        return _padrow_perm_T(np.ascontiguousarray(a), fill, perm, w, w_pad)
+
+    i2T = w2T = None
+    if len(idxs) == 3:
+        i2T = pT(idxs[2], -(1 << 20))
+        w2T = pT(np.asarray(wts[2]).astype(np.float32), 0.0)
     return _RaggedPlan2(
         jnp.asarray(perm),
-        _padrow_perm_T(l0, -(1 << 20), perm, w, w_pad),
-        _padrow_perm_T(np.ascontiguousarray(wts[0]).astype(np.float32), 0.0,
-                       perm, w, w_pad),
-        _padrow_perm_T(np.ascontiguousarray(idxs[1]), -(1 << 20), perm, w,
-                       w_pad),
-        _padrow_perm_T(np.ascontiguousarray(wts[1]).astype(np.float32), 0.0,
-                       perm, w, w_pad),
+        pT(l0, -(1 << 20)),
+        pT(np.asarray(wts[0]).astype(np.float32), 0.0),
+        pT(idxs[1], -(1 << 20)),
+        pT(np.asarray(wts[1]).astype(np.float32), 0.0),
         jnp.asarray(step_slab), jnp.asarray(step_first),
         jnp.asarray(invperm.astype(np.int32)),
         jnp.asarray(occ_flags[:, None, None]),
-        S, T, S * T + T, CH, w)
+        S, T, S * T + T, CH, w, i2T=i2T, w2T=w2T)
 
 
 def _padrow_perm_T(a, fill, perm, w: int, w_pad: int):
@@ -1286,17 +1303,30 @@ def _spread_slab_pallas(c, n_fs, plan):
     if (rg is not None
             and os.environ.get("PYXU_TPU_NUFFT_STRIP2_SPREAD") != "1"):
         # ragged flat-chunk-list slab spread (classic partition refused)
-        from pyxu_tpu.ops.pallas_nufft import ragged_spread2
         cp = _pad_pt(c)[rg.perm]                # (n_steps, CH)
-        Rr, Ri = ragged_spread2(
-            rg.step_slab, rg.step_first,
-            cp.real.astype(jnp.float32), cp.imag.astype(jnp.float32),
-            (rg.l0T, rg.w0T, rg.i1T, rg.w1T), S=rg.S, n2=int(n_fs[1]),
-            win=2 * rg.T, w=rg.w, interpret=interp)
+        cr_, ci_ = cp.real.astype(jnp.float32), cp.imag.astype(jnp.float32)
         occ = rg.occ_mask > 0                   # unvisited blocks are
-        Rr = jnp.where(occ, Rr, 0.0)            # undefined — mask, don't
-        Ri = jnp.where(occ, Ri, 0.0)            # multiply (NaN * 0 = NaN)
-        R = (Rr[:, :2 * rg.T] + 1j * Ri[:, :2 * rg.T]).astype(c.dtype)
+        wn = 2 * rg.T                           # undefined — where-mask,
+        wp_ = -(-wn // 8) * 8                   # don't multiply (NaN*0=NaN)
+        if rg.i2T is not None:                  # 3-D slab fallback
+            from pyxu_tpu.ops.pallas_nufft import ragged_spread3
+            n2, n3 = int(n_fs[1]), int(n_fs[2])
+            Rr, Ri = ragged_spread3(
+                rg.step_slab, rg.step_first, cr_, ci_,
+                (rg.l0T, rg.w0T, rg.i1T, rg.w1T, rg.i2T, rg.w2T),
+                S=rg.S, n2=n2, n3=n3, win=wn, w=rg.w, interpret=interp)
+            Rr = jnp.where(occ, Rr, 0.0)
+            Ri = jnp.where(occ, Ri, 0.0)
+            R = (Rr + 1j * Ri).astype(c.dtype).reshape(rg.S, wp_, n2, n3)
+            return _slab_overlap_add(R[:, :wn], int(n_fs[0]), rg)
+        from pyxu_tpu.ops.pallas_nufft import ragged_spread2
+        Rr, Ri = ragged_spread2(
+            rg.step_slab, rg.step_first, cr_, ci_,
+            (rg.l0T, rg.w0T, rg.i1T, rg.w1T), S=rg.S, n2=int(n_fs[1]),
+            win=wn, w=rg.w, interpret=interp)
+        Rr = jnp.where(occ, Rr, 0.0)
+        Ri = jnp.where(occ, Ri, 0.0)
+        R = (Rr[:, :wn] + 1j * Ri[:, :wn]).astype(c.dtype)
         return _slab_overlap_add(R, int(n_fs[0]), rg)
     sp = plan.strip2
     # Hybrid 2-D routing: spread through the slab kernel when its arrays
@@ -1394,15 +1424,26 @@ def _interp_slab_pallas(g, plan):
     if rg is not None:
         # ragged flat-chunk-list slab interp (classic partition refused,
         # strip2 also refused — heavy clustering / partial occupancy)
-        from pyxu_tpu.ops.pallas_nufft import ragged_interp2
-        Gw = _axis_windows(g[None], rg.S, rg.T, rg.n1ext)[0]  # (S, 2T, n2)
+        Gw = _axis_windows(g[None], rg.S, rg.T, rg.n1ext)[0]  # (S, 2T, ...)
         wp = -(-2 * rg.T // 8) * 8
         if wp != 2 * rg.T:
-            Gw = jnp.pad(Gw, ((0, 0), (0, wp - 2 * rg.T), (0, 0)))
-        vr, vi = ragged_interp2(
-            rg.step_slab, Gw.real.astype(jnp.float32),
-            Gw.imag.astype(jnp.float32),
-            (rg.l0T, rg.w0T, rg.i1T, rg.w1T), w=rg.w, interpret=interp)
+            padw = ((0, 0), (0, wp - 2 * rg.T)) + ((0, 0),) * (Gw.ndim - 2)
+            Gw = jnp.pad(Gw, padw)
+        GR = Gw.real.astype(jnp.float32)
+        GI = Gw.imag.astype(jnp.float32)
+        if rg.i2T is not None:                  # 3-D slab fallback
+            from pyxu_tpu.ops.pallas_nufft import ragged_interp3
+            S_, _, n2, n3 = GR.shape
+            vr, vi = ragged_interp3(
+                rg.step_slab, GR.reshape(S_, wp * n2, n3),
+                GI.reshape(S_, wp * n2, n3),
+                (rg.l0T, rg.w0T, rg.i1T, rg.w1T, rg.i2T, rg.w2T),
+                w=rg.w, interpret=interp)
+        else:
+            from pyxu_tpu.ops.pallas_nufft import ragged_interp2
+            vr, vi = ragged_interp2(
+                rg.step_slab, GR, GI,
+                (rg.l0T, rg.w0T, rg.i1T, rg.w1T), w=rg.w, interpret=interp)
         outs = (vr + 1j * vi).astype(g.dtype)
         return outs.ravel()[rg.invperm]
     pp = plan.pencil

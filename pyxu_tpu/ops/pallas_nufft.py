@@ -37,7 +37,8 @@ import jax.numpy as jnp
 __all__ = ["slab_spread", "slab_interp", "slab_spread3", "slab_interp3",
            "pencil_spread3", "pencil_interp3", "strip_spread3",
            "strip_interp3", "strip_spread2", "strip_interp2",
-           "ragged_spread2", "ragged_interp2"]
+           "ragged_spread2", "ragged_interp2",
+           "ragged_spread3", "ragged_interp3"]
 
 
 def _round8(v: int) -> int:
@@ -900,4 +901,124 @@ def ragged_interp2(step_slab, GR, GI, plan_arrays, *, w: int,
     fn = _build_ragged_interp2(n_steps, S, w_pad, CH, win_pad, n2, w,
                                interpret)
     vr, vi = fn(step_slab, l0T, w0T, i1T, w1T, GR, GI)
+    return vr[:, 0], vi[:, 0]
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ragged_spread3(n_steps, S, w_pad, CH, win_pad, n2, n3, w,
+                          interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(slab_ref, first_ref, cr_ref, ci_ref, l0_ref, w0_ref,
+               i1_ref, w1_ref, i2_ref, w2_ref, outr_ref, outi_ref):
+        i = pl.program_id(0)
+        U0 = _onehot_tap(l0_ref[0], w0_ref[0], win_pad, CH, w)
+        U1 = _onehot_tap(i1_ref[0], w1_ref[0], n2, CH, w)
+        U2 = _onehot_tap(i2_ref[0], w2_ref[0], n3, CH, w)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * n2, CH)
+        dims = (((1,), (1,)), ((), ()))
+        Rr = jax.lax.dot_general(A * cr_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+        Ri = jax.lax.dot_general(A * ci_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+
+        @pl.when(first_ref[i] == 1)
+        def _():
+            outr_ref[...] = Rr[None]
+            outi_ref[...] = Ri[None]
+
+        @pl.when(first_ref[i] == 0)
+        def _():
+            outr_ref[...] = outr_ref[...] + Rr[None]
+            outi_ref[...] = outi_ref[...] + Ri[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda i, sl, fi: (i, 0, 0))
+    pt_spec = pl.BlockSpec((1, 1, CH), lambda i, sl, fi: (i, 0, 0))
+    out_spec = pl.BlockSpec((1, win_pad * n2, n3),
+                            lambda i, sl, fi: (sl[i], 0, 0))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps,),
+        in_specs=[pt_spec, pt_spec] + [plan_spec] * 6,
+        out_specs=[out_spec, out_spec],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((S, win_pad * n2, n3),
+                                        jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def ragged_spread3(step_slab, step_first, cr, ci, plan_arrays, *, S: int,
+                   n2: int, n3: int, win: int, w: int,
+                   interpret: bool = False):
+    """3-D analog of :func:`ragged_spread2` (axis-0 slab bins only — the
+    fallback between the pencil partition and XLA scatter for clustered
+    3-D sets).  Returns (Rr, Ri), each (S, win_pad*n2, n3); unvisited
+    slabs' blocks are undefined — callers mask with ``jnp.where``."""
+    l0T, w0T, i1T, w1T, i2T, w2T = plan_arrays
+    n_steps, w_pad, CH = l0T.shape
+    win_pad = _round8(win)
+    fn = _build_ragged_spread3(n_steps, S, w_pad, CH, win_pad, n2, n3, w,
+                               interpret)
+    return fn(step_slab, step_first, cr[:, None, :], ci[:, None, :],
+              l0T, w0T, i1T, w1T, i2T, w2T)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ragged_interp3(n_steps, S, w_pad, CH, win_pad, n2, n3, w,
+                          interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(slab_ref, l0_ref, w0_ref, i1_ref, w1_ref, i2_ref, w2_ref,
+               gr_ref, gi_ref, outr_ref, outi_ref):
+        del slab_ref
+        U0 = _onehot_tap(l0_ref[0], w0_ref[0], win_pad, CH, w)
+        U1 = _onehot_tap(i1_ref[0], w1_ref[0], n2, CH, w)
+        U2 = _onehot_tap(i2_ref[0], w2_ref[0], n3, CH, w)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * n2, CH)
+        dims = (((0,), (0,)), ((), ()))     # contract the window rows
+        TRr = jax.lax.dot_general(gr_ref[0], A, dims,
+                                  preferred_element_type=jnp.float32)
+        TRi = jax.lax.dot_general(gi_ref[0], A, dims,
+                                  preferred_element_type=jnp.float32)
+        # TR* : (n3, CH); reduce with the axis-2 taps
+        outr_ref[...] = jnp.sum(TRr * U2, axis=0, keepdims=True)[None]
+        outi_ref[...] = jnp.sum(TRi * U2, axis=0, keepdims=True)[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda i, sl: (i, 0, 0))
+    g_spec = pl.BlockSpec((1, win_pad * n2, n3), lambda i, sl: (sl[i], 0, 0))
+    out_spec = pl.BlockSpec((1, 1, CH), lambda i, sl: (i, 0, 0))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[plan_spec] * 6 + [g_spec, g_spec],
+        out_specs=[out_spec, out_spec],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((n_steps, 1, CH), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def ragged_interp3(step_slab, GR, GI, plan_arrays, *, w: int,
+                   interpret: bool = False):
+    """Transpose of :func:`ragged_spread3`: GR/GI (S, win_pad*n2, n3)
+    flattened slab windows; returns (vr, vi), each (n_steps, CH)."""
+    l0T, w0T, i1T, w1T, i2T, w2T = plan_arrays
+    n_steps, w_pad, CH = l0T.shape
+    S, wn2, n3 = GR.shape
+    win_pad = _round8(2 * w)            # T == w for slab windows
+    assert wn2 % win_pad == 0
+    fn = _build_ragged_interp3(n_steps, S, w_pad, CH, win_pad,
+                               wn2 // win_pad, n3, w, interpret)
+    vr, vi = fn(step_slab, l0T, w0T, i1T, w1T, i2T, w2T, GR, GI)
     return vr[:, 0], vi[:, 0]

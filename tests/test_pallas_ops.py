@@ -331,3 +331,43 @@ class TestRaggedRoutes:
         ref = nudft1(arr[:, 0] + 1j * arr[:, 1], x, (48, 48), +1)
         err = np.max(np.abs(out[..., 0] + 1j * out[..., 1] - ref))
         assert err < 2e-5 * np.max(np.abs(ref))
+
+    def test_ragged3_vs_direct_and_adjoint(self, monkeypatch):
+        # tight 3-D Gaussian cluster: slab AND pencil partitions refuse,
+        # the ragged 3-D slab fallback replaces XLA scatter
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        rng = np.random.default_rng(0)
+        from pyxu_tpu.operator.linop.nufft import NUFFT, nudft1
+        M, N = 4000, (20, 18, 16)
+        x = np.clip(rng.normal(0.5, 0.12, (M, 3)), -np.pi, np.pi)
+        op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
+        p = op._mm3
+        assert p is not None and p.l0 is None and p.pencil is None
+        assert p.ragged is not None and p.ragged.i2T is not None
+        arr = rng.standard_normal((M, 2)).astype(np.float32)
+        out = np.asarray(op.apply(jnp.asarray(arr)))
+        ref = nudft1(arr[:, 0] + 1j * arr[:, 1], x, N, +1)
+        err = np.max(np.abs(out[..., 0] + 1j * out[..., 1] - ref))
+        assert err < 2e-5 * np.max(np.abs(ref))
+        u = jnp.asarray(rng.standard_normal((M, 2)), jnp.float32)
+        f = jnp.asarray(rng.standard_normal(N + (2,)), jnp.float32)
+        d1 = float(jnp.vdot(op.apply(u), f))
+        d2 = float(jnp.vdot(u, op.adjoint(f)))
+        assert abs(d1 - d2) < 1e-4 * max(abs(d1), 1.0)
+
+    def test_ragged3_matches_scatter_fallback(self, monkeypatch):
+        monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        rng = np.random.default_rng(4)
+        from pyxu_tpu.operator.linop.nufft import NUFFT
+        M, N = 2500, (16, 14, 12)
+        x = np.clip(rng.normal(-0.4, 0.1, (M, 3)), -np.pi, np.pi)
+        op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
+        assert op._mm3 is not None and op._mm3.ragged is not None
+        arr = jnp.asarray(rng.standard_normal((M, 2)), jnp.float32)
+        out_ragged = np.asarray(op.apply(arr))
+        monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "0")  # scatter path
+        out_scatter = np.asarray(op.apply(arr))
+        assert np.max(np.abs(out_ragged - out_scatter)) \
+            < 1e-5 * np.max(np.abs(out_scatter))

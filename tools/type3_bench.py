@@ -48,10 +48,18 @@ def main():
     from pyxu_tpu.operator.linop.nufft import NUFFT
 
     rng = np.random.default_rng(0)
-    # off-center clouds (the BASELINE centering scenario)
-    x = rng.normal(3.0, 1.0, (M, 2))
-    z = rng.normal(40.0, 12.0, (K, 2))
-    op = NUFFT.type3(x, z, isign=-1, eps=EPS)
+    # off-center clouds (the BASELINE centering scenario); --d3 runs the
+    # 3-D variant (smaller M, eps=1e-4: the 3-D fine grid is volumetric)
+    if "--d3" in sys.argv[1:]:
+        m = 50_000
+        x = rng.normal(3.0, 1.0, (m, 3))
+        z = rng.normal(10.0, 4.0, (m, 3))
+        op = NUFFT.type3(x, z, isign=-1, eps=1e-4)
+    else:
+        m = M
+        x = rng.normal(3.0, 1.0, (M, 2))
+        z = rng.normal(40.0, 12.0, (K, 2))
+        op = NUFFT.type3(x, z, isign=-1, eps=EPS)
     print(f"# fine grid {getattr(op, '_nf', '?')}", flush=True)
 
     xf = jnp.ones((8, 8), jnp.float32)
@@ -65,10 +73,10 @@ def main():
     floor = min(ts)
     print(f"# dispatch floor {floor*1e3:.1f} ms", flush=True)
 
-    cr = jnp.asarray(rng.standard_normal(M).astype(np.float32))
-    ci = jnp.asarray(rng.standard_normal(M).astype(np.float32))
-    fr = jnp.asarray(rng.standard_normal(K).astype(np.float32))
-    fi = jnp.asarray(rng.standard_normal(K).astype(np.float32))
+    cr = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    ci = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    fr = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    fi = jnp.asarray(rng.standard_normal(m).astype(np.float32))
 
     def fwd(a, b):
         return op.apply(jnp.stack([a, b], axis=-1)).sum()
