@@ -747,13 +747,18 @@ def _build_strip_interp2(S0, S1, T0, T1, w_pad, Mp, CH, win1_pad, w,
         off = pl.multiple_of(s1 * T1, 8)
         G2 = gr_ref[0, pl.ds(off, win1_pad), :]        # (win1_pad, win0)
         H2 = gi_ref[0, pl.ds(off, win1_pad), :]
-        dims = (((1,), (0,)), ((), ()))                # contract win0 rows
-        TRr = jax.lax.dot_general(G2, U0, dims,
-                                  preferred_element_type=jnp.float32)
-        TRi = jax.lax.dot_general(H2, U0, dims,
-                                  preferred_element_type=jnp.float32)
-        outr_ref[...] = jnp.sum(TRr * U1, axis=0, keepdims=True)[None]
-        outi_ref[...] = jnp.sum(TRi * U1, axis=0, keepdims=True)[None]
+        # contract the LONG axis (win1_pad ~ 134) on the MXU K dim — the
+        # win0-contracting order left only 16 of the 128 pipeline stages
+        # busy — and stack re/im on M; the final U0-weighted reduce is
+        # then over win0 = 16 rows instead of win1_pad
+        dims = (((0,), (0,)), ((), ()))                # contract win1 rows
+        GH = jnp.concatenate([G2, H2], axis=1)         # (win1_pad, 2*win0)
+        T2 = jax.lax.dot_general(GH, U1, dims,
+                                 preferred_element_type=jnp.float32)
+        outr_ref[...] = jnp.sum(T2[:win0] * U0, axis=0,
+                                keepdims=True)[None]
+        outi_ref[...] = jnp.sum(T2[win0:] * U0, axis=0,
+                                keepdims=True)[None]
 
     plan_spec = pl.BlockSpec((1, w_pad, CH), lambda p, s, q: (p * S1 + s, 0, q))
     g_spec = pl.BlockSpec((1, n2ext, win0), lambda p, s, q: (p, 0, 0))
