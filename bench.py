@@ -179,7 +179,8 @@ def run_extra_workloads():
     if os.environ.get("PYXU_BENCH_EXTRA", "1") == "0":
         return {}
     import jax
-    from pyxu_tpu.models.workloads import (lasso_deconvolution,
+    from pyxu_tpu.models.workloads import (consensus_tiles,
+                                           lasso_deconvolution,
                                            radio_interferometry,
                                            sparse_view_ct)
     from pyxu_tpu.opt.stop import MaxIter
@@ -207,6 +208,13 @@ def run_extra_workloads():
             shape=(256, 256), n_angles=60, method="fourier"), 400, 400),
         ("ri_admm_256", lambda: radio_interferometry(
             shape=(256, 256), n_vis=20_000), 150, 150),
+        # workload config 5 (giga-pixel consensus blocks): the block-sharded
+        # consensus ADMM measured on this chip's 1-device mesh — the
+        # multi-device scaling overhead of the same program is measured
+        # separately on the virtual CPU mesh (tools/scaling_study.py,
+        # BASELINE.md "Scaling study").
+        ("consensus_admm_8x512", lambda: consensus_tiles(
+            tile=(512, 512), n_tiles=8), 1000, 1000),
     ):
         try:
             signal.alarm(600)  # compile (cached across runs) + 3 solves

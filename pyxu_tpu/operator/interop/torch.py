@@ -43,7 +43,9 @@ def _callback(torch_fn, out_shape, in_rank, batched: bool):
 
     def host(arr):
         a = np.ascontiguousarray(arr)
-        lead = a.shape[: a.ndim - in_rank]
+        if not a.flags.writeable:      # pure_callback may hand back a
+            a = a.copy()               # read-only view; torch.from_numpy
+        lead = a.shape[: a.ndim - in_rank]  # warns on those
         t = torch.from_numpy(a)
         with torch.no_grad():
             if batched or not lead:

@@ -971,8 +971,10 @@ class _RaggedPlan2:
     by slab; ``step_first`` marks block initialization), so padding is
     bounded by one chunk per occupied slab and empty slabs cost nothing.
     Cf. ragged/MoE Pallas kernels (scalar prefetch drives the BlockSpec
-    index maps); reference counterpart: FINUFFT's per-subproblem bin
-    lists (reference nufft.py:275-277).
+    index maps).  Reference counterpart: the FINUFFT backend's binned
+    spreading/interpolation between nonuniform points and the fine grid
+    (reference nufft.py:275-279 — Backend prose; the bin lists themselves
+    live in the FINUFFT C++ library, not the reference's Python layer).
     """
 
     def __init__(self, perm, l0T, w0T, i1T, w1T, step_slab, step_first,
@@ -1016,6 +1018,9 @@ def _ragged_partition_np(binid, S: int, chunk: int, max_blowup: float = 6.0):
     if len(occ) == 0:
         return None
     mean_cnt = M / len(occ)
+    # a PYXU_TPU_NUFFT_CHUNK override below 128 would make np.clip(lo>hi)
+    # silently return it un-rounded (non-multiple-of-128 lane dim); clamp up
+    chunk = max(128, int(chunk))
     CH = int(np.clip(128 * -(-mean_cnt // 128), 128, chunk))
     steps_per = -(-cnt[occ] // CH)
     n_steps = int(steps_per.sum())
@@ -1300,8 +1305,12 @@ def _spread_slab_pallas(c, n_fs, plan):
     w = plan.T                                  # T == w by construction
     win = 2 * plan.T
     rg = plan.ragged
+    # only honor the strip2-spread force knob when a strip2 plan exists —
+    # a ragged-only plan has perm/l0T/pencil all None and the classic slab
+    # path below would crash at trace time
     if (rg is not None
-            and os.environ.get("PYXU_TPU_NUFFT_STRIP2_SPREAD") != "1"):
+            and (plan.strip2 is None
+                 or os.environ.get("PYXU_TPU_NUFFT_STRIP2_SPREAD") != "1")):
         # ragged flat-chunk-list slab spread (classic partition refused)
         cp = _pad_pt(c)[rg.perm]                # (n_steps, CH)
         cr_, ci_ = cp.real.astype(jnp.float32), cp.imag.astype(jnp.float32)
@@ -2342,6 +2351,110 @@ def _t3_nf_np(xb, zb, w):
                  for sm in sp)
 
 
+def _norm_widths_np(pts, idx, X):
+    """Normalized data-box widths w_k/X_k of a block (axes with degenerate
+    full-domain extent X_k are reported as NaN and excluded from ratios)."""
+    if len(idx) == 0:
+        return None
+    w = pts[idx].max(axis=0) - pts[idx].min(axis=0)
+    X = np.asarray(X, np.float64)
+    out = np.full(w.shape, np.nan)
+    ok = X > 1e-12
+    out[ok] = w[ok] / X[ok]
+    return out
+
+
+def _block_aniso_np(r):
+    """max/min ratio over valid (non-NaN, non-zero) normalized widths."""
+    if r is None:
+        return 1.0
+    v = r[np.isfinite(r) & (r > 1e-12)]
+    if len(v) < 2:
+        return 1.0
+    return float(v.max() / v.min())
+
+
+def _mid_split_np(pts, idx, ax):
+    """Split a block at the midpoint of its data box along ``ax`` (the
+    reference's uniform-cell behavior, not a data-median split)."""
+    lo, hi = pts[idx, ax].min(), pts[idx, ax].max()
+    mid = 0.5 * (lo + hi)
+    sel = pts[idx, ax] <= mid
+    return idx[sel], idx[~sel]
+
+
+def _enforce_anisotropy_np(pts, parts, alpha, max_blocks=4096):
+    """Reference constraint (d) (nufft.py:1195-1203): every block's
+    normalized shape ratio <= alpha.  Midpoint splits along the widest
+    normalized axis strictly shrink the ratio; empty halves are dropped
+    (reference step 2: 'empty partitions are dropped')."""
+    out = []
+    work = [np.asarray(p, np.int64) for p in parts if len(p)]
+    X = pts.max(axis=0) - pts.min(axis=0)
+    guard = 0
+    while work and guard < 10 * max_blocks:
+        guard += 1
+        idx = work.pop()
+        r = _norm_widths_np(pts, idx, X)
+        if (_block_aniso_np(r) <= alpha or len(idx) <= 1
+                or len(out) + len(work) >= max_blocks):
+            out.append(idx)
+            continue
+        ax = int(np.nanargmax(np.where(np.isfinite(r), r, -np.inf)))
+        a, b = _mid_split_np(pts, idx, ax)
+        if len(a) == 0 or len(b) == 0:   # all points at one coordinate —
+            out.append(idx)              # width 0 after split, done
+            continue
+        work.extend([a, b])
+    return out + work
+
+
+def _enforce_cross_anisotropy_np(xh, x_parts, zh, z_parts, alpha,
+                                 max_blocks=4096):
+    """Reference constraint (e) (nufft.py:1204-1209): normalized x-block
+    widths vs z-block widths within alpha, all (axis, axis) pairs.  The
+    block holding the globally-widest normalized axis is midpoint-split
+    until the cross ratio fits or the block budget is hit (best-effort —
+    a degenerate tight cluster in one domain can make the cap
+    unreachable without exploding the partition)."""
+    Xx = xh.max(axis=0) - xh.min(axis=0)
+    Xz = zh.max(axis=0) - zh.min(axis=0)
+
+    def extremes(pts, parts, X):
+        """((block, axis, width) of the global max, global min width)."""
+        best, mn = None, np.inf
+        for i, p in enumerate(parts):
+            r = _norm_widths_np(pts, p, X)
+            if r is None:
+                continue
+            v = r[np.isfinite(r) & (r > 1e-12)]
+            if len(v) == 0:
+                continue
+            mn = min(mn, float(v.min()))
+            ax = int(np.nanargmax(np.where(np.isfinite(r), r, -np.inf)))
+            if best is None or r[ax] > best[2]:
+                best = (i, ax, float(r[ax]))
+        return best, mn
+
+    for _ in range(64):
+        bx, mnx = extremes(xh, x_parts, Xx)
+        bz, mnz = extremes(zh, z_parts, Xz)
+        if bx is None or bz is None:
+            break
+        viol = max(bx[2] / mnz if np.isfinite(mnz) else 1.0,
+                   bz[2] / mnx if np.isfinite(mnx) else 1.0)
+        if viol <= alpha or len(x_parts) + len(z_parts) >= max_blocks:
+            break
+        # split the block holding the globally-widest normalized axis
+        pts, parts, (i, ax, _) = ((xh, x_parts, bx) if bx[2] >= bz[2]
+                                  else (zh, z_parts, bz))
+        a, b = _mid_split_np(pts, parts[i], ax)
+        if len(a) == 0 or len(b) == 0:
+            break
+        parts[i:i + 1] = [a, b]
+    return x_parts, z_parts
+
+
 def _balanced_parts_np(pts, n_parts: int):
     """Spatially-coherent, count-balanced partition of a point cloud into
     `n_parts` index blocks (recursive proportional median splits along the
@@ -2454,13 +2567,21 @@ class _NUFFT3Chunked(_NUFFTDiagnostics, LinOp):
 
     def auto_chunk(self, max_mem=10, max_anisotropy=5):
         """Compute (x_chunks, z_chunks) index lists meeting a per-block
-        FFT-memory budget of ``max_mem`` MiB (reference `auto_chunk`,
-        nufft.py:1124-1235 — recursive coordinate bisection stands in for
-        the reference's hierarchical clustering; ``max_anisotropy`` is
-        accepted for signature parity, median splits along the widest
-        axis already bound block anisotropy)."""
-        del max_anisotropy
+        FFT-memory budget of ``max_mem`` MiB under an anisotropy cap
+        (reference `auto_chunk`, nufft.py:1124-1235: recursive coordinate
+        bisection stands in for the hierarchical clustering; the reference's
+        constraints (d)/(e) — normalized cell-shape ratios within
+        ``max_anisotropy``, within and across domains — are enforced by
+        midpoint splits along each offending block's widest normalized
+        axis).  Splits are dyadic, so the tightest enforceable cap is ~1.5;
+        smaller requests are clamped (the reference solves a real-valued
+        cell-size optimization and can go lower)."""
+        alpha = max(1.5, float(max_anisotropy))
         x_parts, z_parts = self._partition(float(max_mem), 4096)
+        x_parts = _enforce_anisotropy_np(self._xh, x_parts, alpha)
+        z_parts = _enforce_anisotropy_np(self._zh, z_parts, alpha)
+        x_parts, z_parts = _enforce_cross_anisotropy_np(
+            self._xh, x_parts, self._zh, z_parts, alpha)
         return ([np.asarray(p, np.int64) for p in x_parts],
                 [np.asarray(p, np.int64) for p in z_parts])
 

@@ -92,3 +92,39 @@ def test_chunked_only_surface_raises_on_type12():
     for name in ("auto_chunk", "allocate", "diagnostic_plot", "stats"):
         with pytest.raises(NotImplementedError, match="chunked type-3"):
             getattr(op, name)() if name != "allocate" else op.allocate([], [])
+
+
+def test_auto_chunk_enforces_max_anisotropy():
+    """Reference contract (nufft.py:1195-1209, constraints (d)/(e)): every
+    chunk's normalized shape ratio bounded by max_anisotropy, within and
+    across domains.  An elongated x-cloud would pass a pure memory-driven
+    bisection as one long thin block; the anisotropy cap must split it."""
+    from pyxu_tpu.operator.linop.nufft import _block_aniso_np, _norm_widths_np
+
+    M, K = 400, 300
+    # x strongly elongated (100:1), z mildly elongated
+    x = np.stack([rng0.uniform(-50, 50, M), rng0.uniform(-0.5, 0.5, M)], -1)
+    z = np.stack([rng0.uniform(-8, 8, K), rng0.uniform(-2, 2, K)], -1)
+    chnk = NUFFT.type3(jnp.asarray(x), jnp.asarray(z), eps=1e-6,
+                       chunked=True, fft_mem_mb=64.0)
+    for alpha in (2.0, 5.0):
+        x_chunks, z_chunks = chnk.auto_chunk(max_mem=64.0,
+                                             max_anisotropy=alpha)
+        # still exact partitions
+        assert np.array_equal(np.sort(np.concatenate(x_chunks)), np.arange(M))
+        assert np.array_equal(np.sort(np.concatenate(z_chunks)), np.arange(K))
+        # constraint (d): per-block normalized shape within alpha (the data
+        # box of a block is contained in its cell, so a small slack covers
+        # box-vs-cell mismatch)
+        for pts, chunks in ((x, x_chunks), (z, z_chunks)):
+            X = pts.max(axis=0) - pts.min(axis=0)
+            for ch in chunks:
+                if len(ch) > 1:
+                    r = _norm_widths_np(pts, ch, X)
+                    assert _block_aniso_np(r) <= alpha * 1.01, (alpha, r)
+        # the solve still works after allocate() on the capped chunks
+        c = jnp.asarray(rng0.standard_normal(M) + 1j * rng0.standard_normal(M))
+        ref = nudft3(np.asarray(c), x, z, +1)
+        chnk.allocate(x_chunks, z_chunks)
+        out = view_as_complex(chnk.apply(view_as_real(c)))
+        assert _rel(out, ref) < 1e-5

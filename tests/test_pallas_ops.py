@@ -318,7 +318,6 @@ class TestRaggedRoutes:
 
     def test_ragged_off_switch(self, monkeypatch):
         monkeypatch.setenv("PYXU_TPU_NUFFT_RAGGED", "0")
-        op, _, _ = None, None, None
         monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
         monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
         rng = np.random.default_rng(0)

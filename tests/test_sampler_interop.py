@@ -168,6 +168,40 @@ def test_from_torch():
     assert np.allclose(op.adjoint(y), A.T @ np.asarray(y), atol=1e-5)
 
 
+def test_from_torch_vectorize_single_sample():
+    """``vectorize=("apply",)`` lifts a single-sample torch callable over
+    arbitrary leading batch axes (reference `_auto_vectorize`,
+    torch.py:151-185)."""
+    torch = pytest.importorskip("torch")
+
+    def t_apply(x):            # STRICTLY single-sample: rank-1 in, rank-1 out
+        assert x.dim() == 1
+        return torch.flip(x, (0,)) * 2.0
+
+    op = from_torch(LinOp, (3,), (3,), apply=t_apply, vectorize=("apply",))
+    x = jnp.asarray(rng0.standard_normal((2, 5, 3)), jnp.float32)
+    want = np.asarray(x)[..., ::-1] * 2.0
+    assert np.allclose(op.apply(x), want, atol=1e-6)
+    # single-sample call still works
+    assert np.allclose(op.apply(x[0, 0]), want[0, 0], atol=1e-6)
+
+
+def test_from_torch_composes_under_jit():
+    """A torch-backed operator jits and composes with native operators
+    (XLA stages the host callback)."""
+    torch = pytest.importorskip("torch")
+    from pyxu_tpu.operator import HomothetyOp
+
+    def t_apply(x):
+        return torch.tanh(x)
+
+    op = HomothetyOp(dim_shape=(4,), cst=3.0) * \
+        from_torch(Map, (4,), (4,), apply=t_apply)
+    x = jnp.asarray(rng0.standard_normal(4), jnp.float32)
+    got = jax.jit(op.apply)(x)
+    assert np.allclose(got, 3.0 * np.tanh(np.asarray(x)), atol=1e-6)
+
+
 def test_from_torch_difffunc():
     torch = pytest.importorskip("torch")
 
