@@ -8,6 +8,11 @@ from pyxu_tpu.parallel.mesh import (  # noqa: F401
     shard,
 )
 from pyxu_tpu.parallel.nufft import ShardedNUFFT, ShardedNUFFT3  # noqa: F401
+from pyxu_tpu.parallel.outofcore import (  # noqa: F401
+    StreamedCondatVu,
+    streamed_block_diag,
+    streamed_map_overlap,
+)
 from pyxu_tpu.parallel.sharded import (  # noqa: F401
     sharded_block_diag,
     with_sharding,
