@@ -126,7 +126,7 @@ class Solver:
     def fit(self, *, mode: Mode = Mode.BLOCK, stop_crit: StoppingCriterion = None,
             max_iter: int = 10_000, segment_size: int = None,
             track_objective: bool = False, warm_start: bool = False,
-            **m_init_kwargs):
+            precision_schedule=None, **m_init_kwargs):
         """Solve.  ``max_iter`` is a hard cap (it sizes the device-resident
         history buffer); ``segment_size`` = iterations per host round-trip
         (default: writeback/verbosity cadence, else the whole solve).
@@ -137,7 +137,23 @@ class Solver:
         without recompiling — after the first swap the solver passes operator
         arrays as jit arguments (``operand_mode="dynamic"``), so
         same-structure swaps hit the compiled segment cache.
+
+        ``precision_schedule``: list of ``(dtype, n_iters)`` phases — the
+        measured two-phase mixed-precision recipe (BASELINE rounds 2/6: a
+        bf16 warm phase runs ~1.65x faster; an f32 polish recovers the full
+        f32 objective) promoted to an API.  Floating math-state arrays are
+        cast to each phase's dtype and the solve warm-starts through the
+        phases; the LAST phase may use ``n_iters=None`` to run under the
+        real ``stop_crit`` with the remaining ``max_iter`` budget.  E.g.
+        ``fit(x0=x0, precision_schedule=[(jnp.bfloat16, 700),
+        (jnp.float32, None)], max_iter=1000)``.  BLOCK mode only.
         """
+        if precision_schedule is not None:
+            return self._fit_scheduled(
+                precision_schedule, mode=mode, stop_crit=stop_crit,
+                max_iter=max_iter, segment_size=segment_size,
+                track_objective=track_objective, warm_start=warm_start,
+                m_init_kwargs=m_init_kwargs)
         self._astate["mode"] = mode
         # stale ASYNC state (a cleared Event from a stop()) must not truncate
         # a later BLOCK/MANUAL fit
@@ -163,6 +179,61 @@ class Solver:
             w.start()
             return self
         raise ValueError(mode)
+
+    def _fit_scheduled(self, schedule, *, mode, stop_crit, max_iter,
+                       segment_size, track_objective, warm_start,
+                       m_init_kwargs):
+        """Run the phases of a ``precision_schedule`` (see :meth:`fit`)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pyxu_tpu.opt.stop import MaxIter
+        if mode is not Mode.BLOCK:
+            raise ValueError("precision_schedule supports BLOCK mode only")
+        phases = [(jnp.dtype(d), n) for d, n in schedule]
+        if not phases:
+            raise ValueError("precision_schedule must be non-empty")
+        for d, n in phases[:-1]:
+            if not (isinstance(n, int) and n > 0):
+                raise ValueError(
+                    "every phase but the last needs a positive iteration "
+                    f"count, got {n!r}")
+        if phases[-1][1] is not None and not (
+                isinstance(phases[-1][1], int) and phases[-1][1] > 0):
+            raise ValueError("last phase n_iters must be a positive int or "
+                             "None (= run under the stop criterion)")
+
+        def cast(dtype):
+            # non-scalar floating leaves only: 0-d entries are counters /
+            # flags (e.g. PGD's momentum counter is deliberately f32 — bf16
+            # would freeze it at 256)
+            self._mstate = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if (hasattr(a, "dtype") and a.ndim > 0
+                    and jnp.issubdtype(a.dtype, jnp.floating))
+                else a,
+                self._mstate)
+
+        if warm_start:
+            assert self._mstate, "warm_start=True requires a previous fit"
+        else:
+            self._mstate = self.m_init(**m_init_kwargs)
+        used = 0
+        self._dtype_lock = True   # segment enforces m_step dtype stability
+        try:
+            for i, (dtype, n) in enumerate(phases):
+                cast(dtype)
+                last = i == len(phases) - 1
+                budget = (max(1, int(max_iter) - used) if (last and n is None)
+                          else int(n))
+                crit = stop_crit if (last and n is None) else MaxIter(budget)
+                self.fit(mode=Mode.BLOCK, stop_crit=crit, max_iter=budget,
+                         segment_size=segment_size,
+                         track_objective=track_objective, warm_start=True)
+                used += budget
+        finally:
+            self._dtype_lock = False
+        return self
 
     def _fit_init(self, stop_crit, max_iter, segment_size, track_objective):
         stop = stop_crit if stop_crit is not None else self.default_stop_crit()
@@ -289,6 +360,19 @@ class Solver:
                 for name, sd in metric_shapes.items()
             }
 
+        step = self.m_step
+        if getattr(self, "_dtype_lock", False):
+            # precision_schedule phases: operator data may live in a higher
+            # precision than the iterate (f32 taps on bf16 state), so m_step
+            # output leaves are cast back to their input dtypes — the
+            # iterate stays at the phase dtype, counters stay f32.  No-op
+            # (traced away) when m_step is already dtype-stable.
+            def step(s, _orig=self.m_step):
+                out = _orig(s)
+                return jax.tree_util.tree_map(
+                    lambda o, i: o.astype(i.dtype)
+                    if hasattr(i, "dtype") else o, out, s)
+
         def _segment_loop(mstate, cstate, k, stopped, hist, hist_n, k_end):
             def cond(carry):
                 mstate, cstate, k, stopped, hist, hist_n = carry
@@ -297,7 +381,7 @@ class Solver:
             def body(carry):
                 mstate, cstate, k, stopped, hist, hist_n = carry
                 mstate = jax.lax.fori_loop(
-                    0, stop_rate, lambda i, s: self.m_step(s), mstate)
+                    0, stop_rate, lambda i, s: step(s), mstate)
                 k = k + stop_rate
                 cstate, stop_now, metrics = check(mstate, cstate, k)
                 hist = {

@@ -192,3 +192,68 @@ def test_writeback(tmp_path):
     data = np.load(tmp_path / "wb" / "data.npz")
     assert "mstate_x" in data
     assert np.allclose(data["mstate_x"], slv.solution(), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# precision_schedule (VERDICT r3 #9: the measured bf16-warm/f32-polish recipe
+# as API — BASELINE rounds 2/6 quality guarantees)
+# ---------------------------------------------------------------------------
+class TestPrecisionSchedule:
+    def _lasso(self):
+        rng = np.random.default_rng(11)
+        A = rng.standard_normal((40, 60)).astype(np.float32) / np.sqrt(60)
+        x_true = np.zeros(60, np.float32)
+        x_true[::9] = 1.0
+        y = A @ x_true
+        K = ExplicitLinOp(jnp.asarray(A))
+        f = SquaredL2Norm((40,)).asloss(jnp.asarray(y)) * K
+        g = 0.02 * L1Norm((60,))
+        return f, g
+
+    def _objective(self, f, g, x):
+        return float(f.apply(x) + g.apply(x))
+
+    def test_two_phase_recovers_f32_objective(self):
+        f, g = self._lasso()
+        x0 = jnp.zeros(60, jnp.float32)
+        ref = PGD(f=f, g=g)
+        ref.fit(x0=x0, stop_crit=MaxIter(400), max_iter=400)
+        obj_f32 = self._objective(f, g, ref.solution())
+
+        slv = PGD(f=f, g=g)
+        slv.fit(x0=x0, stop_crit=MaxIter(400), max_iter=400,
+                precision_schedule=[(jnp.bfloat16, 250), (jnp.float32, None)])
+        assert slv.solution().dtype == jnp.float32
+        obj_sched = self._objective(f, g, slv.solution())
+        # the f32 polish recovers the f32 objective (round-6 guarantee)
+        assert obj_sched <= obj_f32 * 1.02 + 1e-6, (obj_sched, obj_f32)
+
+        # pure-bf16 run for contrast: must NOT beat the schedule's objective
+        b16 = PGD(f=f, g=g)
+        b16.fit(x0=x0.astype(jnp.bfloat16), stop_crit=MaxIter(400),
+                max_iter=400)
+        obj_b16 = self._objective(f, g, b16.solution().astype(jnp.float32))
+        assert obj_sched <= obj_b16 + 1e-6
+
+    def test_phase_iteration_budget_and_final_stop_crit(self):
+        f, g = self._lasso()
+        slv = PGD(f=f, g=g)
+        # tight final stop criterion: the last phase may stop early; the
+        # total must stay within max_iter
+        slv.fit(x0=jnp.zeros(60, jnp.float32),
+                stop_crit=RelError(eps=1e-3, var="x"), max_iter=300,
+                precision_schedule=[(jnp.bfloat16, 50), (jnp.float32, None)])
+        assert slv.stats()[1]["iteration"][-1] <= 300
+
+    def test_validation(self):
+        f, g = self._lasso()
+        slv = PGD(f=f, g=g)
+        with pytest.raises(ValueError, match="non-empty"):
+            slv.fit(x0=jnp.zeros(60), precision_schedule=[])
+        with pytest.raises(ValueError, match="positive iteration"):
+            slv.fit(x0=jnp.zeros(60),
+                    precision_schedule=[(jnp.bfloat16, None),
+                                        (jnp.float32, None)])
+        with pytest.raises(ValueError, match="BLOCK"):
+            slv.fit(x0=jnp.zeros(60), mode=Mode.MANUAL,
+                    precision_schedule=[(jnp.float32, None)])
