@@ -467,6 +467,31 @@ class ChainMixin:
     def grad(self, arr):
         arr = jnp.asarray(arr)
         if self._rhs.has(P.LINEAR):
+            if self._lhs.has(P.LINEAR):
+                # linear-functional chain: the gradient is the CONSTANT
+                # w = K^T grad(l).  Evaluating lhs.grad at rhs.apply(arr)
+                # would run rhs forward AND adjoint per call only to produce
+                # that constant, and XLA cannot hoist it out of solver loops
+                # when rhs contains opaque custom calls (measured: the CT
+                # PD3O quadratic's c.grad cost 1.2 ms/iter — the entire
+                # iteration budget — through the ragged-NUFFT FourierRadon).
+                # The constant is computed once (eagerly when operator data
+                # is concrete) and cached per dtype; see _VOLATILE_FIELDS.
+                key = jnp.dtype(arr.dtype).name
+                cache = self.__dict__.get("_cgrad_cache")
+                if cache is None or cache[0] != key:
+                    # in-graph fallback (correct but NOT hoisted out of
+                    # solver loops when rhs contains custom calls) — the
+                    # solver engine warms the cache eagerly before tracing
+                    # (Solver._warm_operand_caches)
+                    w_l = self._lhs.grad(
+                        jnp.zeros(self._lhs.dim_shape, arr.dtype))
+                    w = self._rhs.adjoint(w_l)
+                    if not isinstance(w, jax.core.Tracer):
+                        self.__dict__["_cgrad_cache"] = (key, w)
+                else:
+                    w = cache[1]
+                return jnp.broadcast_to(w, arr.shape)
             return self._rhs.adjoint(self._lhs.grad(self._rhs.apply(arr)))
         # grad(f o g)(x) = J_g(x)^T grad_f(g(x)) via VJP — batched.
         def single(x):
@@ -474,6 +499,27 @@ class ChainMixin:
             (g,) = vjp(self._lhs.grad(y))
             return g
         return self._map_batched(single, arr, self.dim_rank, self.dim_shape)
+
+    def _warm_grad_cache(self, dtype):
+        """Eagerly fill the constant-gradient cache of a linear-functional
+        chain (see :meth:`grad`).  Runs under an explicit ``jax.jit`` —
+        eager complex ops are UNIMPLEMENTED on some TPU runtimes and the
+        constant must exist BEFORE the solver segment traces (inside a
+        trace it cannot be hoisted past custom calls)."""
+        if not (self._rhs.has(P.LINEAR) and self._lhs.has(P.LINEAR)
+                and self.codim_shape == ()):
+            return
+        key = jnp.dtype(dtype).name
+        cache = self.__dict__.get("_cgrad_cache")
+        if cache is not None and cache[0] == key:
+            return
+        try:
+            w = jax.jit(lambda: self._rhs.adjoint(self._lhs.grad(
+                jnp.zeros(self._lhs.dim_shape, dtype))))()
+            jax.block_until_ready(w)
+            self.__dict__["_cgrad_cache"] = (key, w)
+        except Exception:   # never let cache warming break a fit
+            pass
 
     def prox(self, arr, tau):
         # prox_{f o U}(x) = U^T prox_f(U x)  for unitary U

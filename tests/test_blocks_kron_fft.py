@@ -172,6 +172,17 @@ class TestFFTComplex(ConformanceSuite):
     def op(self):
         return FFT((8, 4))
 
+    @pytest.fixture
+    def data_apply(self):
+        """Hard-coded ground truth (reference discipline:
+        src/pyxu_tests/operator/examples/): DFT of a delta at (1, 0) is the
+        pure phase ramp e^{-2 pi i k1 / 8}, constant along axis 1."""
+        z = np.zeros((8, 4), complex)
+        z[1, 0] = 1.0
+        want = np.exp(-2j * np.pi * np.arange(8) / 8)[:, None] * np.ones((1, 4))
+        return np.asarray(view_as_real(jnp.asarray(z))), \
+            np.asarray(view_as_real(jnp.asarray(want)))
+
     def test_matches_numpy_fft(self, rng, fdtype):
         op = FFT((8, 4))
         z = rng.standard_normal((8, 4)) + 1j * rng.standard_normal((8, 4))
@@ -190,6 +201,14 @@ class TestFFTReal(ConformanceSuite):
     @pytest.fixture
     def op(self):
         return FFT((6,), real=True)
+
+    @pytest.fixture
+    def data_apply(self):
+        """DFT of a real delta at index 1: e^{-2 pi i k / 6}."""
+        x = np.zeros(6)
+        x[1] = 1.0
+        want = np.exp(-2j * np.pi * np.arange(6) / 6)
+        return x, np.asarray(view_as_real(jnp.asarray(want)))
 
     def test_cosine(self):
         N = 10

@@ -65,6 +65,25 @@ class TestGradient(ConformanceSuite):
     def op(self, request):
         return Gradient((5, 6), mode=request.param)
 
+    @pytest.fixture
+    def data_apply(self, request, op):
+        """Hard-coded ground truth (reference discipline:
+        src/pyxu_tests/operator/examples/): forward difference of the plane
+        x[i,j] = 2i + 3j — interior slopes (2, 3); the last row/col is the
+        boundary: constant mode sees a 0 beyond the edge (diff = -x_edge),
+        symmetric mode replicates the edge (diff = 0)."""
+        mode = request.node.callspec.params["op"]
+        x = 2.0 * np.arange(5)[:, None] + 3.0 * np.arange(6)[None, :]
+        g0 = np.full((5, 6), 2.0)
+        g1 = np.full((5, 6), 3.0)
+        if mode == "constant":
+            g0[-1, :] = -x[-1, :]
+            g1[:, -1] = -x[:, -1]
+        else:                       # symmetric: edge replicated
+            g0[-1, :] = 0.0
+            g1[:, -1] = 0.0
+        return x, np.stack([g0, g1])
+
     def test_shape(self, op):
         assert op.codim_shape == (2, 5, 6)
 

@@ -24,6 +24,17 @@ class TestMovingAverage(ConformanceSuite):
     def op(self):
         return MovingAverage((6, 7), size=3, mode="symmetric")
 
+    @pytest.fixture
+    def data_apply(self):
+        """Hard-coded ground truth (reference discipline:
+        src/pyxu_tests/operator/examples/): a 3x3 box mean spreads a
+        height-9 delta into a 3x3 block of ones."""
+        x = np.zeros((6, 7))
+        x[2, 3] = 9.0
+        want = np.zeros((6, 7))
+        want[1:4, 2:5] = 1.0
+        return x, want
+
     def test_matches_scipy(self, rng, fdtype):
         op = MovingAverage((6, 7), size=3, mode="symmetric")
         x = rng.standard_normal((6, 7))
@@ -54,6 +65,21 @@ class TestLaplaceFilter(ConformanceSuite):
     def op(self):
         return Laplace((7, 7))
 
+    @pytest.fixture
+    def data_apply(self):
+        """[1,-2,1] in both axes on the ramp x[i,j]=i under the default
+        constant (zero) padding: interior 0; the top row reads the zero pad
+        (+1), the bottom row loses x[7] (x[5]-2x[6] = -7), and the first/
+        last columns lose one horizontal neighbor of the constant row i
+        (-i each).  Hand-derived."""
+        x = np.tile(np.arange(7.0)[:, None], (1, 7))
+        want = np.zeros((7, 7))
+        want[0, :] += 1.0
+        want[-1, :] += -7.0
+        want[:, 0] += -np.arange(7.0)
+        want[:, -1] += -np.arange(7.0)
+        return x, want
+
     def test_matches_scipy(self, rng, fdtype):
         op = Laplace((7, 7), mode="symmetric")
         x = rng.standard_normal((7, 7))
@@ -65,6 +91,15 @@ class TestSobelSingleAxis(ConformanceSuite):
     @pytest.fixture
     def op(self):
         return Sobel((6, 6), axis=0, mode="symmetric")
+
+    @pytest.fixture
+    def data_apply(self):
+        """Normalized Sobel ([-1,0,1] x [1,2,1]/4) on the ramp x[i,j]=i:
+        central difference 2 in the interior, 1 at the reflected edges
+        (hand-derived, cross-checked against scipy.ndimage.sobel/4)."""
+        x = np.tile(np.arange(6.0)[:, None], (1, 6))
+        want = np.tile(np.asarray([1.0, 2, 2, 2, 2, 1])[:, None], (1, 6))
+        return x, want
 
     def test_matches_scipy(self, rng, fdtype):
         op = Sobel((6, 6), axis=0, mode="symmetric")

@@ -499,3 +499,36 @@ class TestToeplitzGramReviewRegressions:
         r = np.random.default_rng(0).standard_normal(N).astype(np.float32)
         out = np.asarray(solve(jnp.asarray(r), 0.5))
         assert out.shape == N and np.isfinite(out).all()
+
+
+class TestNUFFTKnownAnswers(ConformanceSuite):
+    """Hard-coded ground truth for the NUFFT (reference discipline:
+    src/pyxu_tests/operator/examples/) — hand-computed sums of complex
+    exponentials at convention-revealing points (0, ±pi/2), mode indices
+    k = -N/2 .. N/2-1, isign=+1."""
+
+    @pytest.fixture
+    def op(self):
+        x = np.asarray([0.0, np.pi / 2, -np.pi / 2])
+        return NUFFT.type2(jnp.asarray(x), (4,), isign=+1, eps=1e-9)
+
+    @pytest.fixture
+    def data_apply(self):
+        # f(x_j) = sum_k c_k e^{+i k x_j}, c = [1, 2, 0, -1] at k = -2..1:
+        #   f(0)      = 1 + 2 + 0 - 1              = 2
+        #   f(pi/2)   = -1·1 + (-i)·2 + 0 + i·(-1) = -1 - 3i
+        #   f(-pi/2)  = -1·1 + i·2 + 0 + (-i)·(-1) = -1 + 3i
+        c = np.asarray([[1.0, 0.0], [2.0, 0.0], [0.0, 0.0], [-1.0, 0.0]])
+        want = np.asarray([[2.0, 0.0], [-1.0, -3.0], [-1.0, 3.0]])
+        return c, want
+
+    def test_type1_known_answer(self):
+        # u_k = sum_j c_j e^{+i k x_j}, x = [0, pi/2], c = [1, i]:
+        #   k=-2: 1 + i·e^{-i pi} = 1 - i      k=-1: 1 + i·(-i) = 2
+        #   k= 0: 1 + i                        k= 1: 1 + i·i    = 0
+        x = np.asarray([0.0, np.pi / 2])
+        op = NUFFT.type1(jnp.asarray(x), (4,), isign=+1, eps=1e-9)
+        c = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+        want = np.asarray([[1.0, -1.0], [2.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+        got = np.asarray(op.apply(c))
+        assert np.allclose(got, want, atol=1e-6), got

@@ -42,6 +42,23 @@ class TestStencil2D(ConformanceSuite):
         k = jnp.asarray([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], fdtype)
         return Stencil((6, 7), k, center=(1, 1), mode=request.param)
 
+    @pytest.fixture
+    def data_apply(self, request):
+        """Hard-coded ground truth (reference discipline:
+        src/pyxu_tests/operator/examples/): the 5-point Laplacian stencil on
+        a constant field is 0 in the interior; each missing neighbor at the
+        boundary contributes -1 under constant (zero) padding and 0 under
+        symmetric padding."""
+        x = np.ones((6, 7))
+        if request.node.callspec.params["op"] == "symmetric":
+            return x, np.zeros((6, 7))
+        want = np.zeros((6, 7))
+        want[0, :] -= 1.0   # missing top neighbor
+        want[-1, :] -= 1.0
+        want[:, 0] -= 1.0
+        want[:, -1] -= 1.0
+        return x, want
+
     def test_matches_scipy_correlate(self, op, rng, fdtype):
         x = rng.standard_normal((6, 7)).astype(np.float64)
         k = np.asarray(op.kernel, np.float64)
