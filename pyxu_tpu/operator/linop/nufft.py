@@ -253,6 +253,7 @@ def _interp(g, idxs, wts, mm3_plan=None):
     if d in (2, 3) and mm3_plan is not None and _use_mm():
         if (mm3_plan.pencil is not None or mm3_plan.strip2 is not None
                 or mm3_plan.ragged is not None
+                or mm3_plan.rpencil is not None
                 or mm3_plan.l0T is not None) \
                 and _use_slab_pallas(g.real.dtype):
             return _interp_slab_pallas(g, mm3_plan)
@@ -576,7 +577,8 @@ class _SlabPlan:
     def __init__(self, perm, l0, w0, i1, w1, i2, w2, invperm, T: int,
                  n1ext: int, chunk: int = _SLAB_CHUNK,
                  l0T=None, w0T=None, i1T=None, w1T=None, i2T=None,
-                 w2T=None, pencil=None, strip2=None, ragged=None):
+                 w2T=None, pencil=None, strip2=None, ragged=None,
+                 rpencil=None):
         self.perm = perm        # (S, Mp) int32 point ids; M = dummy pad
         self.l0 = l0            # (S, Mp, w) int32 window-local rows
         self.w0 = w0            # (S, Mp, w) axis-0 tap weights (0 on pads)
@@ -598,6 +600,9 @@ class _SlabPlan:
         self.ragged = ragged    # `_RaggedPlan2`: flat-chunk-list 2-D slab
                                 #   partition (built when the classic
                                 #   padded partition is refused), or None
+        self.rpencil = rpencil  # `_RaggedPencil3`: flat-chunk-list 3-D
+                                #   2-axis pencil partition (clustered
+                                #   sets; preferred over `ragged`), or None
         self.T = int(T)
         self.n1ext = int(n1ext)
         self.chunk = int(chunk)
@@ -607,7 +612,7 @@ jax.tree_util.register_pytree_node(
     _SlabPlan,
     lambda p: ((p.perm, p.l0, p.w0, p.i1, p.w1, p.i2, p.w2, p.invperm,
                 p.l0T, p.w0T, p.i1T, p.w1T, p.i2T, p.w2T, p.pencil,
-                p.strip2, p.ragged),
+                p.strip2, p.ragged, p.rpencil),
                (p.T, p.n1ext, p.chunk)),
     lambda aux, ch: _SlabPlan(*ch[:8], *aux, *ch[8:]),
 )
@@ -675,8 +680,16 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
     part = _slab_partition_np(base, n1, w, chunk, max_blowup=max_blowup)
     if os.environ.get("PYXU_TPU_NUFFT_RAGGED") == "force" and d == 2:
         part = None                     # A/B: ragged even when classic fits
-    ragged = None
-    if part is None and pallas_ok and (d == 2 or pencil is None):
+    ragged = rpencil = None
+    if part is None and pallas_ok and d == 3 and pencil is None:
+        # clustered 3-D sets: try the ragged PENCIL partition first —
+        # (2w)^2 n3 MACs/point (n2/2w below the ragged slab), one chunk
+        # per occupied pencil, strip-resident accumulation
+        base1_ = np.asarray(idxs[1])[:, 0].astype(np.int64)
+        rpencil = _ragged_pencil_plan(np.asarray(base, np.int64), base1_,
+                                      idxs, wts, n1, n2, n3, chunk=chunk)
+    if part is None and pallas_ok and rpencil is None and \
+            (d == 2 or pencil is None):
         # classic padded partition refused (clustered / partially
         # occupied sets — e.g. type-3 fine grids): the ragged flat-chunk
         # partition pays one chunk per occupied slab instead.  At d == 3
@@ -690,7 +703,7 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
             ragged = _ragged_plan2(np.asarray(base, np.int64), idxs, wts,
                                    n1, n2, chunk=chunk)
     if part is None:
-        sub = next((p for p in (pencil, strip2, ragged)
+        sub = next((p for p in (pencil, strip2, ragged, rpencil)
                     if p is not None), None)
         if sub is None:
             return None
@@ -698,7 +711,8 @@ def _slab_plan(base, idxs, wts, n1: int, chunk: int = _SLAB_CHUNK,
         return _SlabPlan(None, None, None, None, None, None, None, None,
                          w, n1e, getattr(sub, "chunk", 0) or
                          getattr(sub, "CH", 0),
-                         pencil=pencil, strip2=strip2, ragged=ragged)
+                         pencil=pencil, strip2=strip2, ragged=ragged,
+                         rpencil=rpencil)
     perm, starts, inv, T, n1ext, chunk = part
 
     from pyxu_tpu import native
@@ -1088,6 +1102,103 @@ def _ragged_plan2(base0, idxs, wts, n1: int, n2: int,
         S, T, S * T + T, CH, w, i2T=i2T, w2T=w2T)
 
 
+class _RaggedPencil3:
+    """Flat-chunk-list 2-axis (pencil) partition for clustered 3-D sets —
+    each occupied (p0, p1) pencil contributes ceil(cnt/CH) steps to one
+    bin-sorted step list, so per-point tap work is (2w)^2 n3 MACs (pencil
+    grade, n2/2w below the ragged slab's) while padding stays one chunk
+    per occupied pencil.  Consecutive same-row steps keep the row's strip
+    VMEM-resident (`ops/pallas_nufft.ragged_pencil_spread3`).  Reference
+    counterpart: the FINUFFT backend's binned subgrid spreading (reference
+    nufft.py:275-279 — Backend prose).
+
+    Pytree leaves: (perm, l0T, w0T, l1T, w1T, i2T, w2T, step_bin,
+    strip_first, invperm, occ0); static aux: (S0, S1, T, n1ext, n2ext,
+    CH, w)."""
+
+    def __init__(self, perm, l0T, w0T, l1T, w1T, i2T, w2T, step_bin,
+                 strip_first, invperm, occ0, S0: int, S1: int, T: int,
+                 n1ext: int, n2ext: int, CH: int, w: int):
+        self.perm = perm
+        self.l0T = l0T
+        self.w0T = w0T
+        self.l1T = l1T
+        self.w1T = w1T
+        self.i2T = i2T
+        self.w2T = w2T
+        self.step_bin = step_bin        # (n_steps,) int32 pencil bin ids
+        self.strip_first = strip_first  # (n_steps,) 1 = first step of row
+        self.invperm = invperm
+        self.occ0 = occ0                # (S0,) float: row has any point
+        self.S0 = int(S0)
+        self.S1 = int(S1)
+        self.T = int(T)
+        self.n1ext = int(n1ext)
+        self.n2ext = int(n2ext)
+        self.CH = int(CH)
+        self.w = int(w)
+
+
+jax.tree_util.register_pytree_node(
+    _RaggedPencil3,
+    lambda p: ((p.perm, p.l0T, p.w0T, p.l1T, p.w1T, p.i2T, p.w2T,
+                p.step_bin, p.strip_first, p.invperm, p.occ0),
+               (p.S0, p.S1, p.T, p.n1ext, p.n2ext, p.CH, p.w)),
+    lambda aux, ch: _RaggedPencil3(*ch, *aux),
+)
+
+
+def _ragged_pencil_plan(base0, base1, idxs, wts, n1: int, n2: int,
+                        n3: int, chunk: int = _SLAB_CHUNK):
+    """Build a `_RaggedPencil3` from per-axis unwrapped base cells (d == 3
+    only), or None (env-disabled / degenerate sets / strips too large for
+    VMEM residency)."""
+    if os.environ.get("PYXU_TPU_NUFFT_RPENCIL", "1") == "0":
+        return None
+    w = idxs[0].shape[1]
+    T = max(8, -(-(w - 1) // 8) * 8)
+    if n1 < 2 * T or n2 < 2 * T or not n3:
+        return None
+    S0 = -(-n1 // T)
+    S1 = -(-n2 // T)
+    n2ext = S1 * T + T
+    # both re/im strips must stay VMEM-resident across a row's steps
+    if 2 * (2 * T) * n2ext * int(n3) * 4 > 48 * 1024 * 1024:
+        return None
+    bins = ((base0 // T) * S1 + (base1 // T)).astype(np.int64)
+    part = _ragged_partition_np(bins, S0 * S1, _chunk_override(chunk))
+    if part is None:
+        return None
+    perm, step_bin, step_first, invperm, occ_flags, CH = part
+    p0 = step_bin.astype(np.int64) // S1
+    strip_first = np.zeros(len(step_bin), np.int32)
+    strip_first[0] = 1
+    strip_first[1:] = (p0[1:] != p0[:-1]).astype(np.int32)
+    occ0 = occ_flags.reshape(S0, S1).max(axis=1)
+    w_pad = -(-w // 8) * 8
+    t = np.arange(w, dtype=np.int32)
+    l0 = base0.astype(np.int32)[:, None] + t - \
+        ((bins // S1) * T).astype(np.int32)[:, None]
+    l1 = base1.astype(np.int32)[:, None] + t - \
+        ((bins % S1) * T).astype(np.int32)[:, None]
+
+    def pT(a, fill):
+        return _padrow_perm_T(np.ascontiguousarray(a), fill, perm, w, w_pad)
+
+    return _RaggedPencil3(
+        jnp.asarray(perm),
+        pT(l0, -(1 << 20)),
+        pT(np.asarray(wts[0]).astype(np.float32), 0.0),
+        pT(l1, -(1 << 20)),
+        pT(np.asarray(wts[1]).astype(np.float32), 0.0),
+        pT(idxs[2], -(1 << 20)),
+        pT(np.asarray(wts[2]).astype(np.float32), 0.0),
+        jnp.asarray(step_bin), jnp.asarray(strip_first),
+        jnp.asarray(invperm.astype(np.int32)),
+        jnp.asarray(occ0),
+        S0, S1, T, S0 * T + T, n2ext, CH, w)
+
+
 def _padrow_perm_T(a, fill, perm, w: int, w_pad: int):
     """Transposed padded gather shared by the pencil/strip2 planners:
     (M, w) host arrays -> (P, w_pad, Mp) slab/pencil-ordered, taps
@@ -1304,6 +1415,24 @@ def _spread_slab_pallas(c, n_fs, plan):
     interp = jax.default_backend() != "tpu"
     w = plan.T                                  # T == w by construction
     win = 2 * plan.T
+    rp = plan.rpencil
+    if rp is not None:
+        # ragged strip-resident 3-D pencil spread (clustered sets)
+        from pyxu_tpu.ops.pallas_nufft import ragged_pencil_spread3
+        cp_ = _pad_pt(c)[rp.perm]
+        n2f, n3f = int(n_fs[1]), int(n_fs[2])
+        Rr, Ri = ragged_pencil_spread3(
+            rp.step_bin, rp.strip_first,
+            cp_.real.astype(jnp.float32), cp_.imag.astype(jnp.float32),
+            (rp.l0T, rp.w0T, rp.l1T, rp.w1T, rp.i2T, rp.w2T),
+            S0=rp.S0, S1=rp.S1, T=rp.T, n3=n3f, w=rp.w, interpret=interp)
+        occ = rp.occ0[:, None, None, None] > 0  # unvisited rows: UNDEFINED
+        Rr = jnp.where(occ, Rr, 0.0)
+        Ri = jnp.where(occ, Ri, 0.0)
+        R = (Rr + 1j * Ri).astype(c.dtype)      # (S0, 2T, n2ext, n3)
+        wrap = rp.n2ext - n2f
+        Y = R[:, :, :n2f].at[:, :, :wrap].add(R[:, :, n2f:])
+        return _axis_overlap_add(Y[None], int(n_fs[0]), rp.T, rp.n1ext)[0]
     rg = plan.ragged
     # only honor the strip2-spread force knob when a strip2 plan exists —
     # a ragged-only plan has perm/l0T/pencil all None and the classic slab
@@ -1429,6 +1558,21 @@ def _interp_slab_pallas(g, plan):
             T1=sp.T1, w=sp.w, chunk=sp.chunk, interpret=interp)
         outs = (vr + 1j * vi).astype(g.dtype)
         return outs.ravel()[sp.invperm]
+    rp = plan.rpencil
+    if rp is not None:
+        from pyxu_tpu.ops.pallas_nufft import ragged_pencil_interp3
+        n2f = g.shape[1]
+        # axis-0 2T-windows, axis-1 extended with periodic wrap (the
+        # strip layout the ragged pencil kernels consume)
+        X = _axis_windows(g[None], rp.S0, rp.T, rp.n1ext)[0]
+        Gw = jnp.concatenate([X, X[:, :, :rp.n2ext - n2f]], axis=2)
+        vr, vi = ragged_pencil_interp3(
+            rp.step_bin,
+            Gw.real.astype(jnp.float32), Gw.imag.astype(jnp.float32),
+            (rp.l0T, rp.w0T, rp.l1T, rp.w1T, rp.i2T, rp.w2T),
+            S1=rp.S1, T=rp.T, w=rp.w, interpret=interp)
+        outs = (vr + 1j * vi).astype(g.dtype)
+        return outs.ravel()[rp.invperm]
     rg = plan.ragged
     if rg is not None:
         # ragged flat-chunk-list slab interp (classic partition refused,
@@ -1545,6 +1689,7 @@ def _spread(c, idxs, wts, n_fs, mm3_plan=None):
     if d in (2, 3) and mm3_plan is not None and _use_mm():
         if (mm3_plan.pencil is not None or mm3_plan.strip2 is not None
                 or mm3_plan.ragged is not None
+                or mm3_plan.rpencil is not None
                 or mm3_plan.l0T is not None) \
                 and _use_slab_pallas(c.real.dtype):
             return _spread_slab_pallas(c, n_fs, mm3_plan)

@@ -1027,3 +1027,145 @@ def ragged_interp3(step_slab, GR, GI, plan_arrays, *, w: int,
                                wn2 // win_pad, n3, w, interpret)
     vr, vi = fn(step_slab, l0T, w0T, i1T, w1T, i2T, w2T, GR, GI)
     return vr[:, 0], vi[:, 0]
+
+
+# ---------------------------------------- ragged 3-D pencil (strip) kernels --
+#
+# Flat-chunk-list 2-axis pencil partition for CLUSTERED 3-D sets (type-3
+# fine grids): each occupied (p0, p1) pencil contributes ceil(cnt/CH) steps
+# to one flat list sorted by bin id, so all of an axis-0 row's steps are
+# consecutive and the row's (2T, n2ext, n3) strip stays VMEM-resident
+# across them (the ragged analog of strip_spread3).  Per-point tap work is
+# (2w)^2 n3 MACs — n2/2w cheaper than the ragged slab fallback — while
+# padding stays bounded at one chunk per occupied pencil.  Unvisited
+# axis-0 rows' strips are UNDEFINED: callers mask with jnp.where.
+
+@functools.lru_cache(maxsize=64)
+def _build_ragged_pencil_spread3(n_steps, S0, S1, T, w_pad, CH, n3, w,
+                                 interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    win_pad = 2 * T
+    n2ext = S1 * T + T
+
+    def kernel(bin_ref, sfirst_ref, cr_ref, ci_ref, l0_ref, w0_ref,
+               l1_ref, w1_ref, i2_ref, w2_ref, outr_ref, outi_ref):
+        i = pl.program_id(0)
+        U0 = _onehot_tap(l0_ref[0], w0_ref[0], win_pad, CH, w)
+        U1 = _onehot_tap(l1_ref[0], w1_ref[0], win_pad, CH, w)
+        U2 = _onehot_tap(i2_ref[0], w2_ref[0], n3, CH, w)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * win_pad, CH)
+        dims = (((1,), (1,)), ((), ()))
+        Rr = jax.lax.dot_general(A * cr_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+        Ri = jax.lax.dot_general(A * ci_ref[0], U2, dims,
+                                 preferred_element_type=jnp.float32)
+
+        @pl.when(sfirst_ref[i] == 1)
+        def _():
+            outr_ref[...] = jnp.zeros((1, win_pad, n2ext, n3), jnp.float32)
+            outi_ref[...] = jnp.zeros((1, win_pad, n2ext, n3), jnp.float32)
+
+        s1 = bin_ref[i] % S1
+        off = pl.multiple_of(s1 * T, 8)     # T is 8-rounded by the planner
+        shp = (1, win_pad, win_pad, n3)
+        sl = (slice(None), slice(None), pl.ds(off, win_pad), slice(None))
+        outr_ref[sl] = outr_ref[sl] + Rr.reshape(shp)
+        outi_ref[sl] = outi_ref[sl] + Ri.reshape(shp)
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda i, bn, sf: (i, 0, 0))
+    pt_spec = pl.BlockSpec((1, 1, CH), lambda i, bn, sf: (i, 0, 0))
+    out_spec = pl.BlockSpec((1, win_pad, n2ext, n3),
+                            lambda i, bn, sf: (bn[i] // S1, 0, 0, 0))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps,),
+        in_specs=[pt_spec, pt_spec] + [plan_spec] * 6,
+        out_specs=[out_spec, out_spec],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((S0, win_pad, n2ext, n3),
+                                        jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def ragged_pencil_spread3(step_bin, strip_first, cr, ci, plan_arrays, *,
+                          S0: int, S1: int, T: int, n3: int, w: int,
+                          interpret: bool = False):
+    """Ragged strip-resident 3-D pencil spreading: returns (Rr, Ri), each
+    (S0, 2T, S1*T + T, n3) with axis-1 overlap-add done in VMEM; strips of
+    unoccupied axis-0 rows are undefined (mask with the plan's occ0)."""
+    l0T, w0T, l1T, w1T, i2T, w2T = plan_arrays
+    n_steps, w_pad, CH = l0T.shape
+    fn = _build_ragged_pencil_spread3(n_steps, S0, S1, T, w_pad, CH, n3, w,
+                                      interpret)
+    return fn(step_bin, strip_first, cr[:, None, :], ci[:, None, :],
+              l0T, w0T, l1T, w1T, i2T, w2T)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_ragged_pencil_interp3(n_steps, S0, S1, T, w_pad, CH, n3, w,
+                                 interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    win_pad = 2 * T
+    n2ext = S1 * T + T
+
+    def kernel(bin_ref, l0_ref, w0_ref, l1_ref, w1_ref, i2_ref, w2_ref,
+               gr_ref, gi_ref, outr_ref, outi_ref):
+        i = pl.program_id(0)
+        U0 = _onehot_tap(l0_ref[0], w0_ref[0], win_pad, CH, w)
+        U1 = _onehot_tap(l1_ref[0], w1_ref[0], win_pad, CH, w)
+        U2 = _onehot_tap(i2_ref[0], w2_ref[0], n3, CH, w)
+        A = (U0[:, None, :] * U1[None, :, :]).reshape(win_pad * win_pad, CH)
+        s1 = bin_ref[i] % S1
+        off = pl.multiple_of(s1 * T, 8)
+        sl = (0, slice(None), pl.ds(off, win_pad), slice(None))
+        G2 = gr_ref[sl].reshape(win_pad * win_pad, n3)
+        H2 = gi_ref[sl].reshape(win_pad * win_pad, n3)
+        dims = (((1,), (0,)), ((), ()))     # (win^2, n3) @ (n3, CH)
+        TRr = jax.lax.dot_general(G2, U2, dims,
+                                  preferred_element_type=jnp.float32)
+        TRi = jax.lax.dot_general(H2, U2, dims,
+                                  preferred_element_type=jnp.float32)
+        outr_ref[...] = jnp.sum(TRr * A, axis=0, keepdims=True)[None]
+        outi_ref[...] = jnp.sum(TRi * A, axis=0, keepdims=True)[None]
+
+    plan_spec = pl.BlockSpec((1, w_pad, CH), lambda i, bn: (i, 0, 0))
+    g_spec = pl.BlockSpec((1, win_pad, n2ext, n3),
+                          lambda i, bn: (bn[i] // S1, 0, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, CH), lambda i, bn: (i, 0, 0))
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[plan_spec] * 6 + [g_spec, g_spec],
+        out_specs=[out_spec, out_spec],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=gs,
+        out_shape=[jax.ShapeDtypeStruct((n_steps, 1, CH), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def ragged_pencil_interp3(step_bin, GR, GI, plan_arrays, *, S1: int,
+                          T: int, w: int, interpret: bool = False):
+    """Transpose of :func:`ragged_pencil_spread3`: GR/GI (S0, 2T, S1*T+T,
+    n3) axis-0-windowed, axis-1-extended grids; returns (vr, vi), each
+    (n_steps, CH) flat point values (caller gathers via invperm)."""
+    l0T, w0T, l1T, w1T, i2T, w2T = plan_arrays
+    n_steps, w_pad, CH = l0T.shape
+    S0 = GR.shape[0]
+    n3 = GR.shape[3]
+    fn = _build_ragged_pencil_interp3(n_steps, S0, S1, T, w_pad, CH, n3, w,
+                                      interpret)
+    vr, vi = fn(step_bin, l0T, w0T, l1T, w1T, i2T, w2T, GR, GI)
+    return vr[:, 0], vi[:, 0]

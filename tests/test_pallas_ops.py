@@ -331,11 +331,16 @@ class TestRaggedRoutes:
         err = np.max(np.abs(out[..., 0] + 1j * out[..., 1] - ref))
         assert err < 2e-5 * np.max(np.abs(ref))
 
-    def test_ragged3_vs_direct_and_adjoint(self, monkeypatch):
-        # tight 3-D Gaussian cluster: slab AND pencil partitions refuse,
-        # the ragged 3-D slab fallback replaces XLA scatter
+    @pytest.mark.parametrize("route", ["rpencil", "rslab"])
+    def test_ragged3_vs_direct_and_adjoint(self, monkeypatch, route):
+        # tight 3-D Gaussian cluster: slab AND pencil partitions refuse;
+        # the ragged PENCIL partition is preferred ((2w)^2 n3 MACs/point),
+        # the ragged 3-D slab is the fallback before XLA scatter
+        # (PYXU_TPU_NUFFT_RPENCIL=0)
         monkeypatch.setenv("PYXU_TPU_NUFFT_MM", "1")
         monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "1")
+        if route == "rslab":
+            monkeypatch.setenv("PYXU_TPU_NUFFT_RPENCIL", "0")
         rng = np.random.default_rng(0)
         from pyxu_tpu.operator.linop.nufft import NUFFT, nudft1
         M, N = 4000, (20, 18, 16)
@@ -343,7 +348,11 @@ class TestRaggedRoutes:
         op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
         p = op._mm3
         assert p is not None and p.l0 is None and p.pencil is None
-        assert p.ragged is not None and p.ragged.i2T is not None
+        if route == "rpencil":
+            assert p.rpencil is not None and p.ragged is None
+        else:
+            assert p.rpencil is None
+            assert p.ragged is not None and p.ragged.i2T is not None
         arr = rng.standard_normal((M, 2)).astype(np.float32)
         out = np.asarray(op.apply(jnp.asarray(arr)))
         ref = nudft1(arr[:, 0] + 1j * arr[:, 1], x, N, +1)
@@ -363,7 +372,8 @@ class TestRaggedRoutes:
         M, N = 2500, (16, 14, 12)
         x = np.clip(rng.normal(-0.4, 0.1, (M, 3)), -np.pi, np.pi)
         op = NUFFT.type1(x, N, isign=+1, eps=1e-6)
-        assert op._mm3 is not None and op._mm3.ragged is not None
+        assert op._mm3 is not None and (op._mm3.rpencil is not None
+                                        or op._mm3.ragged is not None)
         arr = jnp.asarray(rng.standard_normal((M, 2)), jnp.float32)
         out_ragged = np.asarray(op.apply(arr))
         monkeypatch.setenv("PYXU_TPU_NUFFT_PALLAS", "0")  # scatter path
