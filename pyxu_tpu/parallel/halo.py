@@ -144,16 +144,28 @@ class ShardedStencil(SquareOp):
         return self._run(arr, self._kernels, self._centers)
 
     def adjoint(self, arr):
-        # static data: flip kernels / mirror centers once, not per call
-        cached = getattr(self, "_adj_cache", None)
-        if cached is None:
+        # static data: flip kernels / mirror centers once, not per call.
+        # NEVER cache jnp results computed under a trace: omnistaging makes
+        # a first call inside jit cache TRACERS, poisoning every later
+        # trace (observed via Solver._warm_operand_caches — the engine's
+        # crash-proof dispatch then silently no-ops the fit).
+        centers = tuple(
+            tuple(k.shape[d] - 1 - c[d] for d in range(k.ndim))
+            for k, c in zip(reversed(self._kernels),
+                            reversed(self._centers))
+        )
+        if any(isinstance(k, jax.core.Tracer) for k in self._kernels):
+            # dynamic-operand trace: compute in-graph, do not cache
             flipped = tuple(jnp.flip(k, axis=tuple(range(k.ndim)))
                             for k in reversed(self._kernels))
-            centers = tuple(
-                tuple(k.shape[d] - 1 - c[d] for d in range(k.ndim))
-                for k, c in zip(reversed(self._kernels),
-                                reversed(self._centers))
-            )
+            return self._run(arr, flipped, centers)
+        cached = getattr(self, "_adj_cache", None)
+        if cached is None:
+            # cache NUMPY arrays: even jnp.asarray(concrete) yields a
+            # tracer while a trace is active, and a cached tracer poisons
+            # every later trace
+            flipped = tuple(np.flip(np.asarray(k))
+                            for k in reversed(self._kernels))
             cached = self._adj_cache = (flipped, centers)
         return self._run(arr, *cached)
 

@@ -68,6 +68,15 @@ def _child(n_dev: int, size: int, tiles: int, tile: int, iters: int) -> None:
     def timed_fit(slv, fit_kw, crit, iters):
         slv.fit(stop_crit=crit, max_iter=iters, segment_size=iters, **fit_kw)
         jax.block_until_ready(slv.solution())
+        # the engine's crash-proof dispatch turns segment errors into
+        # silent zero-iteration fits — fail loudly instead of timing those
+        hist = slv.stats()[1]
+        done = int(np.asarray(hist["iteration"])[-1]) if len(
+            np.asarray(hist["iteration"])) else 0
+        if done < iters:
+            raise RuntimeError(
+                f"fit ran {done}/{iters} iterations — segment crashed? "
+                "(see solver log)")
         t0 = time.perf_counter()
         slv.fit(stop_crit=crit, max_iter=iters, segment_size=iters, **fit_kw)
         jax.block_until_ready(slv.solution())
