@@ -439,7 +439,7 @@ def add(lhs: Operator, rhs: Operator) -> Operator:
 class ChainMixin:
     """out = lhs o rhs  (reference: arithmetic.py:1034-1344)."""
 
-    _data_fields = ("_lhs", "_rhs")
+    _data_fields = ("_lhs", "_rhs", "_cgrad_w")
 
     def __init__(self, lhs: Operator, rhs: Operator):
         Operator.__init__(self, rhs.dim_shape, lhs.codim_shape)
@@ -475,22 +475,20 @@ class ChainMixin:
                 # when rhs contains opaque custom calls (measured: the CT
                 # PD3O quadratic's c.grad cost 1.2 ms/iter — the entire
                 # iteration budget — through the ragged-NUFFT FourierRadon).
-                # The constant is computed once (eagerly when operator data
-                # is concrete) and cached per dtype; see _VOLATILE_FIELDS.
+                # The constant is cached as the PYTREE LEAF ``_cgrad_w`` (a
+                # _data_field) so dynamic-operand solver fits pass it as a
+                # jit ARGUMENT — an aux-side cache would be baked into the
+                # compiled segment and survive update_operands swaps.  The
+                # engine warms it eagerly before tracing
+                # (Solver._warm_operand_caches).
                 key = jnp.dtype(arr.dtype).name
-                cache = self.__dict__.get("_cgrad_cache")
-                if cache is None or cache[0] != key:
-                    # in-graph fallback (correct but NOT hoisted out of
-                    # solver loops when rhs contains custom calls) — the
-                    # solver engine warms the cache eagerly before tracing
-                    # (Solver._warm_operand_caches)
-                    w_l = self._lhs.grad(
-                        jnp.zeros(self._lhs.dim_shape, arr.dtype))
-                    w = self._rhs.adjoint(w_l)
+                w = self.__dict__.get("_cgrad_w")
+                if w is None or self.__dict__.get("_cgrad_dt") != key:
+                    w = self._rhs.adjoint(self._lhs.grad(
+                        jnp.zeros(self._lhs.dim_shape, arr.dtype)))
                     if not isinstance(w, jax.core.Tracer):
-                        self.__dict__["_cgrad_cache"] = (key, w)
-                else:
-                    w = cache[1]
+                        self.__dict__["_cgrad_w"] = w
+                        self.__dict__["_cgrad_dt"] = key
                 return jnp.broadcast_to(w, arr.shape)
             return self._rhs.adjoint(self._lhs.grad(self._rhs.apply(arr)))
         # grad(f o g)(x) = J_g(x)^T grad_f(g(x)) via VJP — batched.
@@ -510,14 +508,15 @@ class ChainMixin:
                 and self.codim_shape == ()):
             return
         key = jnp.dtype(dtype).name
-        cache = self.__dict__.get("_cgrad_cache")
-        if cache is not None and cache[0] == key:
+        if (self.__dict__.get("_cgrad_w") is not None
+                and self.__dict__.get("_cgrad_dt") == key):
             return
         try:
             w = jax.jit(lambda: self._rhs.adjoint(self._lhs.grad(
                 jnp.zeros(self._lhs.dim_shape, dtype))))()
             jax.block_until_ready(w)
-            self.__dict__["_cgrad_cache"] = (key, w)
+            self.__dict__["_cgrad_w"] = w
+            self.__dict__["_cgrad_dt"] = key
         except Exception:   # never let cache warming break a fit
             pass
 

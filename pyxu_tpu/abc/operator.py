@@ -136,8 +136,7 @@ class _Meta:
         return f"_Meta({self.v!r})"
 
 
-_VOLATILE_FIELDS = ("_lipschitz", "_diff_lipschitz", "_chan_cache",
-                    "_cgrad_cache")
+_VOLATILE_FIELDS = ("_lipschitz", "_diff_lipschitz", "_chan_cache")
 
 
 def _op_flatten(op):

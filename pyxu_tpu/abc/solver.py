@@ -465,12 +465,17 @@ class Solver:
         # fresh-but-identical instances (MaxIter(200) per fit) still hit.
         key = (stop.cache_key(), self._stop_rate, self._max_iter,
                self._track_objective, self._hyper_key())
-        cached = getattr(self, "_seg_cache", None)
-        if cached is not None and cached[0] == key:
-            seg_fn, make_hist = cached[1], cached[2]
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None or not isinstance(cache, dict):
+            cache = self._seg_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            seg_fn, make_hist = hit
         else:
             seg_fn, make_hist = self._build_segment(cstate)
-            self._seg_cache = (key, seg_fn, make_hist)
+            if len(cache) >= 8:     # bounded: alternating-phase fits
+                cache.pop(next(iter(cache)))    # (precision_schedule) must
+            cache[key] = (seg_fn, make_hist)    # not rebuild per phase
         hist = make_hist()
         ops = None if self._operand_mode == "static" else self._op_operands()
         host_records = []   # (history row, host metric dict) per segment

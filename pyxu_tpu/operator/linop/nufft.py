@@ -2234,10 +2234,12 @@ class _NUFFTToeplitz(SelfAdjointOp):
         Clipped to >= 0 so ``I + alpha*C`` stays SPD for any alpha >= 0.
         """
         cached = getattr(self, "_chan_cache", None)
-        if cached is not None:
+        if cached is not None and not isinstance(self._that, jax.core.Tracer):
             # Stored raw; ``_chan_cache`` is in abc.operator._VOLATILE_FIELDS
             # so pytree flatten wraps it in _Meta (keeps the device array out
             # of the static aux treedef) and unflatten restores the raw array.
+            # Skipped when ``_that`` is traced (dynamic-operand fits): a
+            # baked concrete lam would go stale across update_operands swaps.
             return cached
         N = self._N
         wdt = np.zeros(0, dtype=self._that.dtype).real.dtype

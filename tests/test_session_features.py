@@ -62,12 +62,12 @@ class TestWarmStart:
         # dynamic-mode segment (one expected retrace) ...
         slv.update_operands(f=_lasso(ys[1])[0])
         slv.fit(x0=jnp.zeros(32), stop_crit=crit, max_iter=8)
-        seg_fn = slv._seg_cache[1]           # the dynamic-mode segment
+        seg_fn = next(iter(slv._seg_cache.values()))[0]  # dynamic-mode segment
         n_compiles = seg_fn._cache_size()
         # ... and every LATER same-structure swap reuses it: no retrace
         slv.update_operands(f=_lasso(ys[2])[0])
         slv.fit(x0=jnp.zeros(32), stop_crit=crit, max_iter=8)
-        assert slv._seg_cache[1] is seg_fn
+        assert next(iter(slv._seg_cache.values()))[0] is seg_fn
         assert seg_fn._cache_size() == n_compiles  # hot swap, no retrace
         # and the answer matches a cold solve against ys[2]
         ref = PGD(f=_lasso(ys[2])[0], g=g)
@@ -238,10 +238,10 @@ class TestReviewFixes:
         f, g = _lasso(y)
         slv = PGD(f=f, g=g)
         slv.fit(x0=jnp.zeros(32), stop_crit=MaxIter(8), max_iter=8)
-        seg_fn = slv._seg_cache[1]
+        seg_fn = next(iter(slv._seg_cache.values()))[0]
         n = seg_fn._cache_size()
         slv.fit(x0=jnp.zeros(32), stop_crit=MaxIter(8), max_iter=8)  # fresh inst
-        assert slv._seg_cache[1] is seg_fn  # structural key hit
+        assert next(iter(slv._seg_cache.values()))[0] is seg_fn  # structural key hit
         assert seg_fn._cache_size() == n
 
     def test_combined_stop_crit_cache_key_structural(self):
