@@ -106,6 +106,10 @@ def separable_correlate2d(x, kh, kw, ch: int, cw: int, tile_rows: int = 256,
             pltpu.VMEM((2, TH + lh - 1, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # wide images (4K: Wp = 3968) push the double-buffered scratch +
+        # roll temporaries past the 16 MB default scoped-vmem limit
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(xpad)
     return out[:H, :W]
