@@ -112,23 +112,13 @@ def run_tpu(y, k1, n_iters):
         bf16z = round(n_iters / dt_b, 2)
     except Exception as e:  # never let the variant kill the headline
         print(f"# bf16z leg failed: {type(e).__name__}", file=sys.stderr)
-    # two-phase precision schedule (the round-2/6 recipe as API): bf16 warm
-    # for 70% of the budget, f32 polish for the rest — full-quality result
-    # at most-iterations-at-bf16 speed
-    sched = None
-    try:
-        kw = dict(stop_crit=crit, max_iter=n_iters, segment_size=seg,
-                  precision_schedule=[(jnp.bfloat16, int(0.7 * n_iters)),
-                                      (jnp.float32, None)])
-        slv.fit(x0=x0, **kw)
-        jax.block_until_ready(slv.solution())
-        dt_s = min(_timed_fit(slv, x0, crit, n_iters, seg,
-                              precision_schedule=kw["precision_schedule"])
-                   for _ in range(2))
-        sched = round(n_iters / dt_s, 2)
-    except Exception as e:
-        print(f"# two-phase leg failed: {type(e).__name__}", file=sys.stderr)
-    return n_iters / dt, bf16z, sched
+    # NOTE: a fit(precision_schedule=[bf16, f32]) leg was measured at 735
+    # it/s here — SLOWER than the pure-f32 fused headline (980): the fused
+    # TV kernel's full-bf16 gain (~13%) cannot cover the two extra per-fit
+    # dispatches + phase casts at 1000 iterations.  The schedule pays off
+    # on generic (non-fused) paths where bf16 gives 1.65x (BASELINE round
+    # 2); dual-storage bf16z above is the fused kernel's lever.
+    return n_iters / dt, bf16z
 
 
 def _timed_fit(slv, x0, crit, n_iters, seg, **kw):
@@ -310,7 +300,7 @@ def run_scaling(y, k1, single_dev_iter_per_s, n_iters=100):
 
 def main():
     y, k1 = make_data()
-    ours, bf16z, sched = run_tpu(y, k1, N_ITERS)
+    ours, bf16z = run_tpu(y, k1, N_ITERS)
     # step sizes comparable to ours (beta = ||K||^2 <= 1, L_D <= sqrt(8))
     tau = 1.0 / (0.5 + np.sqrt(8.0))
     sigma = 1.0 / np.sqrt(8.0)
@@ -318,8 +308,6 @@ def main():
     extra = run_extra_workloads()
     if bf16z is not None:
         extra["tv_bf16z_4k"] = bf16z
-    if sched is not None:
-        extra["tv_two_phase_4k"] = sched
     out = {
         "metric": "tv_deconv_4k_condatvu",
         "value": round(ours, 3),

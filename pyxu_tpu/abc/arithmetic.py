@@ -482,13 +482,13 @@ class ChainMixin:
                 # engine warms it eagerly before tracing
                 # (Solver._warm_operand_caches).
                 key = jnp.dtype(arr.dtype).name
-                w = self.__dict__.get("_cgrad_w")
-                if w is None or self.__dict__.get("_cgrad_dt") != key:
+                cache = self.__dict__.get("_cgrad_w") or {}
+                w = cache.get(key)
+                if w is None:
                     w = self._rhs.adjoint(self._lhs.grad(
                         jnp.zeros(self._lhs.dim_shape, arr.dtype)))
                     if not isinstance(w, jax.core.Tracer):
-                        self.__dict__["_cgrad_w"] = w
-                        self.__dict__["_cgrad_dt"] = key
+                        self.__dict__.setdefault("_cgrad_w", {})[key] = w
                 return jnp.broadcast_to(w, arr.shape)
             return self._rhs.adjoint(self._lhs.grad(self._rhs.apply(arr)))
         # grad(f o g)(x) = J_g(x)^T grad_f(g(x)) via VJP — batched.
@@ -508,15 +508,13 @@ class ChainMixin:
                 and self.codim_shape == ()):
             return
         key = jnp.dtype(dtype).name
-        if (self.__dict__.get("_cgrad_w") is not None
-                and self.__dict__.get("_cgrad_dt") == key):
-            return
-        try:
+        if key in (self.__dict__.get("_cgrad_w") or {}):
+            return      # per-dtype dict: alternating precision_schedule
+        try:            # phases must not re-trace the warm every phase
             w = jax.jit(lambda: self._rhs.adjoint(self._lhs.grad(
                 jnp.zeros(self._lhs.dim_shape, dtype))))()
             jax.block_until_ready(w)
-            self.__dict__["_cgrad_w"] = w
-            self.__dict__["_cgrad_dt"] = key
+            self.__dict__.setdefault("_cgrad_w", {})[key] = w
         except Exception:   # never let cache warming break a fit
             pass
 

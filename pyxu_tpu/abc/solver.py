@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import datetime as dt
 import enum
+import functools
 import logging
 import pathlib
 import tempfile
@@ -40,6 +41,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyxu_tpu.opt.stop import MaxDuration, MaxIter, StoppingCriterion
+
+
+@functools.lru_cache(maxsize=8)
+def _tree_cast_fn(dtype_name: str):
+    """Jitted whole-state dtype cast, one jit object per dtype (see
+    Solver._fit_scheduled.cast)."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def f(st):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if (hasattr(a, "dtype") and a.ndim > 0
+                and jnp.issubdtype(a.dtype, jnp.floating))
+            else a, st)
+
+    return f
 
 __all__ = ["Mode", "Solver", "StoppingCriterion"]
 
@@ -206,13 +224,10 @@ class Solver:
         def cast(dtype):
             # non-scalar floating leaves only: 0-d entries are counters /
             # flags (e.g. PGD's momentum counter is deliberately f32 — bf16
-            # would freeze it at 256)
-            self._mstate = jax.tree_util.tree_map(
-                lambda a: a.astype(dtype)
-                if (hasattr(a, "dtype") and a.ndim > 0
-                    and jnp.issubdtype(a.dtype, jnp.floating))
-                else a,
-                self._mstate)
+            # would freeze it at 256).  ONE jitted call (per-leaf eager
+            # casts each pay a ~25 ms relay dispatch), memoized per dtype
+            # (a fresh jit per phase would recompile every phase).
+            self._mstate = _tree_cast_fn(jnp.dtype(dtype).name)(self._mstate)
 
         if warm_start:
             assert self._mstate, "warm_start=True requires a previous fit"
