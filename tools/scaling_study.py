@@ -43,11 +43,13 @@ DEFAULT_DEVICES = (1, 2, 4, 8)
 
 # ------------------------------------------------------------------ child --
 def _child(n_dev: int, size: int, tiles: int, tile: int, iters: int) -> None:
+    import re
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_dev}"
-        ).strip()
+    # REPLACE any inherited count (e.g. the test conftest exports 8)
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_dev}"
+    ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
