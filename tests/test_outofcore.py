@@ -108,3 +108,23 @@ def test_streamed_condatvu_large_state_smoke():
     out = slv.solution()
     assert np.isfinite(out).all()
     assert np.abs(out - y).max() > 0   # it moved
+
+
+def test_streamed_condatvu_memmap_state(tmp_path):
+    """Disk-backed y (np.memmap) streams identically — the documented
+    larger-than-RAM entry point."""
+    H, W = 64, 33
+    k1 = _gauss1d(1.5, 7)
+    rng = np.random.default_rng(3)
+    y_arr = rng.random((H, W), dtype=np.float32)
+    p = tmp_path / "y.dat"
+    mm = np.memmap(p, dtype=np.float32, mode="w+", shape=(H, W))
+    mm[:] = y_arr
+    mm.flush()
+    slv_mm = StreamedCondatVu(np.memmap(p, dtype=np.float32, mode="r",
+                                        shape=(H, W)), k1, lam=0.02,
+                              block_rows=16)
+    slv = StreamedCondatVu(y_arr, k1, lam=0.02, block_rows=16)
+    slv_mm.fit(n_iters=4)
+    slv.fit(n_iters=4)
+    assert np.abs(slv_mm.solution() - slv.solution()).max() < 1e-7

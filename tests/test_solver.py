@@ -257,3 +257,23 @@ class TestPrecisionSchedule:
         with pytest.raises(ValueError, match="BLOCK"):
             slv.fit(x0=jnp.zeros(60), mode=Mode.MANUAL,
                     precision_schedule=[(jnp.float32, None)])
+
+
+def test_precision_schedule_reuses_compiled_segments():
+    """Alternating phases must hit the (now dict-backed) segment cache:
+    a second scheduled fit compiles nothing new."""
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((20, 30)).astype(np.float32)
+    K = ExplicitLinOp(jnp.asarray(A))
+    f = SquaredL2Norm((20,)).asloss(jnp.asarray(rng.standard_normal(20)
+                                                .astype(np.float32))) * K
+    g = 0.02 * L1Norm((30,))
+    slv = PGD(f=f, g=g)
+    kw = dict(stop_crit=MaxIter(40), max_iter=40,
+              precision_schedule=[(jnp.bfloat16, 20), (jnp.float32, None)])
+    slv.fit(x0=jnp.zeros(30), **kw)
+    sizes = {k: fn._cache_size() for k, (fn, _) in slv._seg_cache.items()}
+    assert len(sizes) >= 2          # one segment per phase, both retained
+    slv.fit(x0=jnp.zeros(30), **kw)
+    for k, (fn, _) in slv._seg_cache.items():
+        assert fn._cache_size() == sizes[k], "second scheduled fit retraced"
