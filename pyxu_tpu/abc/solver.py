@@ -202,10 +202,6 @@ class Solver:
                        segment_size, track_objective, warm_start,
                        m_init_kwargs):
         """Run the phases of a ``precision_schedule`` (see :meth:`fit`)."""
-        import jax
-        import jax.numpy as jnp
-
-        from pyxu_tpu.opt.stop import MaxIter
         if mode is not Mode.BLOCK:
             raise ValueError("precision_schedule supports BLOCK mode only")
         phases = [(jnp.dtype(d), n) for d, n in schedule]
@@ -220,6 +216,11 @@ class Solver:
                 isinstance(phases[-1][1], int) and phases[-1][1] > 0):
             raise ValueError("last phase n_iters must be a positive int or "
                              "None (= run under the stop criterion)")
+        fixed = sum(n for _, n in phases if n is not None)
+        if fixed > int(max_iter):
+            raise ValueError(
+                f"precision_schedule phases request {fixed} iterations but "
+                f"max_iter={max_iter} is a hard cap")
 
         def cast(dtype):
             # non-scalar floating leaves only: 0-d entries are counters /
@@ -237,10 +238,14 @@ class Solver:
         self._dtype_lock = True   # segment enforces m_step dtype stability
         try:
             for i, (dtype, n) in enumerate(phases):
-                cast(dtype)
                 last = i == len(phases) - 1
-                budget = (max(1, int(max_iter) - used) if (last and n is None)
-                          else int(n))
+                if last and n is None:
+                    budget = int(max_iter) - used
+                    if budget <= 0:     # fixed phases consumed the cap
+                        break
+                else:
+                    budget = int(n)
+                cast(dtype)
                 crit = stop_crit if (last and n is None) else MaxIter(budget)
                 self.fit(mode=Mode.BLOCK, stop_crit=crit, max_iter=budget,
                          segment_size=segment_size,
@@ -441,11 +446,16 @@ class Solver:
         (measured: 1.2 ms/iter of repeated NUFFT adjoint in the CT PD3O
         workload — the entire per-iteration budget)."""
         from pyxu_tpu.abc.operator import Operator
-        dts = [v.dtype for v in jax.tree_util.tree_leaves(self._mstate)
-               if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)]
+        # EVERY distinct non-scalar floating dtype: ChainMixin.grad keys its
+        # cache on the ITERATE dtype, and mixed-dtype states are the norm
+        # (bf16 iterate + f32 counters) — warming only the widest dtype
+        # would leave the bf16 entry to re-trace inside the loop body
+        dts = {jnp.dtype(v.dtype).name
+               for v in jax.tree_util.tree_leaves(self._mstate)
+               if (hasattr(v, "dtype") and v.ndim > 0
+                   and jnp.issubdtype(v.dtype, jnp.floating))}
         if not dts:
             return
-        dt = max(dts, key=lambda d: jnp.dtype(d).itemsize)
         seen = set()
 
         def walk(op):
@@ -454,7 +464,8 @@ class Solver:
             seen.add(id(op))
             warm = getattr(op, "_warm_grad_cache", None)
             if warm is not None:
-                warm(dt)
+                for dt in sorted(dts):
+                    warm(dt)
             for v in op.__dict__.values():
                 if isinstance(v, Operator):
                     walk(v)

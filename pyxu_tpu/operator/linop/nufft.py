@@ -560,18 +560,18 @@ def _perm_pts(c, perm):
     here.  ``PYXU_TPU_NUFFT_SORTPERM=0`` reverts to the gather."""
     if not _use_sortperm():
         return _pad_pt(c)[perm]
+    assert c.ndim == 1, "sort-permute handles 1-D strengths only " \
+        "(n_trans batching rides an outer vmap)"
     M = c.shape[0]
     flat = perm.ravel()
     Stot = flat.size
     keys = jnp.argsort(flat).astype(jnp.int32)
-    zpad = jnp.zeros((Stot - M,) + c.shape[1:], c.dtype)
-    v = jnp.concatenate([c, zpad])
+    v = jnp.concatenate([c, jnp.zeros(Stot - M, c.dtype)])
     if jnp.issubdtype(c.dtype, jnp.complexfloating):
         _, outr, outi = jax.lax.sort((keys, v.real, v.imag), num_keys=1)
-        return (outr + 1j * outi).astype(c.dtype).reshape(
-            perm.shape + c.shape[1:])
+        return (outr + 1j * outi).astype(c.dtype).reshape(perm.shape)
     _, out = jax.lax.sort((keys, v), num_keys=1)
-    return out.reshape(perm.shape + c.shape[1:])
+    return out.reshape(perm.shape)
 
 
 def _unperm_pts(vflat, perm, invperm):

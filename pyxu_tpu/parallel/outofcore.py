@@ -33,10 +33,30 @@ host->device copy overlaps band ``i``'s compute.
 from __future__ import annotations
 
 import math
+import weakref
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# jitted-callable cache: repeated streamed_map_overlap calls with the same
+# operator method (a fresh bound-method object each access) must not
+# re-trace every call — keyed weakly on the bound target (or the function
+# itself), so operator lifetime bounds the cache
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _jit_of(fn):
+    target = getattr(fn, "__self__", fn)
+    name = getattr(fn, "__name__", "")
+    try:
+        per_target = _JIT_CACHE.setdefault(target, {})
+    except TypeError:           # non-weakref-able target: no caching
+        return jax.jit(fn)
+    jfn = per_target.get(name)
+    if jfn is None:
+        jfn = per_target[name] = jax.jit(fn)
+    return jfn
 
 __all__ = ["streamed_map_overlap", "streamed_block_diag", "StreamedCondatVu"]
 
@@ -80,7 +100,7 @@ def streamed_map_overlap(fn, x, depth: int, block_rows: int = 4096,
     x = np.asarray(x)
     n = x.shape[-2]
     block = min(block_rows, n)
-    jfn = jax.jit(fn)
+    jfn = _jit_of(fn)
     out, prev = None, None
     # one band in flight: band i+1's transfer+compute dispatches (async)
     # before band i's host write drains
@@ -111,8 +131,12 @@ def streamed_block_diag(ops, xs):
         raise ValueError(f"{len(ops)} ops vs {len(xs)} blocks")
     outs = []
     prev = None
-    for op, xb in zip(ops, xs):
-        yb = jax.jit(op.apply)(jnp.asarray(np.asarray(xb)))
+    jfns = {}   # one jit per distinct op instance: repeated tiles of the
+    for op, xb in zip(ops, xs):       # same op must not re-trace per block
+        jfn = jfns.get(id(op))
+        if jfn is None:
+            jfn = jfns[id(op)] = _jit_of(op.apply)
+        yb = jfn(jnp.asarray(np.asarray(xb)))
         if prev is not None:          # overlap block i+1 transfer/compute
             outs.append(np.asarray(prev))
         prev = yb

@@ -257,6 +257,20 @@ class TestPrecisionSchedule:
         with pytest.raises(ValueError, match="BLOCK"):
             slv.fit(x0=jnp.zeros(60), mode=Mode.MANUAL,
                     precision_schedule=[(jnp.float32, None)])
+        # phases must respect the documented hard max_iter cap
+        with pytest.raises(ValueError, match="hard cap"):
+            slv.fit(x0=jnp.zeros(60), max_iter=100,
+                    precision_schedule=[(jnp.bfloat16, 80),
+                                        (jnp.float32, 80)])
+
+    def test_hard_cap_not_exceeded(self):
+        f, g = self._lasso()
+        slv = PGD(f=f, g=g)
+        slv.fit(x0=jnp.zeros(60, jnp.float32), stop_crit=MaxIter(100),
+                max_iter=100,
+                precision_schedule=[(jnp.bfloat16, 100), (jnp.float32, None)])
+        # the exhausted final phase is skipped -> exactly 100 iterations
+        assert slv.stats()[1]["iteration"][-1] <= 100
 
 
 def test_precision_schedule_reuses_compiled_segments():
