@@ -46,3 +46,8 @@ def test_distributed_example():
     mod.tv_deconvolution_halo(mesh, n=48)
     mod.consensus_lasso(mesh, n=16)
     mod.sharded_type3_nufft(mesh, M=600, K=400)
+
+
+def test_out_of_core_example():
+    mod = _load("out_of_core")
+    mod.main(H=96, W=40, block_rows=32)
