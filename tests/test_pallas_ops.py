@@ -410,3 +410,34 @@ class TestSortPermute:
         adj_g = np.asarray(op2.adjoint(g))
         assert np.max(np.abs(out_sort - out_g)) < 1e-5 * np.abs(out_g).max()
         assert np.max(np.abs(adj_sort - adj_g)) < 1e-5 * np.abs(adj_g).max()
+
+    @pytest.mark.parametrize("padded", [True, False])
+    def test_helpers_direct(self, monkeypatch, padded):
+        """_perm_pts/_unperm_pts vs the gather definitions on hand-built
+        perms, including the pad-free case (perfectly balanced partition:
+        no dummy slots at all)."""
+        monkeypatch.setenv("PYXU_TPU_NUFFT_SORTPERM", "1")
+        from pyxu_tpu.operator.linop.nufft import (_pad_pt, _perm_pts,
+                                                   _unperm_pts)
+        rng = np.random.default_rng(3)
+        M = 96
+        if padded:
+            S, CH = 5, 24               # 120 slots: 24 dummy pads (id M)
+            flat = np.full(S * CH, M, np.int64)
+            flat[:M] = rng.permutation(M)
+            rng.shuffle(flat)
+        else:
+            S, CH = 4, 24               # 96 slots: every slot a real point
+            flat = rng.permutation(M).astype(np.int64)
+        perm = jnp.asarray(flat.reshape(S, CH))
+        invperm = jnp.asarray(np.array(
+            [int(np.flatnonzero(flat == j)[0]) for j in range(M)], np.int32))
+        c = jnp.asarray(rng.standard_normal(M) + 1j * rng.standard_normal(M),
+                        jnp.complex64)
+        want = np.asarray(_pad_pt(c)[perm])
+        got = np.asarray(_perm_pts(c, perm))
+        assert np.array_equal(got, want)
+        v = jnp.asarray(rng.standard_normal(S * CH).astype(np.float32))
+        want2 = np.asarray(v)[np.asarray(invperm)]
+        got2 = np.asarray(_unperm_pts(v, perm, invperm))
+        assert np.array_equal(got2, want2)
