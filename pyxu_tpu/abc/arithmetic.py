@@ -485,8 +485,7 @@ class ChainMixin:
                 cache = self.__dict__.get("_cgrad_w") or {}
                 w = cache.get(key)
                 if w is None:
-                    w = self._rhs.adjoint(self._lhs.grad(
-                        jnp.zeros(self._lhs.dim_shape, arr.dtype)))
+                    w = self._cgrad_compute(arr.dtype)
                     if not isinstance(w, jax.core.Tracer):
                         self.__dict__.setdefault("_cgrad_w", {})[key] = w
                 return jnp.broadcast_to(w, arr.shape)
@@ -497,6 +496,11 @@ class ChainMixin:
             (g,) = vjp(self._lhs.grad(y))
             return g
         return self._map_batched(single, arr, self.dim_rank, self.dim_shape)
+
+    def _cgrad_compute(self, dtype):
+        """The linear-functional chain's constant gradient w = K^T grad(l)."""
+        return self._rhs.adjoint(self._lhs.grad(
+            jnp.zeros(self._lhs.dim_shape, dtype)))
 
     def _warm_grad_cache(self, dtype):
         """Eagerly fill the constant-gradient cache of a linear-functional
@@ -511,8 +515,7 @@ class ChainMixin:
         if key in (self.__dict__.get("_cgrad_w") or {}):
             return      # per-dtype dict: alternating precision_schedule
         try:            # phases must not re-trace the warm every phase
-            w = jax.jit(lambda: self._rhs.adjoint(self._lhs.grad(
-                jnp.zeros(self._lhs.dim_shape, dtype))))()
+            w = jax.jit(lambda: self._cgrad_compute(dtype))()
             jax.block_until_ready(w)
             self.__dict__.setdefault("_cgrad_w", {})[key] = w
         except Exception:   # never let cache warming break a fit
