@@ -710,8 +710,16 @@ class LinOp(DiffMap):
 
     @classmethod
     def from_array(cls, A, dim_rank: int = 1) -> "LinOp":
-        """Wrap a dense array as an explicit LinOp (reference: abc/operator.py:1801-1832)."""
-        from pyxu_tpu.operator.linop.base import ExplicitLinOp
+        """Wrap an explicit matrix as a LinOp (reference: abc/operator.py:1801-1832).
+
+        Dense arrays -> :class:`ExplicitLinOp` (MXU matmul).  scipy.sparse /
+        jax BCOO inputs -> :class:`SparseExplicitLinOp` (the reference's
+        sparse ``_ExplicitLinOp`` branch, base.py:334-512)."""
+        from pyxu_tpu.operator.linop.base import (ExplicitLinOp,
+                                                  SparseExplicitLinOp,
+                                                  _is_sparse)
+        if _is_sparse(A):
+            return SparseExplicitLinOp(A, dim_rank=dim_rank)
         return ExplicitLinOp(A, dim_rank=dim_rank)
 
     def to_sciop(self, dtype=None):

@@ -6,6 +6,7 @@ from pyxu_tpu.operator.linop.base import (  # noqa: F401
     IdentityOp,
     NullFunc,
     NullOp,
+    SparseExplicitLinOp,
 )
 from pyxu_tpu.operator.linop.diff import (  # noqa: F401
     DirectionalDerivative,

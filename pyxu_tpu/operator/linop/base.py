@@ -34,6 +34,7 @@ __all__ = [
     "DiagonalOp",
     "ExplicitLinOp",
     "ExplicitLinFunc",
+    "SparseExplicitLinOp",
     "_ExplicitLinOp",
 ]
 
@@ -232,6 +233,12 @@ class ExplicitLinOp(LinOp):
     _data_fields = ("_mat",)
 
     def __init__(self, mat, dim_rank: int = 1):
+        if _is_sparse(mat):
+            raise TypeError(
+                "ExplicitLinOp is dense-only; wrap sparse matrices with "
+                "SparseExplicitLinOp (or LinOp.from_array, which dispatches "
+                "on the input type)."
+            )
         mat = jnp.asarray(mat)
         dim_shape = mat.shape[mat.ndim - dim_rank:]
         codim_shape = mat.shape[: mat.ndim - dim_rank]
@@ -309,6 +316,133 @@ class ExplicitLinFunc(LinFunc):
 
     def asarray(self, dtype=None):
         return self._vec.astype(dtype) if dtype is not None else self._vec
+
+
+def _is_sparse(obj) -> bool:
+    """True for scipy.sparse matrices and jax.experimental.sparse arrays."""
+    try:
+        import scipy.sparse as sp
+        if sp.issparse(obj):
+            return True
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        from jax.experimental.sparse import JAXSparse
+        return isinstance(obj, JAXSparse)
+    except ImportError:  # pragma: no cover
+        return False
+
+
+class SparseExplicitLinOp(LinOp):
+    """Sparse-matrix operator backed by ``jax.experimental.sparse.BCOO``.
+
+    TPU analog of the reference's sparse ``_ExplicitLinOp`` branch
+    (reference: src/pyxu/operator/linop/base.py:334-512 keeps
+    scipy.sparse / pydata-sparse / cupyx matrices and dispatches matmuls to
+    the sparse backend; ``SparseArrayInfo`` registry deps.py:91-146).  Here
+    the matrix is stored once as a flattened ``(codim_size, dim_size)``
+    BCOO (plus its transpose, so the adjoint is also a sparse-lhs matvec —
+    BCOO has no fast dense@sparse path) and applies run through
+    ``bcoo_dot_general``.
+
+    Notes
+    -----
+    * XLA has no first-class sparse support: on TPU ``bcoo_dot_general``
+      lowers to gather/segment-sum programs, which are latency-bound —
+      prefer :class:`ExplicitLinOp` (dense MXU matmul) unless the matrix is
+      too large to densify.  This operator's value is MEMORY, not speed.
+    * Real dtypes only: the framework's complex convention is trailing-axis
+      ``(..., 2)`` real views (eager complex poisons some TPU runtimes).
+    """
+
+    _data_fields = ("_mat", "_matT")
+
+    def __init__(self, mat, dim_rank: int = 1, dim_shape=None,
+                 codim_shape=None):
+        from jax.experimental import sparse as jsp
+        try:
+            import scipy.sparse as sp
+            is_scipy = sp.issparse(mat)
+        except ImportError:  # pragma: no cover
+            is_scipy = False
+        if is_scipy:
+            coo = mat.tocoo()
+            if np.iscomplexobj(coo.data):
+                raise TypeError(
+                    "complex sparse matrices are unsupported: use the "
+                    "framework's real (..., 2) view convention "
+                    "(utils.complex) and two real operators")
+            full_shape = tuple(coo.shape)
+            if dim_shape is None:
+                dim_shape = full_shape[len(full_shape) - dim_rank:]
+            if codim_shape is None:
+                codim_shape = full_shape[: len(full_shape) - dim_rank]
+            data = jnp.asarray(coo.data.astype(default_fdtype()
+                                               if coo.data.dtype.kind == "f"
+                                               else coo.data.dtype))
+            idx = jnp.asarray(
+                np.stack([coo.row, coo.col], axis=1).astype(np.int32))
+            flat = jsp.BCOO((data, idx), shape=full_shape)
+        elif isinstance(mat, jsp.BCOO):
+            if jnp.iscomplexobj(mat.data):
+                raise TypeError(
+                    "complex sparse matrices are unsupported: use the "
+                    "framework's real (..., 2) view convention")
+            if dim_shape is None:
+                dim_shape = mat.shape[mat.ndim - dim_rank:]
+            if codim_shape is None:
+                codim_shape = mat.shape[: mat.ndim - dim_rank]
+            flat = mat
+        else:
+            raise TypeError(
+                f"expected a scipy.sparse matrix or jax BCOO, got "
+                f"{type(mat).__name__} (dense arrays -> ExplicitLinOp)")
+        super().__init__(tuple(dim_shape), tuple(codim_shape))
+        if flat.ndim != 2 or flat.shape != (self.codim_size, self.dim_size):
+            flat = flat.reshape(self.codim_size, self.dim_size)
+        self._mat = flat
+        # Host-side transpose at plan time: swapping COO index columns is
+        # free; bcoo_dot_general over a transposed *dense rhs* would need a
+        # gather-heavy rhs-contraction instead.
+        self._matT = jsp.BCOO(
+            (flat.data, flat.indices[:, ::-1]),
+            shape=(self.dim_size, self.codim_size))
+        self._name = "SparseExplicitLinOp"
+
+    @staticmethod
+    def _smv(M, x):
+        """Batched sparse (m,n) @ dense (*batch, n) -> (*batch, m)."""
+        from jax.experimental import sparse as jsp
+        y = jsp.bcoo_dot_general(
+            M, x,
+            dimension_numbers=(((1,), (x.ndim - 1,)), ((), ())))
+        # result axes: (m, *batch) -> (*batch, m)
+        return jnp.moveaxis(y, 0, -1)
+
+    def apply(self, arr):
+        arr = jnp.asarray(arr)
+        batch = arr.shape[: arr.ndim - self.dim_rank]
+        x = arr.reshape(batch + (self.dim_size,))
+        y = self._smv(self._mat, x)
+        return y.reshape(batch + tuple(self.codim_shape))
+
+    def adjoint(self, arr):
+        arr = jnp.asarray(arr)
+        batch = arr.shape[: arr.ndim - self.codim_rank]
+        y = arr.reshape(batch + (self.codim_size,))
+        x = self._smv(self._matT, y)
+        return x.reshape(batch + tuple(self.dim_shape))
+
+    def asarray(self, dtype=None):
+        dense = self._mat.todense().reshape(
+            tuple(self.codim_shape) + tuple(self.dim_shape))
+        return dense.astype(dtype) if dtype is not None else dense
+
+    def trace(self, **kw):
+        assert self.dim_size == self.codim_size
+        idx = np.asarray(jax.device_get(self._mat.indices))
+        dat = np.asarray(jax.device_get(self._mat.data))
+        return float(dat[idx[:, 0] == idx[:, 1]].sum())
 
 
 #: Reference-private alias (``pyxu.operator.linop.base._ExplicitLinOp``,

@@ -88,6 +88,53 @@ class TestExplicitLinOp(ConformanceSuite):
         return op
 
 
+class TestSparseExplicitLinOp(ConformanceSuite):
+    """Conformance over a BCOO-backed sparse operator (VERDICT r4 item 7;
+    reference sparse `_ExplicitLinOp` branch, base.py:334-512)."""
+
+    @pytest.fixture(params=["scipy", "bcoo"])
+    def op(self, request, fdtype):
+        import scipy.sparse as sp
+
+        from pyxu_tpu.operator.linop.base import SparseExplicitLinOp
+        rng = np.random.default_rng(11)
+        A = sp.random(7, 5, density=0.4, random_state=rng,
+                      data_rvs=rng.standard_normal).tocsr()
+        if request.param == "scipy":
+            op = SparseExplicitLinOp(A.astype(np.float64))
+        else:
+            from jax.experimental import sparse as jsp
+            dense = jnp.asarray(A.toarray(), fdtype)
+            op = SparseExplicitLinOp(jsp.BCOO.fromdense(dense))
+        op.estimate_lipschitz()
+        return op
+
+
+def test_sparse_explicit_matches_dense_and_dispatch():
+    import scipy.sparse as sp
+
+    from pyxu_tpu.abc.operator import LinOp
+    from pyxu_tpu.operator.linop.base import SparseExplicitLinOp
+    rng = np.random.default_rng(3)
+    A = sp.random(6, 6, density=0.5, random_state=rng,
+                  data_rvs=rng.standard_normal).tocsc()
+    op = LinOp.from_array(A)
+    assert isinstance(op, SparseExplicitLinOp)
+    dense = ExplicitLinOp(jnp.asarray(A.toarray()))
+    x = jnp.asarray(rng.standard_normal(6), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(6), jnp.float32)
+    assert np.allclose(op.apply(x), dense.apply(x), atol=1e-5)
+    assert np.allclose(op.adjoint(y), dense.adjoint(y), atol=1e-5)
+    assert np.allclose(op.asarray(), A.toarray(), atol=1e-6)
+    assert np.isclose(op.trace(), np.trace(A.toarray()), atol=1e-5)
+    # dense class refuses sparse input with a clear error
+    with pytest.raises(TypeError, match="dense-only"):
+        ExplicitLinOp(A)
+    # complex sparse is refused (real (...,2)-view convention)
+    with pytest.raises(TypeError, match="complex"):
+        SparseExplicitLinOp(A.astype(np.complex64))
+
+
 class TestExplicitLinFunc(ConformanceSuite):
     @pytest.fixture
     def op(self, fdtype):
