@@ -131,13 +131,18 @@ def radio_interferometry(shape=(256, 256), n_vis=5000, lam=0.02, seed=0,
         dom = tuple(shape) + (2,)
     f = 0.5 * SquaredL2Norm((n_vis, 2)).asloss(y) * A
     h = lam * L1Norm(dom)
-    # bound the nested x-update CG: ADMM converges with inexact prox solves.
-    # Measured on v5e (Toeplitz-gram CG, 40 outer iters): maxiter 40 -> 97
-    # it/s at 0.095% rel err, 24 -> 122 it/s at 0.100%, 16 -> 149 at 0.117%;
-    # 24 keeps reconstruction quality while the warm start absorbs the
-    # tighter budget.
-    slv = ADMM(f=f, h=h, solver_kwargs=dict(maxiter=24))
-    return slv, dict(x0=jnp.zeros(dom)), \
+    # (tau, inner CG maxiter) tuned jointly (tools/ri_sweep.py, CPU A/B at
+    # the bench's exact 150-outer config): each outer costs maxiter+1
+    # Toeplitz-gram applies (the dominant device cost), and a small tau
+    # makes (I + tau Q) so well-conditioned that 4 CG steps solve the
+    # x-update essentially exactly.  Measured rel-err at 150 outers:
+    #   tau=1.00 mi=24 -> 0.0259%  (25 grams/outer — the old default)
+    #   tau=0.05 mi=4  -> 0.0293%  ( 5 grams/outer — chosen: 5x fewer)
+    #   tau=0.05 mi=6  -> 0.0256%, tau=0.03 mi=4 -> 0.0428% (both neighbors
+    #   pass); tau<=0.02 collapses outer convergence (7-33% err) — the L1
+    #   threshold tau*lam gets too small to sparsify in 150 iterations.
+    slv = ADMM(f=f, h=h, solver_kwargs=dict(maxiter=4))
+    return slv, dict(x0=jnp.zeros(dom), tau=0.05), \
         dict(x_true=x_true, y=y, A=A)
 
 

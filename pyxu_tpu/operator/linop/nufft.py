@@ -471,6 +471,26 @@ def _interp_mm2(g, idxs, wts):
 
 # -------------------------------------------- slab partition (host) -------
 
+def _assert_perm_bijection(perm, invperm, M: int):
+    """Plan-time invariant (load-bearing for EVERY fast path): each point id
+    in [0, M) appears EXACTLY ONCE in ``perm`` (pads = id M), and
+    ``invperm`` locates it — ``perm.ravel()[invperm[j]] == j``.  The
+    sort-permute reorder (:func:`_perm_pts`) and all kernel gathers assume
+    this; a planner bug would otherwise corrupt spreads SILENTLY (cf. the
+    round-9 tracer-cache hunt).  Cheap O(M) numpy at plan time."""
+    flat = np.asarray(perm).ravel()
+    ids = flat[flat < M]
+    if ids.size != M or (np.bincount(ids, minlength=M) != 1).any():
+        raise AssertionError(
+            "NUFFT plan invariant violated: point-id permutation is not a "
+            f"bijection ({ids.size} real slots for {M} points)")
+    if invperm is not None:
+        inv = np.asarray(invperm)
+        if not (flat[inv] == np.arange(M)).all():
+            raise AssertionError(
+                "NUFFT plan invariant violated: invperm does not invert perm")
+
+
 def _bin_partition_np(bins, nbins: int, chunk: int, max_blowup: float):
     """Generic host bin partition: counting-sort ``M`` point ids into a
     padded (nbins, Mp) layout.  Returns (perm, invperm, chunk) or None
@@ -496,6 +516,7 @@ def _bin_partition_np(bins, nbins: int, chunk: int, max_blowup: float):
         out = native.slab_permutation(bins, counts, Mp)
         if out is not None:  # counting sort, O(M) vs argsort O(M log M)
             perm, inv = out
+            _assert_perm_bijection(perm, inv, M)
             return perm, inv.astype(np.int64), chunk
     order = np.argsort(bins, kind="stable")
     perm = np.full((nbins, Mp), M, np.int32)   # M = dummy point id
@@ -508,6 +529,7 @@ def _bin_partition_np(bins, nbins: int, chunk: int, max_blowup: float):
     pos = np.flatnonzero(flat < M)
     inv = np.empty(M, np.int64)
     inv[flat[pos]] = pos
+    _assert_perm_bijection(perm, inv, M)
     return perm, inv, chunk
 
 
@@ -1115,7 +1137,33 @@ def _ragged_partition_np(binid, S: int, chunk: int, max_blowup: float = 6.0):
         t += ns
     occ_flags = np.zeros(S, np.float32)
     occ_flags[occ] = 1.0
+    _assert_perm_bijection(perm, invperm, M)
+    _assert_ragged_steps(step_slab, step_first, occ_flags)
     return perm, step_slab, step_first, invperm, occ_flags, CH
+
+
+def _assert_ragged_steps(step_slab, step_first, occ_flags):
+    """Ragged-plan invariants: every step belongs to an OCCUPIED slab
+    (unvisited out blocks are UNDEFINED — kernels mask on occ_flags),
+    steps of one slab are contiguous, and ``step_first`` marks exactly the
+    first step of each slab run (it gates block initialization in the
+    accumulate kernels)."""
+    ss = np.asarray(step_slab)
+    sf = np.asarray(step_first)
+    if not np.asarray(occ_flags)[ss].all():
+        raise AssertionError(
+            "NUFFT ragged-plan invariant violated: step on unoccupied slab")
+    runs = np.flatnonzero(np.diff(ss) != 0) + 1
+    first_pos = np.concatenate([[0], runs])
+    want = np.zeros_like(sf)
+    want[first_pos] = 1
+    if ss.size and not (sf == want).all():
+        raise AssertionError(
+            "NUFFT ragged-plan invariant violated: step_first does not mark "
+            "slab-run starts")
+    if np.unique(ss[first_pos]).size != first_pos.size:
+        raise AssertionError(
+            "NUFFT ragged-plan invariant violated: slab steps not contiguous")
 
 
 def _ragged_plan2(base0, idxs, wts, n1: int, n2: int,

@@ -532,3 +532,57 @@ class TestNUFFTKnownAnswers(ConformanceSuite):
         want = np.asarray([[1.0, -1.0], [2.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
         got = np.asarray(op.apply(c))
         assert np.allclose(got, want, atol=1e-6), got
+
+
+class TestPlanInvariants:
+    """Plan-time invariant assertions (VERDICT r4 item 8): the sort-permute
+    bijection and ragged step-list structure are checked by the PLANNERS at
+    build time, not only by tests."""
+
+    def test_valid_partition_passes(self):
+        from pyxu_tpu.operator.linop.nufft import (_assert_perm_bijection,
+                                                   _bin_partition_np)
+        rng = np.random.default_rng(0)
+        bins = rng.integers(0, 7, 500)
+        perm, inv, _ = _bin_partition_np(bins, 7, 256, max_blowup=50.0)
+        _assert_perm_bijection(perm, inv, 500)  # does not raise
+
+    def test_duplicate_id_raises(self):
+        from pyxu_tpu.operator.linop.nufft import _assert_perm_bijection
+        perm = np.asarray([[0, 1, 2, 2], [3, 5, 5, 5]])  # 4 dup'd, 2 twice
+        with pytest.raises(AssertionError, match="bijection"):
+            _assert_perm_bijection(perm, None, 5)
+
+    def test_bad_invperm_raises(self):
+        from pyxu_tpu.operator.linop.nufft import _assert_perm_bijection
+        perm = np.asarray([[1, 0], [2, 3]])
+        bad_inv = np.asarray([0, 1, 2, 3])  # identity, but perm swaps 0/1
+        with pytest.raises(AssertionError, match="invperm"):
+            _assert_perm_bijection(perm, bad_inv, 4)
+
+    def test_ragged_step_on_empty_slab_raises(self):
+        from pyxu_tpu.operator.linop.nufft import _assert_ragged_steps
+        occ = np.asarray([1.0, 0.0, 1.0], np.float32)
+        with pytest.raises(AssertionError, match="unoccupied"):
+            _assert_ragged_steps(np.asarray([0, 1]), np.asarray([1, 1]), occ)
+
+    def test_ragged_step_first_mismatch_raises(self):
+        from pyxu_tpu.operator.linop.nufft import _assert_ragged_steps
+        occ = np.ones(3, np.float32)
+        with pytest.raises(AssertionError, match="step_first"):
+            _assert_ragged_steps(np.asarray([0, 0, 2]),
+                                 np.asarray([1, 1, 1]), occ)
+
+    def test_ragged_noncontiguous_slab_raises(self):
+        from pyxu_tpu.operator.linop.nufft import _assert_ragged_steps
+        occ = np.ones(3, np.float32)
+        with pytest.raises(AssertionError, match="contiguous"):
+            _assert_ragged_steps(np.asarray([0, 2, 0]),
+                                 np.asarray([1, 1, 1]), occ)
+
+    def test_ragged_partition_passes(self):
+        from pyxu_tpu.operator.linop.nufft import _ragged_partition_np
+        rng = np.random.default_rng(1)
+        binid = rng.integers(0, 5, 2000, dtype=np.int64)
+        out = _ragged_partition_np(binid, 8, 256)
+        assert out is not None  # build-time assertions did not fire

@@ -17,11 +17,24 @@ real chips (where each device brings its own FLOPs/HBM) scaling would be
 compute-limited, not framework-limited.  This cannot prove ICI-bandwidth
 sufficiency — only hardware can — but it bounds the framework-side cost.
 
+Measurement protocol (VERDICT r4 item 3 hardening):
+  * >=5 timed fits per (leg, workload), alternating workloads within a leg
+    so neither systematically rides a warmer cache;
+  * two subprocess passes over the mesh sizes in OPPOSITE order (1,2,4,8
+    then 8,4,2,1) so host-load drift cannot masquerade as a device-count
+    trend; samples are pooled;
+  * median + spread = (max - min)/median are reported per leg; legs with
+    spread > 15% are flagged ``noisy`` and the study exits nonzero under
+    ``--strict`` (single-shot numbers on a 2-vCPU host produced the r4
+    superlinear artifacts — medians over interleaved passes are the fix).
+
 Workloads:
   - ``tv_sharded``:  TV Condat-Vu on an HxW image, rows sharded over the
     mesh, ShardedStencil halo exchange (ppermute) each iteration.
   - ``consensus``:   ConsensusADMM over B image tiles, block axis sharded
-    (psum mean each iteration) — BASELINE workload config 5.
+    (psum mean each iteration) — BASELINE workload config 5.  The bench.py
+    ``consensus_admm_8x512_1dev`` metric is the SAME code path on the real
+    chip's 1-device mesh; these legs supply its 2/4/8-device evidence.
 
 Usage:
   python tools/scaling_study.py                # full study, table + JSON
@@ -34,15 +47,18 @@ is fixed at backend initialization.
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
 DEFAULT_DEVICES = (1, 2, 4, 8)
+SPREAD_LIMIT = 0.15
 
 
 # ------------------------------------------------------------------ child --
-def _child(n_dev: int, size: int, tiles: int, tile: int, iters: int) -> None:
+def _child(n_dev: int, size: int, tiles: int, tile: int, iters: int,
+           repeats: int) -> None:
     import re
     flags = os.environ.get("XLA_FLAGS", "")
     # REPLACE any inherited count (e.g. the test conftest exports 8)
@@ -65,11 +81,8 @@ def _child(n_dev: int, size: int, tiles: int, tile: int, iters: int) -> None:
 
     assert len(jax.devices()) == n_dev, (len(jax.devices()), n_dev)
     mesh = auto_mesh()
-    out = {"n_devices": n_dev}
 
-    def timed_fit(slv, fit_kw, crit, iters):
-        slv.fit(stop_crit=crit, max_iter=iters, segment_size=iters, **fit_kw)
-        jax.block_until_ready(slv.solution())
+    def check_full_run(slv, iters):
         # the engine's crash-proof dispatch turns segment errors into
         # silent zero-iteration fits — fail loudly instead of timing those
         hist = slv.stats()[1]
@@ -79,6 +92,8 @@ def _child(n_dev: int, size: int, tiles: int, tile: int, iters: int) -> None:
             raise RuntimeError(
                 f"fit ran {done}/{iters} iterations — segment crashed? "
                 "(see solver log)")
+
+    def one_fit(slv, fit_kw, crit):
         t0 = time.perf_counter()
         slv.fit(stop_crit=crit, max_iter=iters, segment_size=iters, **fit_kw)
         jax.block_until_ready(slv.solution())
@@ -95,52 +110,83 @@ def _child(n_dev: int, size: int, tiles: int, tile: int, iters: int) -> None:
     f = 0.5 * SquaredL2Norm((H, W)).asloss(ys) * K
     D = Gradient((H, W), mode="constant")
     h = 0.01 * L21Norm((2, H, W), l2_axis=0)
-    slv = CondatVu(f=f, h=h, K=D, stop_rate=iters)
-    x0 = shard(y, mesh, P("s", None))
-    out["tv_sharded_iter_per_s"] = round(
-        timed_fit(slv, dict(x0=x0), MaxIter(iters), iters), 3)
+    slv_tv = CondatVu(f=f, h=h, K=D, stop_rate=iters)
+    kw_tv = dict(x0=shard(y, mesh, P("s", None)))
 
     # --- consensus: B tiles sharded on the block axis (workload 5)
-    slv, fit_kw, _ = consensus_tiles(tile=(tile, tile), n_tiles=tiles,
-                                     mesh=mesh)
-    slv._stop_rate = iters
-    out["consensus_iter_per_s"] = round(
-        timed_fit(slv, fit_kw, MaxIter(iters), iters), 3)
+    slv_ca, kw_ca, _ = consensus_tiles(tile=(tile, tile), n_tiles=tiles,
+                                       mesh=mesh)
+    slv_ca._stop_rate = iters
 
+    crit = MaxIter(iters)
+    # warmup (compile) + full-run check, once per workload
+    for slv, kw in ((slv_tv, kw_tv), (slv_ca, kw_ca)):
+        one_fit(slv, kw, crit)
+        check_full_run(slv, iters)
+    # interleaved timed samples: tv, ca, tv, ca, ...
+    samples = {"tv_sharded": [], "consensus": []}
+    for _ in range(repeats):
+        samples["tv_sharded"].append(one_fit(slv_tv, kw_tv, crit))
+        samples["consensus"].append(one_fit(slv_ca, kw_ca, crit))
+    out = {"n_devices": n_dev}
+    for k, v in samples.items():
+        out[f"{k}_samples"] = [round(s, 3) for s in v]
     print(json.dumps(out))
 
 
 # ----------------------------------------------------------------- parent --
 def run_study(devices=DEFAULT_DEVICES, size=1024, tiles=8, tile=256,
-              iters=60, quiet=False):
-    """Run one subprocess per mesh size; return the consolidated dict."""
-    rows = []
-    for n in devices:
+              iters=60, repeats=3, quiet=False):
+    """Two passes over the mesh sizes in opposite order, >=2*repeats
+    samples per leg; returns the consolidated dict (medians + spread)."""
+    samples = {n: {"tv_sharded": [], "consensus": []} for n in devices}
+    order = list(devices) + list(reversed(devices))
+    for n in order:
         cmd = [sys.executable, os.path.abspath(__file__), "--child", str(n),
                "--size", str(size), "--tiles", str(tiles),
-               "--tile", str(tile), "--iters", str(iters)]
+               "--tile", str(tile), "--iters", str(iters),
+               "--repeats", str(repeats)]
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         env = dict(os.environ)
         # keep any existing PYTHONPATH entries (the hosted axon site rides
         # PYTHONPATH — CLAUDE.md) and prepend the repo root for pyxu_tpu
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
                            cwd=repo, env=env)
         if r.returncode != 0:
             raise RuntimeError(f"child n={n} failed:\n{r.stderr[-2000:]}")
-        rows.append(json.loads(r.stdout.strip().splitlines()[-1]))
+        row = json.loads(r.stdout.strip().splitlines()[-1])
+        for k in ("tv_sharded", "consensus"):
+            samples[n][k].extend(row[f"{k}_samples"])
         if not quiet:
-            print(f"# n={n}: {rows[-1]}", file=sys.stderr, flush=True)
-    base = rows[0]
+            print(f"# n={n}: {row}", file=sys.stderr, flush=True)
+
     study = {"kind": "virtual_mesh_fixed_total_work",
              "size": size, "tiles": tiles, "tile": tile, "iters": iters,
+             "samples_per_leg": 2 * repeats,
+             "protocol": "two interleaved passes (ascending then descending "
+                         "device order), median over pooled samples, spread "
+                         "= (max-min)/median, noisy = spread > "
+                         f"{SPREAD_LIMIT:.0%}",
              "legs": []}
-    for row in rows:
-        leg = dict(row)
+    med = {n: {k: statistics.median(v) for k, v in s.items()}
+           for n, s in samples.items()}
+    base = med[devices[0]]
+    noisy_any = False
+    for n in devices:
+        leg = {"n_devices": n}
         for k in ("tv_sharded", "consensus"):
-            leg[f"{k}_overhead_eff"] = round(
-                row[f"{k}_iter_per_s"] / base[f"{k}_iter_per_s"], 3)
+            v = samples[n][k]
+            m = med[n][k]
+            spread = (max(v) - min(v)) / m if m else float("inf")
+            leg[f"{k}_iter_per_s"] = round(m, 3)
+            leg[f"{k}_spread"] = round(spread, 3)
+            leg[f"{k}_overhead_eff"] = round(m / base[k], 3)
+            if spread > SPREAD_LIMIT:
+                leg[f"{k}_noisy"] = True
+                noisy_any = True
         study["legs"].append(leg)
+    study["noisy"] = noisy_any
     return study
 
 
@@ -151,13 +197,20 @@ def main():
     ap.add_argument("--tiles", type=int, default=8)
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--strict", action="store_true",
+                    help="exit 1 if any leg's spread exceeds "
+                         f"{SPREAD_LIMIT:.0%}")
     args = ap.parse_args()
     if args.child is not None:
-        _child(args.child, args.size, args.tiles, args.tile, args.iters)
+        _child(args.child, args.size, args.tiles, args.tile, args.iters,
+               args.repeats)
         return
     study = run_study(size=args.size, tiles=args.tiles, tile=args.tile,
-                      iters=args.iters)
+                      iters=args.iters, repeats=args.repeats)
     print(json.dumps(study, indent=2))
+    if args.strict and study["noisy"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
