@@ -215,11 +215,12 @@ def run_extra_workloads():
         ("ri_admm_256", lambda: radio_interferometry(
             shape=(256, 256), n_vis=20_000), 150, 150),
         # workload config 5 (giga-pixel consensus blocks): the block-sharded
-        # consensus ADMM measured on this chip's 1-device mesh — the
-        # multi-device scaling overhead of the same program is measured
-        # separately on the virtual CPU mesh (tools/scaling_study.py,
-        # BASELINE.md "Scaling study").
-        ("consensus_admm_8x512", lambda: consensus_tiles(
+        # consensus ADMM measured on this chip's 1-DEVICE mesh (the metric
+        # name says so — this number exercises no psum); the 2/4/8-device
+        # behaviour of the same code path is measured on the virtual CPU
+        # mesh (tools/scaling_study.py -> SCALING_r*.json, BASELINE.md
+        # "Scaling study").
+        ("consensus_admm_8x512_1dev", lambda: consensus_tiles(
             tile=(512, 512), n_tiles=8), 1000, 1000),
     ):
         try:

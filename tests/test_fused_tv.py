@@ -60,7 +60,11 @@ def test_xla_step_matches_m_step(mode):
 
 @pytest.mark.parametrize("mode", ["symmetric", "constant"])
 @pytest.mark.parametrize("band", [16, 32])
-def test_pallas_matches_xla(mode, band):
+@pytest.mark.parametrize("fuse_g", ["0", "1"])
+def test_pallas_matches_xla(mode, band, fuse_g, monkeypatch):
+    # both kernel bodies: fused normal-op (G = K^T K separable taps +
+    # correction matmuls) and the legacy 4-stage fwd/adj path
+    monkeypatch.setenv("PYXU_TPU_FUSED_G", fuse_g)
     H, W = 64, 41
     k1 = _gauss()
     x = jnp.asarray(rng0.random((H, W), np.float32))

@@ -1,0 +1,334 @@
+"""Attribute the fused-TV iteration's 1.03 ms between DMA and VPU compute.
+
+VERDICT r4 weak #1: the headline (966 it/s = 1.03 ms/iter, ~225 GB/s
+effective) sits ~2x above the machine's measured copy roofline (0.145 ms
+per 33 MB frame-pass ~ 460 GB/s), and the bf16 phase's +13% says the
+kernel is NOT bandwidth-bound.  This probe measures, with the same band
+structure / DMA windows as ``tv_step_pallas``:
+
+  copy      — DMA-only kernel: same input windows (x NX rows, z 2xNZ,
+              b NB_), outputs copied from the windows, zero compute.
+              = the pipeline/DMA floor of this banding.
+  dual_only — D^T z, x/dual updates, L21 prox; K-stencil stages skipped.
+              (copy + dual/prox VPU cost)
+  full      — the production ``tv_step_pallas`` at the same band.
+
+full - dual_only ~ K/K^T stencil VPU cost; dual_only - copy ~ dual+prox
+VPU cost; copy = what band restructuring could ever win.
+
+Each timing is a 32-step chained fori_loop inside ONE jit (CSE-proof: the
+state threads through) with the relay dispatch floor measured separately
+and subtracted.  Run on the TPU (no JAX_PLATFORMS override); first run
+pays ~minutes of Mosaic compiles into the persistent cache.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+H, W = 2160, 3840
+N_CHAIN = 32
+
+
+def _mk_state(seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.random((H, W), dtype=np.float32))
+    z = jnp.asarray(rng.random((2, H, W), dtype=np.float32) * 0.1)
+    b = jnp.asarray(rng.random((H, W), dtype=np.float32) * 0.01)
+    return x, z, b
+
+
+def _windows(R, hk, lo0, hi0):
+    def au(v, a=8):
+        return -(-v // a) * a
+    TX = au(hk + lo0)
+    NX = au(TX + R + hk + hi0 + 1)
+    TZ = 8
+    NZ = au(TZ + R + 1)
+    NB_ = au(R + 1)
+    return TX, NX, TZ, NZ, NB_
+
+
+@functools.lru_cache(maxsize=32)
+def _copy_kernel(R):
+    """DMA-only clone of tv_step_pallas's band pipeline."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hk, lo0, hi0 = 8, 4, 4     # 9-tap kernel, centered (bench workload)
+    TX, NX, TZ, NZ, NB_ = _windows(R, hk, lo0, hi0)
+    nb = H // R
+
+    def kernel(x_hbm, z_hbm, b_hbm, xo_ref, zo_ref, xs, zs, bs, sems):
+        i = pl.program_id(0)
+
+        def _copies(band, slot):
+            base = band * R
+
+            def _start(T, N):
+                v = jax.lax.clamp(jnp.int32(0), base - jnp.int32(T),
+                                  jnp.int32(H - N))
+                return pl.multiple_of(v, 8)
+
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(_start(TX, NX), NX), :],
+                    xs.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    z_hbm.at[:, pl.ds(_start(TZ, NZ), NZ), :],
+                    zs.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(_start(0, NB_), NB_), :],
+                    bs.at[slot], sems.at[slot, 2]),
+            )
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            for cp in _copies(i, slot):
+                cp.start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for cp in _copies(i + 1, nxt):
+                cp.start()
+
+        for cp in _copies(i, slot):
+            cp.wait()
+
+        # touch the windows minimally so the DMAs cannot be elided
+        xo_ref[...] = xs[slot, TX:TX + R] + bs[slot, :R] * 1e-6
+        zo_ref[0] = zs[slot, 0, TZ:TZ + R]
+        zo_ref[1] = zs[slot, 1, TZ:TZ + R]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, R, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((2, H, W), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, NX, W), jnp.float32),
+            pltpu.VMEM((2, 2, NZ, W), jnp.float32),
+            pltpu.VMEM((2, NB_, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _dual_only_kernel(R):
+    """Same pipeline, K-stencil stages skipped: gf = b; dual/prox kept."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hk, lo0, hi0 = 8, 4, 4
+    TX, NX, TZ, NZ, NB_ = _windows(R, hk, lo0, hi0)
+    nb = H // R
+    tau, sigma, lam = 0.1, 0.2, 0.01
+
+    def _shift_cols(a, d):
+        if d == 0:
+            return a
+        Wa = a.shape[1]
+        rolled = pltpu.roll(a, (-d) % Wa, 1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        if d > 0:
+            return jax.lax.select(ids >= Wa - d, jnp.zeros_like(a), rolled)
+        return jax.lax.select(ids < -d, jnp.zeros_like(a), rolled)
+
+    def kernel(x_hbm, z_hbm, b_hbm, xo_ref, zo_ref, xs, zs, bs, sems):
+        i = pl.program_id(0)
+        a0 = i * R
+
+        def _copies(band, slot):
+            base = band * R
+
+            def _start(T, N):
+                v = jax.lax.clamp(jnp.int32(0), base - jnp.int32(T),
+                                  jnp.int32(H - N))
+                return pl.multiple_of(v, 8)
+
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(_start(TX, NX), NX), :],
+                    xs.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    z_hbm.at[:, pl.ds(_start(TZ, NZ), NZ), :],
+                    zs.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(_start(0, NB_), NB_), :],
+                    bs.at[slot], sems.at[slot, 2]),
+            )
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            for cp in _copies(i, slot):
+                cp.start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for cp in _copies(i + 1, nxt):
+                cp.start()
+
+        for cp in _copies(i, slot):
+            cp.wait()
+
+        xb = xs[slot]
+        z0b = zs[slot, 0]
+        z1b = zs[slot, 1]
+        bb = bs[slot]
+
+        gf = bb[:R + 1]
+        prev0 = z0b[TZ - 1:TZ + R]
+        cur0 = z0b[TZ:TZ + R + 1]
+        dt0 = prev0 - cur0
+        rows1 = a0 + jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 0)
+        dt0 = jax.lax.select(rows1 == 0, -cur0, dt0)
+        dt0 = jax.lax.select(rows1 == H - 1, prev0, dt0)
+        z1w = z1b[TZ:TZ + R + 1]
+        prev1 = _shift_cols(z1w, -1)
+        dt1 = prev1 - z1w
+        cols1 = jax.lax.broadcasted_iota(jnp.int32, (R + 1, W), 1)
+        dt1 = jax.lax.select(cols1 == W - 1, prev1, dt1)
+
+        xw = xb[TX:TX + R + 1]
+        xp_ = xw - tau * (gf + dt0 + dt1)
+        v = 2.0 * xp_ - xw
+        u0 = v[1:R + 1] - v[:R]
+        rowsR = a0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+        u0 = jax.lax.select(rowsR == H - 1, jnp.zeros_like(u0), u0)
+        vR = v[:R]
+        nxt1 = _shift_cols(vR, 1)
+        u1 = nxt1 - vR
+        colsR = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+        u1 = jax.lax.select(colsR == W - 1, jnp.zeros_like(u1), u1)
+
+        z0w = z0b[TZ:TZ + R]
+        z1wR = z1w[:R]
+        zt0 = z0w + sigma * u0
+        zt1 = z1wR + sigma * u1
+        nrm = jnp.sqrt(zt0 * zt0 + zt1 * zt1)
+        tiny = jnp.asarray(np.finfo(np.float32).tiny, jnp.float32)
+        shrink = jnp.maximum(1.0 - lam / jnp.maximum(nrm, tiny), 0.0)
+        zp0 = zt0 * (1.0 - shrink)
+        zp1 = zt1 * (1.0 - shrink)
+
+        xo_ref[...] = xp_[:R]
+        zo_ref[0] = zp0
+        zo_ref[1] = zp1
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, R, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((2, H, W), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, NX, W), jnp.float32),
+            pltpu.VMEM((2, 2, NZ, W), jnp.float32),
+            pltpu.VMEM((2, NB_, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+def _time_chain(step, x, z, b, n=N_CHAIN, reps=3):
+    """Chained n-step jit; returns per-step ms after floor subtraction."""
+
+    @jax.jit
+    def chain(x, z, b):
+        def body(_, carry):
+            x, z = carry
+            xn, zn = step(x, z, b)
+            return xn, zn
+
+        x, z = jax.lax.fori_loop(0, n, body, (x, z))
+        return x.sum() + z.sum()
+
+    @jax.jit
+    def floor_fn(x):
+        return x.sum()
+
+    t0 = time.perf_counter()
+    float(chain(x, z, b))
+    compile_s = time.perf_counter() - t0
+    float(floor_fn(x))
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(floor_fn(x))
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(x, z, b))
+        ts.append(time.perf_counter() - t0)
+    return (min(ts) - floor) / n * 1e3, compile_s
+
+
+def main():
+    from pyxu_tpu.ops.fused_tv import tv_step_pallas
+
+    x, z, b = _mk_state()
+    k = np.exp(-0.5 * ((np.arange(9) - 4) / 2.0) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    kw = dict(k0=tuple(float(v) for v in k), k1=tuple(float(v) for v in k),
+              c0=4, c1=4, cst=1.0, lam=0.01, tau=0.1, sigma=0.2, rho=1.0)
+
+    out = {}
+    bands = [int(v) for v in (sys.argv[1].split(",") if len(sys.argv) > 1
+                              else ["120"])]
+    for R in bands:
+        ms, cs = _time_chain(
+            lambda x, z, b: (_copy_kernel(R)(x, z, b)), x, z, b)
+        out[f"copy_R{R}_ms"] = round(ms, 3)
+        print(f"# copy R={R}: {ms:.3f} ms (compile {cs:.0f}s)", flush=True)
+
+        ms, cs = _time_chain(
+            lambda x, z, b: tuple(_dual_only_kernel(R)(x, z, b)), x, z, b)
+        out[f"dual_only_R{R}_ms"] = round(ms, 3)
+        print(f"# dual_only R={R}: {ms:.3f} ms (compile {cs:.0f}s)",
+              flush=True)
+
+        ms, cs = _time_chain(
+            lambda x, z, b: tv_step_pallas(x, z, b, band=R, **kw), x, z, b)
+        out[f"full_R{R}_ms"] = round(ms, 3)
+        print(f"# full R={R}: {ms:.3f} ms (compile {cs:.0f}s)", flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
