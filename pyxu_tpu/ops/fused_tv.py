@@ -685,38 +685,35 @@ def _build_tv_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst, lam,
         xb, z0b, z1b, bb = _prologue(i, x_hbm, z_hbm, b_hbm, xs, zs, bs,
                                      sems, False)
 
-        # ---- column stage over rows [a0-hk, a0+R+hk+1) ----------------------
-        NR = R + 2 * hk + 1
-        win = xb[TX - hk:TX - hk + NR]
-        col = None
+        # ---- row stage FIRST (out rows [a0, a0+R+1)): the separable
+        # factors commute and this order runs the column stage on R+1 rows
+        # instead of R+2hk+1 (~13% less column VPU work at R=120)
+        rowo = None
+        for d in range(-hk, hk + 1):
+            term = float(g0t[d + hk]) * xb[TX + d:TX + d + R + 1]
+            rowo = term if rowo is None else rowo + term
+        # corner corrections of G0 (first / last bands only), on raw x rows
+        ctop = jnp.dot(d0t_ref[...], xb[TX:TX + c0t],
+                       preferred_element_type=jnp.float32).astype(rowo.dtype)
+        top = rowo + jnp.concatenate(
+            [ctop, jnp.zeros((R + 1 - r0t, W), rowo.dtype)], axis=0)
+        rowo = _sel_band(i == 0, top, rowo)
+        cbot = jnp.dot(d0b_ref[...], xb[TX + R - c0b:TX + R],
+                       preferred_element_type=jnp.float32).astype(rowo.dtype)
+        bot = rowo + jnp.concatenate(
+            [jnp.zeros((R - r0b, W), rowo.dtype), cbot,
+             jnp.zeros((1, W), rowo.dtype)], axis=0)
+        rowo = _sel_band(i == nb - 1, bot, rowo)
+
+        # ---- column stage on the row-stage output ---------------------------
+        KtK = None
         for d in range(-h1, h1 + 1):
-            term = float(g1t[d + h1]) * _roll_cols(win, d)
-            col = term if col is None else col + term
-        corr = jnp.dot(jnp.dot(win, s1_ref[...],
+            term = float(g1t[d + h1]) * _roll_cols(rowo, d)
+            KtK = term if KtK is None else KtK + term
+        corr = jnp.dot(jnp.dot(rowo, s1_ref[...],
                                preferred_element_type=jnp.float32),
                        m1_ref[...], preferred_element_type=jnp.float32)
-        col = col + corr.astype(col.dtype)
-
-        # ---- row stage: out rows [a0, a0+R+1) -------------------------------
-        KtK = None
-        for d in range(-hk, hk + 1):
-            term = float(g0t[d + hk]) * col[hk + d:hk + d + R + 1]
-            KtK = term if KtK is None else KtK + term
-
-        # ---- corner corrections (first / last bands only) -------------------
-        # G0's correction acts on the COLUMN-STAGE OUTPUT (K^T K = G0 ∘ G1,
-        # commuting separable factors): image row v sits at col[v - a0 + hk]
-        ctop = jnp.dot(d0t_ref[...], col[hk:hk + c0t],
-                       preferred_element_type=jnp.float32).astype(KtK.dtype)
-        top = KtK + jnp.concatenate(
-            [ctop, jnp.zeros((R + 1 - r0t, W), KtK.dtype)], axis=0)
-        KtK = _sel_band(i == 0, top, KtK)
-        cbot = jnp.dot(d0b_ref[...], col[R + hk - c0b:R + hk],
-                       preferred_element_type=jnp.float32).astype(KtK.dtype)
-        bot = KtK + jnp.concatenate(
-            [jnp.zeros((R - r0b, W), KtK.dtype), cbot,
-             jnp.zeros((1, W), KtK.dtype)], axis=0)
-        KtK = _sel_band(i == nb - 1, bot, KtK)
+        KtK = KtK + corr.astype(KtK.dtype)
 
         _epilogue(i, a0, KtK, xb, z0b, z1b, bb, xo_ref, zo_ref)
 
@@ -818,7 +815,7 @@ def _build_tv_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst, lam,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=114 * 1024 * 1024),
         interpret=interpret,
     )
 

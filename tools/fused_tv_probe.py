@@ -132,7 +132,7 @@ def _copy_kernel(R):
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=114 * 1024 * 1024),
     )
 
 
@@ -259,7 +259,7 @@ def _dual_only_kernel(R):
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=114 * 1024 * 1024),
     )
 
 
@@ -316,6 +316,15 @@ def main():
         out[f"copy_R{R}_ms"] = round(ms, 3)
         print(f"# copy R={R}: {ms:.3f} ms (compile {cs:.0f}s)", flush=True)
 
+        import os
+        if os.environ.get("PYXU_PROBE_MO") == "1":
+            ms, cs = _time_chain(
+                lambda x, z, b: tuple(_copy_kernel_manual_out(R)(x, z, b)),
+                x, z, b)
+            out[f"copy_mo_R{R}_ms"] = round(ms, 3)
+            print(f"# copy_mo R={R}: {ms:.3f} ms (compile {cs:.0f}s)",
+                  flush=True)
+
         ms, cs = _time_chain(
             lambda x, z, b: tuple(_dual_only_kernel(R)(x, z, b)), x, z, b)
         out[f"dual_only_R{R}_ms"] = round(ms, 3)
@@ -328,6 +337,109 @@ def main():
         print(f"# full R={R}: {ms:.3f} ms (compile {cs:.0f}s)", flush=True)
 
     print(json.dumps(out))
+
+
+@functools.lru_cache(maxsize=32)
+def _copy_kernel_manual_out(R):
+    """Copy kernel with MANUALLY double-buffered outputs (memory_space=ANY
+    + async copies from scratch), to test whether the auto out-BlockSpec
+    pipeline is what holds the floor above bytes/bandwidth."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hk, lo0, hi0 = 8, 4, 4
+    TX, NX, TZ, NZ, NB_ = _windows(R, hk, lo0, hi0)
+    nb = H // R
+
+    def kernel(x_hbm, z_hbm, b_hbm, xo_hbm, zo_hbm,
+               xs, zs, bs, xo_s, zo_s, sems, osems):
+        i = pl.program_id(0)
+
+        def _copies(band, slot):
+            base = band * R
+
+            def _start(T, N):
+                v = jax.lax.clamp(jnp.int32(0), base - jnp.int32(T),
+                                  jnp.int32(H - N))
+                return pl.multiple_of(v, 8)
+
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(_start(TX, NX), NX), :],
+                    xs.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    z_hbm.at[:, pl.ds(_start(TZ, NZ), NZ), :],
+                    zs.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(_start(0, NB_), NB_), :],
+                    bs.at[slot], sems.at[slot, 2]),
+            )
+
+        def _ocopies(band, slot):
+            base = band * R
+            return (
+                pltpu.make_async_copy(
+                    xo_s.at[slot], xo_hbm.at[pl.ds(base, R), :],
+                    osems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    zo_s.at[slot], zo_hbm.at[:, pl.ds(base, R), :],
+                    osems.at[slot, 1]),
+            )
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            for cp in _copies(i, slot):
+                cp.start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for cp in _copies(i + 1, nxt):
+                cp.start()
+
+        for cp in _copies(i, slot):
+            cp.wait()
+
+        # wait for the out-copy that used this slot two bands ago
+        @pl.when(i >= 2)
+        def _():
+            for cp in _ocopies(i - 2, slot):
+                cp.wait()
+
+        xo_s[slot] = xs[slot, TX:TX + R] + bs[slot, :R] * 1e-6
+        zo_s[slot, 0] = zs[slot, 0, TZ:TZ + R]
+        zo_s[slot, 1] = zs[slot, 1, TZ:TZ + R]
+        for cp in _ocopies(i, slot):
+            cp.start()
+
+        @pl.when(i == nb - 1)
+        def _():
+            for cp in _ocopies(i, slot):
+                cp.wait()
+            for cp in _ocopies(i - 1, 1 - slot):
+                cp.wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((2, H, W), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, NX, W), jnp.float32),
+            pltpu.VMEM((2, 2, NZ, W), jnp.float32),
+            pltpu.VMEM((2, NB_, W), jnp.float32),
+            pltpu.VMEM((2, R, W), jnp.float32),
+            pltpu.VMEM((2, 2, R, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=114 * 1024 * 1024),
+    )
 
 
 if __name__ == "__main__":
