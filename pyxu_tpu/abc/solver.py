@@ -393,6 +393,20 @@ class Solver:
                     lambda o, i: o.astype(i.dtype)
                     if hasattr(i, "dtype") else o, out, s)
 
+        # optional temporal-blocking step: a solver may install
+        # ``self._m_step2`` (ONE call advances TWO exact iterations — e.g.
+        # the fused-TV 2-iteration Pallas kernel, ops/fused_tv.py); the
+        # segment then runs stop_rate // 2 double-steps (+ one single step
+        # when stop_rate is odd).  ``self._m_step2_on`` mirrors the choice
+        # into _hyper_key so compiled segments never alias across modes.
+        step2 = getattr(self, "_m_step2", None)
+        if step2 is not None and getattr(self, "_dtype_lock", False):
+            def step2(s, _orig=self._m_step2):
+                out = _orig(s)
+                return jax.tree_util.tree_map(
+                    lambda o, i: o.astype(i.dtype)
+                    if hasattr(i, "dtype") else o, out, s)
+
         def _segment_loop(mstate, cstate, k, stopped, hist, hist_n, k_end):
             def cond(carry):
                 mstate, cstate, k, stopped, hist, hist_n = carry
@@ -400,8 +414,14 @@ class Solver:
 
             def body(carry):
                 mstate, cstate, k, stopped, hist, hist_n = carry
-                mstate = jax.lax.fori_loop(
-                    0, stop_rate, lambda i, s: step(s), mstate)
+                if step2 is not None and stop_rate >= 2:
+                    mstate = jax.lax.fori_loop(
+                        0, stop_rate // 2, lambda i, s: step2(s), mstate)
+                    if stop_rate % 2:
+                        mstate = step(mstate)
+                else:
+                    mstate = jax.lax.fori_loop(
+                        0, stop_rate, lambda i, s: step(s), mstate)
                 k = k + stop_rate
                 cstate, stop_now, metrics = check(mstate, cstate, k)
                 hist = {

@@ -43,7 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["tv_step_xla", "tv_step_pallas", "match_fused_tv"]
+__all__ = ["tv_step_xla", "tv_step_pallas", "tv_step2_pallas",
+           "match_fused_tv", "match_fused_tv2"]
 
 
 # ---------------------------------------------------------------- helpers --
@@ -830,6 +831,323 @@ def _build_tv_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst, lam,
     return fn
 
 
+# ------------------------------------- temporal blocking: 2 iters / pass ----
+
+def tv_step2_pallas(x, z, b, *, k0, k1, c0, c1, cst, lam, tau, sigma,
+                    rho, mode_k="symmetric", mode_d="symmetric",
+                    band=None, interpret=False):
+    """TWO exact Condat-Vu iterations per band pass (temporal blocking).
+
+    The single-iteration kernel is DMA-floor bound: ~7.6 frame-traffics per
+    iteration at 4K, copy-clone floor 0.67 ms vs 0.89 ms full
+    (tools/fused_tv_probe.py).  Running two iterations while the band is
+    VMEM-resident amortizes every state read/write over two iterations —
+    ~4.0 frame-traffics *per iteration* — at the price of wider halos
+    (iteration 1 is recomputed on a ±(hk+1)-row apron so iteration 2's
+    stencils see exact neighbours; the aprons of adjacent bands recompute
+    the same rows, which costs VPU FLOPs, not HBM).  Numerics are the
+    single kernel's applied twice: iteration-1 state is masked to zero
+    outside the image (the zero-virtualized contract of the fused normal
+    op) and round-tripped through the storage dtype, exactly as two
+    separate passes would.  Returns None-equivalent fallbacks are the
+    caller's job (see :func:`match_fused_tv2`)."""
+    fn = _build_tv2_pallas(
+        x.shape, str(x.dtype), str(z.dtype), tuple(float(v) for v in k0),
+        tuple(float(v) for v in k1), int(c0), int(c1), float(cst),
+        float(lam), float(tau), float(sigma), float(rho), mode_k, mode_d,
+        band, interpret)
+    if fn is None:
+        raise ValueError("band/halo configuration not eligible for the "
+                         "2-iteration kernel")
+    return fn(x, z, b)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
+                      lam, tau, sigma, rho, mode_k, mode_d, band, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = shape
+    L0, L1 = len(k0), len(k1)
+    hk, h1 = L0 - 1, L1 - 1
+    sym_d = mode_d == "symmetric"
+    assert mode_k in ("symmetric", "constant")
+    assert mode_d in ("symmetric", "constant")
+
+    xdt = jnp.dtype(dtype_str)
+    zdt = jnp.dtype(z_dtype_str)
+    bf16 = jnp.dtype(jnp.bfloat16)
+    cdt = jnp.dtype(jnp.float32) if bf16 in (xdt, zdt) \
+        else jnp.promote_types(xdt, zdt)
+    bdt = cdt
+    ax_al = 16 if xdt == bf16 else 8
+    az_al = 16 if zdt == bf16 else 8
+
+    g0t, D0t_np, D0b_np, r0t, r0b, g1t, S1_np, M1_np = \
+        _normal_op_data(H, W, k0, k1, c0, c1, mode_k)
+    c0t = D0t_np.shape[1]
+    c0b = D0b_np.shape[1]
+
+    R = band or _band_size(H, align=max(ax_al, az_al))
+    nb = H // R
+    if H % R or nb < 2:
+        return None
+
+    def _au(v, a):
+        return -(-v // a) * a
+
+    aligned = (R % max(ax_al, az_al) == 0) and (H % max(ax_al, az_al) == 0)
+    if not (aligned or interpret):
+        return None
+    if aligned:
+        TX = _au(2 * hk, ax_al)
+        NX = _au(TX + R + 2 * hk + 1, ax_al)
+        TZ = _au(hk + 1, az_al)
+        NZ = _au(TZ + R + hk + 1, az_al)
+        TB = _au(hk, 8)
+        NB_ = _au(TB + R + hk + 1, 8)
+    else:
+        TX, NX = 2 * hk, 4 * hk + R + 1
+        TZ, NZ = hk + 1, R + 2 * hk + 2
+        TB, NB_ = hk, R + 2 * hk + 1
+    # interior windows must not clamp; corrections must fit the band;
+    # iteration-1's apron must stay inside the windows
+    if not all(T <= R and N - R - T <= R
+               for T, N in ((TX, NX), (TZ, NZ), (TB, NB_))):
+        return None
+    if max(r0t, r0b, c0t, c0b) > R or R <= 2 * hk + 2:
+        return None
+
+    N1 = R + 2 * hk + 1            # iter-1 xp rows: [a0-hk, a0+R+hk+1)
+    dtype = cdt
+
+    def _sel_band(pred, a, b):
+        return jax.lax.select(jnp.broadcast_to(pred, a.shape), a, b)
+
+    def _virtualize(buf, N, T, i):
+        """Zero-fill re-indexing of a clamped window (fused-G contract:
+        out-of-image rows are zero; boundary physics lives in the
+        correction blocks / edge selects)."""
+        B = N - R - T
+        out = buf
+        if T:
+            first = jnp.concatenate(
+                [jnp.zeros((T, W), buf.dtype), buf[:N - T]], axis=0)
+            out = _sel_band(i == 0, first, out)
+        if B:
+            last = jnp.concatenate(
+                [buf[B:], jnp.zeros((B, W), buf.dtype)], axis=0)
+            out = _sel_band(i == nb - 1, last, out)
+        return out
+
+    def _roll_cols(a, d):
+        if d == 0:
+            return a
+        return pltpu.roll(a, (-d) % a.shape[1], 1)
+
+    def _shift_cols(a, d):
+        if d == 0:
+            return a
+        Wa = a.shape[1]
+        rolled = pltpu.roll(a, (-d) % Wa, 1)
+        ids = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        if d > 0:
+            return jax.lax.select(ids >= Wa - d, jnp.zeros_like(a), rolled)
+        return jax.lax.select(ids < -d, jnp.zeros_like(a), rolled)
+
+    def kernel(x_hbm, z_hbm, b_hbm, s1_ref, m1_ref, d0t_ref, d0b_ref,
+               xo_ref, zo_ref, xs, zs, bs, sems):
+        i = pl.program_id(0)
+        a0 = i * R
+
+        def _copies(band, slot):
+            base = band * R
+
+            def _start(T, N, al):
+                v = jax.lax.clamp(jnp.int32(0), base - jnp.int32(T),
+                                  jnp.int32(H - N))
+                return pl.multiple_of(v, al) if aligned else v
+
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(_start(TX, NX, ax_al), NX), :],
+                    xs.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    z_hbm.at[:, pl.ds(_start(TZ, NZ, az_al), NZ), :],
+                    zs.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(_start(TB, NB_, 8), NB_), :],
+                    bs.at[slot], sems.at[slot, 2]),
+            )
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            for cp in _copies(i, slot):
+                cp.start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for cp in _copies(i + 1, nxt):
+                cp.start()
+
+        for cp in _copies(i, slot):
+            cp.wait()
+
+        xb = _virtualize(xs[slot], NX, TX, i).astype(dtype)
+        z0b = _virtualize(zs[slot, 0], NZ, TZ, i).astype(dtype)
+        z1b = _virtualize(zs[slot, 1], NZ, TZ, i).astype(dtype)
+        bb = _virtualize(bs[slot], NB_, TB, i).astype(dtype)
+
+        S1 = s1_ref[...]
+        M1 = m1_ref[...]
+        D0t = d0t_ref[...]
+        D0b = d0b_ref[...]
+
+        def ktk(xarr, xT, oT, n_out):
+            """K^T K rows virtual [a0-oT, a0-oT+n_out); xarr local row l is
+            virtual a0 - xT + l (zero outside the image)."""
+            rowo = None
+            for d in range(-hk, hk + 1):
+                s = xT - oT + d
+                term = float(g0t[d + hk]) * xarr[s:s + n_out]
+                rowo = term if rowo is None else rowo + term
+            def _place(corr, before, after):
+                # Mosaic refuses zero-row vector types: drop empty pieces
+                parts = []
+                if before:
+                    parts.append(jnp.zeros((before, W), rowo.dtype))
+                parts.append(corr)
+                if after:
+                    parts.append(jnp.zeros((after, W), rowo.dtype))
+                return jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+                    else parts[0]
+
+            # first band: out virtual rows [0, r0t) sit at local oT..
+            ctop = jnp.dot(D0t, xarr[xT:xT + c0t],
+                           preferred_element_type=jnp.float32
+                           ).astype(rowo.dtype)
+            top = rowo + _place(ctop, oT, n_out - oT - r0t)
+            rowo = _sel_band(i == 0, top, rowo)
+            # last band: out virtual rows [H-r0b, H) at local R-r0b+oT
+            cbot = jnp.dot(D0b, xarr[xT + R - c0b:xT + R],
+                           preferred_element_type=jnp.float32
+                           ).astype(rowo.dtype)
+            bot = rowo + _place(cbot, R - r0b + oT, n_out - R - oT)
+            rowo = _sel_band(i == nb - 1, bot, rowo)
+            col = None
+            for d in range(-h1, h1 + 1):
+                term = float(g1t[d + h1]) * _roll_cols(rowo, d)
+                col = term if col is None else col + term
+            corr = jnp.dot(jnp.dot(rowo, S1,
+                                   preferred_element_type=jnp.float32),
+                           M1, preferred_element_type=jnp.float32)
+            return col + corr.astype(col.dtype)
+
+        def half_iter(xarr, xT, z0a, z1a, zT, oT, n_out):
+            """One full Condat-Vu iteration: xp rows virtual
+            [a0-oT, a0-oT+n_out), zp rows [a0-oT, a0-oT+n_out-1)."""
+            gf = cst * ktk(xarr, xT, oT, n_out) \
+                + bb[TB - oT:TB - oT + n_out]
+            z0s = zT - oT
+            prev0 = z0a[z0s - 1:z0s - 1 + n_out]
+            cur0 = z0a[z0s:z0s + n_out]
+            dt0 = prev0 - cur0
+            rows = (a0 - oT) + jax.lax.broadcasted_iota(
+                jnp.int32, (n_out, W), 0)
+            dt0 = jax.lax.select(rows == 0, -cur0, dt0)
+            if sym_d:
+                dt0 = jax.lax.select(rows == H - 1, prev0, dt0)
+            z1w = z1a[z0s:z0s + n_out]
+            prev1 = _shift_cols(z1w, -1)
+            dt1 = prev1 - z1w
+            if sym_d:
+                cols = jax.lax.broadcasted_iota(jnp.int32, (n_out, W), 1)
+                dt1 = jax.lax.select(cols == W - 1, prev1, dt1)
+            xw = xarr[xT - oT:xT - oT + n_out]
+            xp_ = xw - tau * (gf + dt0 + dt1)
+            v = 2.0 * xp_ - xw
+            n = n_out - 1
+            u0 = v[1:n + 1] - v[:n]
+            rowsn = (a0 - oT) + jax.lax.broadcasted_iota(
+                jnp.int32, (n, W), 0)
+            if sym_d:
+                u0 = jax.lax.select(rowsn == H - 1, jnp.zeros_like(u0), u0)
+            else:
+                u0 = jax.lax.select(rowsn == H - 1, -v[:n], u0)
+            vR = v[:n]
+            u1 = _shift_cols(vR, 1) - vR
+            if sym_d:
+                colsn = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
+                u1 = jax.lax.select(colsn == W - 1, jnp.zeros_like(u1), u1)
+            z0w = z0a[z0s:z0s + n]
+            z1wn = z1w[:n]
+            zt0 = z0w + sigma * u0
+            zt1 = z1wn + sigma * u1
+            zp0, zp1 = _l21_fenchel(zt0, zt1, lam)
+            if rho != 1.0:
+                xp_ = xw + rho * (xp_ - xw)
+                zp0 = z0w + rho * (zp0 - z0w)
+                zp1 = z1wn + rho * (zp1 - z1wn)
+            return xp_, zp0, zp1
+
+        # ---- iteration 1 on the ±hk apron ----------------------------------
+        xp1, zp0_1, zp1_1 = half_iter(xb, TX, z0b, z1b, TZ, hk, N1)
+        # iteration-2 consumes iteration-1 state under the zero-outside-image
+        # contract, round-tripped through the storage dtype exactly as two
+        # separate kernel passes would
+        vr = (a0 - hk) + jax.lax.broadcasted_iota(jnp.int32, (N1, W), 0)
+        inimg = jnp.logical_and(vr >= 0, vr < H)
+        xp1 = jnp.where(inimg, xp1, 0.0).astype(xdt).astype(dtype)
+        vrz = (a0 - hk) + jax.lax.broadcasted_iota(jnp.int32, (N1 - 1, W), 0)
+        inz = jnp.logical_and(vrz >= 0, vrz < H)
+        zp0_1 = jnp.where(inz, zp0_1, 0.0).astype(zdt).astype(dtype)
+        zp1_1 = jnp.where(inz, zp1_1, 0.0).astype(zdt).astype(dtype)
+
+        # ---- iteration 2 on the core band ----------------------------------
+        xp2, zp0_2, zp1_2 = half_iter(xp1, hk, zp0_1, zp1_1, hk, 0, R + 1)
+
+        xo_ref[...] = xp2[:R].astype(xdt)
+        zo_ref[0] = zp0_2.astype(zdt)
+        zo_ref[1] = zp1_2.astype(zdt)
+
+    const_np = (S1_np, M1_np, D0t_np, D0b_np)
+    const_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in const_np
+    ]
+    inner = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + const_specs,
+        out_specs=[
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, R, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((H, W), xdt),
+                   jax.ShapeDtypeStruct((2, H, W), zdt)],
+        scratch_shapes=[
+            pltpu.VMEM((2, NX, W), xdt),
+            pltpu.VMEM((2, 2, NZ, W), zdt),
+            pltpu.VMEM((2, NB_, W), bdt),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=114 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def fn(x, z, b):
+        return inner(x, z, b.astype(bdt),
+                     *(jnp.asarray(a) for a in const_np))
+
+    return fn
+
+
 # ------------------------------------------------------------ pattern match --
 
 def _unwrap_scale_cast(op):
@@ -1002,3 +1320,50 @@ def match_fused_tv(f, g, h, K, *, tau, sigma, rho):
         return tv_step_pallas(x, z, b, interpret=interp, **kw)
 
     return step
+
+
+def match_fused_tv2(f, g, h, K, *, tau, sigma, rho):
+    """Return a temporal-blocking ``(x, z) -> 2 iterations`` step, or None.
+
+    Matches exactly when :func:`match_fused_tv` matches (same problem
+    family), the fused-normal-op path is on, and the wider 2-iteration
+    halos fit the band.  Controlled by ``PYXU_TPU_FUSED2``: ``auto``
+    (default — on for TPU backends), ``0`` (off), ``1`` (force; interpreted
+    off-TPU — tests only)."""
+    import os
+    flag2 = os.environ.get("PYXU_TPU_FUSED2", "auto")
+    if flag2 == "0":
+        return None
+    if os.environ.get("PYXU_TPU_FUSED_G", "1") == "0":
+        return None    # double-step exists only in fused-normal-op form
+    backend = jax.default_backend()
+    if flag2 == "auto" and backend in ("cpu", "gpu"):
+        return None
+    single = match_fused_tv(f, g, h, K, tau=tau, sigma=sigma, rho=rho)
+    if single is None or os.environ.get("PYXU_TPU_FUSED", "auto") == "xla":
+        return None
+    # re-derive the matched parameters (match_fused_tv validated them)
+    Q, c, _ = f._quad_spec()
+    Qb, cst = _unwrap_scale_cast(Q)
+    k0, c0, k1, c1, mode_k = _stencil_taps_2d(Qb._op)
+    hb, lam = _unwrap_scale_cast(h)
+    mode_d = _gradient_mode_2d(K)
+    H, W = f.dim_shape
+    b = _grad_at_zero(c, (H, W))
+    interp = backend in ("cpu", "gpu")
+    kw = dict(k0=k0, k1=k1, c0=c0, c1=c1, cst=float(cst), lam=float(lam),
+              tau=float(tau), sigma=float(sigma), rho=float(rho),
+              mode_k=mode_k, mode_d=mode_d)
+    # eligibility precheck at f32 alignment; the builder re-checks per
+    # dtype at trace time and the caller's wrapper falls back on failure
+    probe = _build_tv2_pallas(
+        (H, W), "float32", "float32", tuple(map(float, k0)),
+        tuple(map(float, k1)), int(c0), int(c1), float(cst), float(lam),
+        float(tau), float(sigma), float(rho), mode_k, mode_d, None, interp)
+    if probe is None:
+        return None
+
+    def step2(x, z):
+        return tv_step2_pallas(x, z, b, interpret=interp, **kw)
+
+    return step2

@@ -187,22 +187,50 @@ class CondatVu(_PrimalDualSplitting):
         # silently leave stale (operand hot-swap rides jit ARGUMENTS).
         if getattr(self, "_operand_mode", "static") == "dynamic":
             self._fused_tv = None
+            self._m_step2 = None
+            self._m_step2_on = False
             return mst
         import os
         key = (self._tau, self._sigma, self._rho,
-               os.environ.get("PYXU_TPU_FUSED", "auto"))
+               os.environ.get("PYXU_TPU_FUSED", "auto"),
+               os.environ.get("PYXU_TPU_FUSED2", "auto"),
+               os.environ.get("PYXU_TPU_FUSED_G", "1"))
         cached = getattr(self, "_fused_tv_cache", None)
         if cached is not None and cached[0] == key:
             # re-fit with unchanged hyperparameters: reuse the matched step
             # (matching costs device round-trips — taps fetch + b compute —
             # which are seconds through tunneled TPU relays)
-            self._fused_tv = cached[1]
-            return mst
-        from pyxu_tpu.ops.fused_tv import match_fused_tv
-        self._fused_tv = match_fused_tv(
-            self._f, self._g, self._h, self._K,
-            tau=self._tau, sigma=self._sigma, rho=self._rho)
-        self._fused_tv_cache = (key, self._fused_tv)
+            self._fused_tv, fused2 = cached[1], cached[2]
+        else:
+            from pyxu_tpu.ops.fused_tv import match_fused_tv, match_fused_tv2
+            self._fused_tv = match_fused_tv(
+                self._f, self._g, self._h, self._K,
+                tau=self._tau, sigma=self._sigma, rho=self._rho)
+            fused2 = None
+            if self._fused_tv is not None:
+                fused2 = match_fused_tv2(
+                    self._f, self._g, self._h, self._K,
+                    tau=self._tau, sigma=self._sigma, rho=self._rho)
+            self._fused_tv_cache = (key, self._fused_tv, fused2)
+        # temporal-blocking hook for the engine (abc/solver.py segment
+        # loop): one call = TWO exact iterations; trace-time failures
+        # (dtype-tightened alignment, odd shapes) fall back to two m_steps
+        if fused2 is not None and getattr(mst["x"], "ndim", 0) == 2:
+            def _step2(s, _f2=fused2):
+                x, z = s["x"], s["z"]
+                okdt = (jnp.float32, jnp.bfloat16)
+                if x.dtype in okdt and z.dtype in okdt:
+                    try:
+                        xn, zn = _f2(x, z)
+                        return {"x": xn, "z": zn}
+                    except (AssertionError, ValueError):
+                        pass
+                return self.m_step(self.m_step(s))
+            self._m_step2 = _step2
+            self._m_step2_on = True
+        else:
+            self._m_step2 = None
+            self._m_step2_on = False
         return mst
 
     def m_step(self, mst):

@@ -220,3 +220,49 @@ def test_condatvu_dual_dtype_solve(monkeypatch):
     # paths must agree with each other tightly and with f32 loosely
     assert np.abs(sols[("xla", jnp.bfloat16)] - ref).max() < 2e-2 * scale
     assert np.abs(sols[("0", jnp.bfloat16)] - ref).max() < 2e-2 * scale
+
+
+@pytest.mark.parametrize("mode", ["symmetric", "constant"])
+@pytest.mark.parametrize("rho", [1.0, 0.9])
+def test_pallas2_matches_two_xla_steps(mode, rho):
+    """Temporal-blocking kernel == two single iterations (interpret)."""
+    from pyxu_tpu.ops.fused_tv import tv_step2_pallas
+    H, W = 96, 41
+    k1 = _gauss()
+    x = jnp.asarray(rng0.random((H, W), np.float32))
+    z = jnp.asarray(rng0.standard_normal((2, H, W)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng0.standard_normal((H, W)).astype(np.float32) * 0.1)
+    kw = dict(cst=1.0, lam=0.01, tau=0.2, sigma=0.15, rho=rho,
+              mode_k=mode, mode_d=mode)
+    s1 = tv_step_xla(x, z[0], z[1], b, jnp.asarray(k1), jnp.asarray(k1),
+                     4, 4, **kw)
+    s2 = tv_step_xla(s1[0], s1[1], s1[2], b, jnp.asarray(k1),
+                     jnp.asarray(k1), 4, 4, **kw)
+    xg, zg = tv_step2_pallas(x, z, b, k0=tuple(k1.tolist()),
+                             k1=tuple(k1.tolist()), c0=4, c1=4, band=32,
+                             interpret=True, **kw)
+    assert np.abs(np.asarray(xg) - np.asarray(s2[0])).max() < 2e-5
+    assert np.abs(np.asarray(zg[0]) - np.asarray(s2[1])).max() < 2e-5
+    assert np.abs(np.asarray(zg[1]) - np.asarray(s2[2])).max() < 2e-5
+
+
+@pytest.mark.parametrize("iters", [24, 25])   # even + odd segment cadences
+def test_condatvu_double_step_matches_generic_solve(iters, monkeypatch):
+    """Engine temporal-blocking path (_m_step2): same solution as the
+    generic operator path, including the odd-cadence single-step tail."""
+    H, W = 96, 67
+    sols = {}
+    for fl in ("0", "1"):
+        monkeypatch.setenv("PYXU_TPU_FUSED", fl)
+        monkeypatch.setenv("PYXU_TPU_FUSED2", fl)
+        f, h, D, _, y = _problem(H, W, "symmetric")
+        slv = CondatVu(f=f, h=h, K=D, stop_rate=iters)
+        slv.fit(x0=y, stop_crit=MaxIter(iters), max_iter=iters,
+                segment_size=iters)
+        sols[fl] = np.asarray(slv.solution())
+        if fl == "1":
+            assert getattr(slv, "_m_step2", None) is not None
+            assert slv._m_step2_on
+        else:
+            assert getattr(slv, "_m_step2", None) is None
+    assert np.abs(sols["0"] - sols["1"]).max() < 2e-5

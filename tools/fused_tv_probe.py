@@ -444,3 +444,113 @@ def _copy_kernel_manual_out(R):
 
 if __name__ == "__main__":
     main()
+
+
+@functools.lru_cache(maxsize=32)
+def _copy_compute_kernel(R, reps, static_slots=False):
+    """Copy kernel + ``reps`` dummy VPU passes over the input window.
+
+    Measures whether in-kernel compute OVERLAPS the double-buffered input
+    DMA (hidden: time(reps=K) == time(reps=0)) or serializes with it
+    (additive).  ``static_slots=True`` unrolls the band body under
+    pl.when(slot==0/1) with STATIC scratch refs — tests whether dynamic
+    slot indexing defeats Mosaic's DMA/compute alias analysis."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    hk, lo0, hi0 = 8, 4, 4
+    TX, NX, TZ, NZ, NB_ = _windows(R, hk, lo0, hi0)
+    nb = H // R
+
+    def kernel(x_hbm, z_hbm, b_hbm, xo_ref, zo_ref, xs, zs, bs, sems):
+        i = pl.program_id(0)
+
+        def _copies(band, slot):
+            base = band * R
+
+            def _start(T, N):
+                v = jax.lax.clamp(jnp.int32(0), base - jnp.int32(T),
+                                  jnp.int32(H - N))
+                return pl.multiple_of(v, 8)
+
+            return (
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(_start(TX, NX), NX), :],
+                    xs.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    z_hbm.at[:, pl.ds(_start(TZ, NZ), NZ), :],
+                    zs.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(_start(0, NB_), NB_), :],
+                    bs.at[slot], sems.at[slot, 2]),
+            )
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i == 0)
+        def _():
+            for cp in _copies(i, slot):
+                cp.start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            for cp in _copies(i + 1, nxt):
+                cp.start()
+
+        for cp in _copies(i, slot):
+            cp.wait()
+
+        def body(s):
+            y = xs[s, TX:TX + R] + bs[s, :R] * 1e-6
+            for _ in range(reps):
+                y = y * 1.0001 + 0.01
+            xo_ref[...] = y
+            zo_ref[0] = zs[s, 0, TZ:TZ + R]
+            zo_ref[1] = zs[s, 1, TZ:TZ + R]
+
+        if static_slots:
+            @pl.when(slot == 0)
+            def _():
+                body(0)
+
+            @pl.when(slot == 1)
+            def _():
+                body(1)
+        else:
+            body(slot)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[
+            pl.BlockSpec((R, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, R, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((H, W), jnp.float32),
+                   jax.ShapeDtypeStruct((2, H, W), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, NX, W), jnp.float32),
+            pltpu.VMEM((2, 2, NZ, W), jnp.float32),
+            pltpu.VMEM((2, NB_, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=114 * 1024 * 1024),
+    )
+
+
+def probe_overlap(R=120):
+    x, z, b = _mk_state()
+    out = {}
+    for reps in (0, 24, 48):
+        for st in (False, True):
+            ms, cs = _time_chain(
+                lambda x, z, b, _r=reps, _s=st: tuple(
+                    _copy_compute_kernel(R, _r, _s)(x, z, b)), x, z, b)
+            key = f"reps{reps}_{'static' if st else 'dyn'}"
+            out[key] = round(ms, 3)
+            print(f"# {key}: {ms:.3f} ms (compile {cs:.0f}s)", flush=True)
+    print(json.dumps(out))
