@@ -129,11 +129,13 @@ def _fdiff_adjoint(g, ax, mode):
 
 def _l21_fenchel(zt0, zt1, lam):
     """z - sigma*prox_{lam/sigma L21}(z/sigma) collapsed to the direct form
-    zt * min(1, lam/||zt||) (matches L21Norm.prox + Moreau identity)."""
-    nrm = jnp.sqrt(zt0 * zt0 + zt1 * zt1)
+    zt * min(1, lam/||zt||) (matches L21Norm.prox + Moreau identity).
+    Evaluated as ``min(lam * rsqrt(||zt||^2), 1)`` — one rsqrt instead of
+    sqrt+divide (the prox runs on every pixel every iteration)."""
+    n2 = zt0 * zt0 + zt1 * zt1
     tiny = jnp.asarray(np.finfo(np.float32).tiny, zt0.dtype)
-    shrink = jnp.maximum(1.0 - lam / jnp.maximum(nrm, tiny), 0.0)
-    return zt0 * (1.0 - shrink), zt1 * (1.0 - shrink)
+    fac = jnp.minimum(lam * jax.lax.rsqrt(jnp.maximum(n2, tiny)), 1.0)
+    return zt0 * fac, zt1 * fac
 
 
 # ----------------------------------------------------------- XLA reference --
@@ -210,6 +212,49 @@ def _np_adj_axis(r, k, c, ax, mode):
         pad_spec[ax] = (n - hi, 0)
         core = core + np.pad(ghost, pad_spec)
     return core
+
+
+def _row_stage_mats(g0t, D0t, D0b, r0t, r0b, hk, R, n_out, n_in, xT, oT):
+    """Three (n_out, n_in) row-stage matrices — interior / first / last band.
+
+    The row stage ``out[r] = sum_d g0[d+hk] x[xT-oT+r+d]`` is a BANDED
+    matmul; evaluating it on the MXU reads the x window ONCE instead of
+    2L-1 sliced passes — the kernel's exposed cost is VMEM-port traffic
+    contending with the input DMA (tools/fused_tv_probe.py probe_overlap:
+    register-resident compute hides behind DMA, VMEM-heavy compute is
+    additive), so collapsing 17 sliced reads into one matmul stream is the
+    lever, not FLOPs.  The first/last matrices additionally carry the G0
+    corner-correction blocks, eliminating the separate correction dots and
+    concats."""
+    A = np.zeros((n_out, n_in), np.float32)
+    base = xT - oT
+    for r in range(n_out):
+        for d in range(-hk, hk + 1):
+            j = base + r + d
+            if 0 <= j < n_in:
+                A[r, j] += g0t[d + hk]
+    Af = A.copy()
+    # first band: out virtual rows [0, r0t) at local oT+vr; x virtual col c
+    # at local xT+c
+    for vr in range(min(r0t, n_out - oT)):
+        for c in range(D0t.shape[1]):
+            if xT + c < n_in:
+                Af[oT + vr, xT + c] += D0t[vr, c]
+    Al = A.copy()
+    for vr in range(D0b.shape[0]):
+        rr = R - r0b + oT + vr
+        if not (0 <= rr < n_out):
+            continue
+        for c in range(D0b.shape[1]):
+            jj = xT + R - D0b.shape[1] + c
+            if 0 <= jj < n_in:
+                Al[rr, jj] += D0b[vr, c]
+    # B0-clip semantics baked in: the first/last matrices IGNORE window
+    # rows that are outside the image (virtual < 0 / >= H), so callers
+    # need not zero-mask their inputs (saves the per-band where-passes)
+    Af[:, :xT] = 0.0
+    Al[:, xT + R:] = 0.0
+    return A, Af, Al
 
 
 @functools.lru_cache(maxsize=32)
@@ -672,39 +717,28 @@ def _build_tv_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst, lam,
 
         _epilogue(i, a0, KtK, xb, z0b, z1b, bb, xo_ref, zo_ref)
 
-    def kernel_g(x_hbm, z_hbm, b_hbm, s1_ref, m1_ref, d0t_ref, d0b_ref,
+    def kernel_g(x_hbm, z_hbm, b_hbm, s1_ref, m1_ref, rowa_ref,
                  xo_ref, zo_ref, xs, zs, bs, sems):
-        """Fused-normal-op variant: K^T K as ONE separable (2L-1)-tap
-        stencil per axis (banded part) + host-precomputed edge-correction
-        matmuls (see :func:`_normal_op_data`).  x is zero-virtualized — all
-        boundary semantics live in the correction blocks.  Replaces the
-        four K stages (row/col fwd + adj, 18 masked rolls) with one col
-        stage of 2L1-2 unmasked rolls and one row stage of 2L0-1 slices;
-        VPU cost ~halves (tools/fused_tv_probe.py attribution)."""
+        """Fused-normal-op variant: K^T K as ONE separable matmul row stage
+        + (2L-1)-tap column stage (see :func:`_normal_op_data` /
+        :func:`_row_stage_mats`).  x is zero-virtualized — all boundary
+        semantics live in the row matrices / M1 correction.  The row stage
+        runs on the MXU, reading the x window ONCE (the exposed kernel cost
+        is VMEM-port traffic contending with the input DMA — probe_overlap)."""
         i = pl.program_id(0)
         a0 = i * R
         xb, z0b, z1b, bb = _prologue(i, x_hbm, z_hbm, b_hbm, xs, zs, bs,
                                      sems, False)
 
-        # ---- row stage FIRST (out rows [a0, a0+R+1)): the separable
-        # factors commute and this order runs the column stage on R+1 rows
-        # instead of R+2hk+1 (~13% less column VPU work at R=120)
-        rowo = None
-        for d in range(-hk, hk + 1):
-            term = float(g0t[d + hk]) * xb[TX + d:TX + d + R + 1]
-            rowo = term if rowo is None else rowo + term
-        # corner corrections of G0 (first / last bands only), on raw x rows
-        ctop = jnp.dot(d0t_ref[...], xb[TX:TX + c0t],
-                       preferred_element_type=jnp.float32).astype(rowo.dtype)
-        top = rowo + jnp.concatenate(
-            [ctop, jnp.zeros((R + 1 - r0t, W), rowo.dtype)], axis=0)
-        rowo = _sel_band(i == 0, top, rowo)
-        cbot = jnp.dot(d0b_ref[...], xb[TX + R - c0b:TX + R],
-                       preferred_element_type=jnp.float32).astype(rowo.dtype)
-        bot = rowo + jnp.concatenate(
-            [jnp.zeros((R - r0b, W), rowo.dtype), cbot,
-             jnp.zeros((1, W), rowo.dtype)], axis=0)
-        rowo = _sel_band(i == nb - 1, bot, rowo)
+        # ---- row stage as ONE banded MXU matmul (out rows [a0, a0+R+1)):
+        # interior/first/last matrices carry the G0 corner corrections
+        A3 = rowa_ref[...]
+        Asel = jax.lax.select(
+            jnp.broadcast_to(i == 0, A3[1].shape), A3[1],
+            jax.lax.select(jnp.broadcast_to(i == nb - 1, A3[2].shape),
+                           A3[2], A3[0]))
+        rowo = jnp.dot(Asel, xb, preferred_element_type=jnp.float32
+                       ).astype(xb.dtype)
 
         # ---- column stage on the row-stage output ---------------------------
         KtK = None
@@ -780,9 +814,12 @@ def _build_tv_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst, lam,
             zo_ref[1] = (z1wR + rho * (zp1 - z1wR)).astype(zdt)
 
     if fuse_g:
-        const_np = (S1_np, M1_np, D0t_np, D0b_np)
+        rowA3 = np.stack(_row_stage_mats(
+            g0t, D0t_np, D0b_np, r0t, r0b, hk, R, R + 1, NX, TX, 0))
+        const_np = (S1_np, M1_np, rowA3)
         const_specs = [
-            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n,
+                         memory_space=pltpu.VMEM)
             for a in const_np
         ]
         body = kernel_g
@@ -956,7 +993,7 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
             return jax.lax.select(ids >= Wa - d, jnp.zeros_like(a), rolled)
         return jax.lax.select(ids < -d, jnp.zeros_like(a), rolled)
 
-    def kernel(x_hbm, z_hbm, b_hbm, s1_ref, m1_ref, d0t_ref, d0b_ref,
+    def kernel(x_hbm, z_hbm, b_hbm, s1_ref, m1_ref, rowa1_ref, rowa2_ref,
                xo_ref, zo_ref, xs, zs, bs, sems):
         i = pl.program_id(0)
         a0 = i * R
@@ -1004,40 +1041,19 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
 
         S1 = s1_ref[...]
         M1 = m1_ref[...]
-        D0t = d0t_ref[...]
-        D0b = d0b_ref[...]
 
-        def ktk(xarr, xT, oT, n_out):
-            """K^T K rows virtual [a0-oT, a0-oT+n_out); xarr local row l is
-            virtual a0 - xT + l (zero outside the image)."""
-            rowo = None
-            for d in range(-hk, hk + 1):
-                s = xT - oT + d
-                term = float(g0t[d + hk]) * xarr[s:s + n_out]
-                rowo = term if rowo is None else rowo + term
-            def _place(corr, before, after):
-                # Mosaic refuses zero-row vector types: drop empty pieces
-                parts = []
-                if before:
-                    parts.append(jnp.zeros((before, W), rowo.dtype))
-                parts.append(corr)
-                if after:
-                    parts.append(jnp.zeros((after, W), rowo.dtype))
-                return jnp.concatenate(parts, axis=0) if len(parts) > 1 \
-                    else parts[0]
-
-            # first band: out virtual rows [0, r0t) sit at local oT..
-            ctop = jnp.dot(D0t, xarr[xT:xT + c0t],
-                           preferred_element_type=jnp.float32
-                           ).astype(rowo.dtype)
-            top = rowo + _place(ctop, oT, n_out - oT - r0t)
-            rowo = _sel_band(i == 0, top, rowo)
-            # last band: out virtual rows [H-r0b, H) at local R-r0b+oT
-            cbot = jnp.dot(D0b, xarr[xT + R - c0b:xT + R],
-                           preferred_element_type=jnp.float32
-                           ).astype(rowo.dtype)
-            bot = rowo + _place(cbot, R - r0b + oT, n_out - R - oT)
-            rowo = _sel_band(i == nb - 1, bot, rowo)
+        def ktk(xarr, A3):
+            """K^T K: banded MXU-matmul row stage (corner corrections
+            folded into the first/last-band matrices — one VMEM read of
+            the x window instead of 2L-1 sliced passes; probe_overlap
+            showed VMEM-port traffic, not FLOPs, is the exposed cost) +
+            rolled column stage with the M1 edge-correction matmul."""
+            Asel = jax.lax.select(
+                jnp.broadcast_to(i == 0, A3[1].shape), A3[1],
+                jax.lax.select(jnp.broadcast_to(i == nb - 1, A3[2].shape),
+                               A3[2], A3[0]))
+            rowo = jnp.dot(Asel, xarr, preferred_element_type=jnp.float32
+                           ).astype(xarr.dtype)
             col = None
             for d in range(-h1, h1 + 1):
                 term = float(g1t[d + h1]) * _roll_cols(rowo, d)
@@ -1047,10 +1063,17 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
                            M1, preferred_element_type=jnp.float32)
             return col + corr.astype(col.dtype)
 
-        def half_iter(xarr, xT, z0a, z1a, zT, oT, n_out):
+        def half_iter(xarr, xT, A3, z0a, z1a, zT, oT, n_out,
+                      oz=None, nz=None):
             """One full Condat-Vu iteration: xp rows virtual
-            [a0-oT, a0-oT+n_out), zp rows [a0-oT, a0-oT+n_out-1)."""
-            gf = cst * ktk(xarr, xT, oT, n_out) \
+            [a0-oT, a0-oT+n_out), zp rows [a0-oz, a0-oz+nz) (defaults:
+            oz=oT, nz=n_out-1 — the full primal window minus its last
+            row).  A narrower (oz, nz) skips dual/prox work on apron rows
+            the next consumer never reads (iteration 1 only needs zp on
+            [a0-1, a0+R+1))."""
+            oz = oT if oz is None else oz
+            nz = n_out - 1 if nz is None else nz
+            gf = cst * ktk(xarr, A3) \
                 + bb[TB - oT:TB - oT + n_out]
             z0s = zT - oT
             prev0 = z0a[z0s - 1:z0s - 1 + n_out]
@@ -1070,53 +1093,62 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
             xw = xarr[xT - oT:xT - oT + n_out]
             xp_ = xw - tau * (gf + dt0 + dt1)
             v = 2.0 * xp_ - xw
-            n = n_out - 1
-            u0 = v[1:n + 1] - v[:n]
-            rowsn = (a0 - oT) + jax.lax.broadcasted_iota(
-                jnp.int32, (n, W), 0)
+            vo = oT - oz               # v local index of virtual a0-oz
+            u0 = v[vo + 1:vo + 1 + nz] - v[vo:vo + nz]
+            rowsn = (a0 - oz) + jax.lax.broadcasted_iota(
+                jnp.int32, (nz, W), 0)
+            vR = v[vo:vo + nz]
             if sym_d:
                 u0 = jax.lax.select(rowsn == H - 1, jnp.zeros_like(u0), u0)
             else:
-                u0 = jax.lax.select(rowsn == H - 1, -v[:n], u0)
-            vR = v[:n]
+                u0 = jax.lax.select(rowsn == H - 1, -vR, u0)
             u1 = _shift_cols(vR, 1) - vR
             if sym_d:
-                colsn = jax.lax.broadcasted_iota(jnp.int32, (n, W), 1)
+                colsn = jax.lax.broadcasted_iota(jnp.int32, (nz, W), 1)
                 u1 = jax.lax.select(colsn == W - 1, jnp.zeros_like(u1), u1)
-            z0w = z0a[z0s:z0s + n]
-            z1wn = z1w[:n]
+            z0w = z0a[zT - oz:zT - oz + nz]
+            z1wn = z1a[zT - oz:zT - oz + nz]
             zt0 = z0w + sigma * u0
             zt1 = z1wn + sigma * u1
             zp0, zp1 = _l21_fenchel(zt0, zt1, lam)
             if rho != 1.0:
-                xp_ = xw + rho * (xp_ - xw)
+                xpo = xw + rho * (xp_ - xw)
                 zp0 = z0w + rho * (zp0 - z0w)
                 zp1 = z1wn + rho * (zp1 - z1wn)
-            return xp_, zp0, zp1
+            else:
+                xpo = xp_
+            return xpo, zp0, zp1
 
         # ---- iteration 1 on the ±hk apron ----------------------------------
-        xp1, zp0_1, zp1_1 = half_iter(xb, TX, z0b, z1b, TZ, hk, N1)
-        # iteration-2 consumes iteration-1 state under the zero-outside-image
-        # contract, round-tripped through the storage dtype exactly as two
-        # separate kernel passes would
-        vr = (a0 - hk) + jax.lax.broadcasted_iota(jnp.int32, (N1, W), 0)
-        inimg = jnp.logical_and(vr >= 0, vr < H)
-        xp1 = jnp.where(inimg, xp1, 0.0).astype(xdt).astype(dtype)
-        vrz = (a0 - hk) + jax.lax.broadcasted_iota(jnp.int32, (N1 - 1, W), 0)
-        inz = jnp.logical_and(vrz >= 0, vrz < H)
-        zp0_1 = jnp.where(inz, zp0_1, 0.0).astype(zdt).astype(dtype)
-        zp1_1 = jnp.where(inz, zp1_1, 0.0).astype(zdt).astype(dtype)
+        # No out-of-image masking needed: iteration-2's first/last-band row
+        # matrices carry zeroed columns for virtual rows outside [0, H)
+        # (see _row_stage_mats), the dual-edge selects override the rest,
+        # and the dual stage below is computed only on the [a0-1, a0+R+1)
+        # rows iteration 2 actually consumes (oz=1).  State round-trips
+        # through the storage dtype exactly as two separate passes would.
+        xp1, zp0_1, zp1_1 = half_iter(xb, TX, rowa1_ref[...], z0b, z1b,
+                                      TZ, hk, N1, oz=1, nz=R + 2)
+        xp1 = xp1.astype(xdt).astype(dtype)
+        zp0_1 = zp0_1.astype(zdt).astype(dtype)
+        zp1_1 = zp1_1.astype(zdt).astype(dtype)
 
         # ---- iteration 2 on the core band ----------------------------------
-        xp2, zp0_2, zp1_2 = half_iter(xp1, hk, zp0_1, zp1_1, hk, 0, R + 1)
+        # zp*_1 rows: local 0 is virtual a0-1 -> zT = 1
+        xp2, zp0_2, zp1_2 = half_iter(xp1, hk, rowa2_ref[...], zp0_1,
+                                      zp1_1, 1, 0, R + 1)
 
         xo_ref[...] = xp2[:R].astype(xdt)
         zo_ref[0] = zp0_2.astype(zdt)
         zo_ref[1] = zp1_2.astype(zdt)
 
-    const_np = (S1_np, M1_np, D0t_np, D0b_np)
+    rowA1 = np.stack(_row_stage_mats(
+        g0t, D0t_np, D0b_np, r0t, r0b, hk, R, N1, NX, TX, hk))
+    rowA2 = np.stack(_row_stage_mats(
+        g0t, D0t_np, D0b_np, r0t, r0b, hk, R, R + 1, N1, hk, 0))
+    const_np = (S1_np, M1_np, rowA1, rowA2)
     const_specs = [
-        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n,
+                     memory_space=pltpu.VMEM)
         for a in const_np
     ]
     inner = pl.pallas_call(
