@@ -63,6 +63,32 @@ def leg_fused_tv(fuse_g):
     return err
 
 
+def leg_fused_tv2():
+    """Temporal-blocking kernel vs two XLA steps (compiled, on-chip)."""
+    from pyxu_tpu.ops.fused_tv import tv_step2_pallas, tv_step_xla
+    rng = np.random.default_rng(0)
+    H, W = 256, 384
+    x = jnp.asarray(rng.random((H, W), dtype=np.float32))
+    z = jnp.asarray(rng.standard_normal((2, H, W)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32) * 0.01)
+    k = np.exp(-0.5 * ((np.arange(9) - 4) / 2.0) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    kw = dict(cst=1.0, lam=0.01, tau=0.1, sigma=0.2, rho=0.9)
+
+    @jax.jit
+    def two(x, z, b):
+        s1 = tv_step_xla(x, z[0], z[1], b, jnp.asarray(k), jnp.asarray(k),
+                         4, 4, **kw)
+        s2 = tv_step_xla(s1[0], s1[1], s1[2], b, jnp.asarray(k),
+                         jnp.asarray(k), 4, 4, **kw)
+        return s2
+
+    want = two(x, z, b)
+    xg, zg = tv_step2_pallas(x, z, b, k0=tuple(k.tolist()),
+                             k1=tuple(k.tolist()), c0=4, c1=4, band=64, **kw)
+    return max(_rel(xg, want[0]), _rel(zg[0], want[1]), _rel(zg[1], want[2]))
+
+
 def _nufft_leg(d, ftype, env=None, n=48, M=3000):
     """Compare the planned fast path against the direct nudft evaluator."""
     from pyxu_tpu.operator.linop.nufft import NUFFT, nudft1, nudft2, nudft3
@@ -120,6 +146,7 @@ def main():
 
     run("fused_tv_normal_op", leg_fused_tv, "1")
     run("fused_tv_legacy", leg_fused_tv, "0")
+    run("fused_tv_double_step", leg_fused_tv2)
     # 2-D: slab spread + strip2 interp hybrid (defaults), sort-permute on
     run("nufft2d_type1_slab", _nufft_leg, 2, 1)
     run("nufft2d_type2_strip2", _nufft_leg, 2, 2)
