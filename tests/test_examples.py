@@ -51,3 +51,24 @@ def test_distributed_example():
 def test_out_of_core_example():
     mod = _load("out_of_core")
     mod.main(H=96, W=40, block_rows=32)
+
+
+def test_notebook_cells_execute():
+    """The Jupyter walkthrough's code cells run top-to-bottom (no jupyter
+    needed: exec the parsed cells — reference ships Stencils.ipynb /
+    DifferentialOperators.ipynb as executable docs)."""
+    import json
+    import pathlib
+    nb = json.loads((pathlib.Path(__file__).parent.parent / "examples" /
+                     "tv_deconvolution.ipynb").read_text())
+    ns = {}
+    for cell in nb["cells"]:
+        if cell["cell_type"] != "code":
+            continue
+        src = "".join(cell["source"])
+        # keep the smoke test fast: shrink the problem + iteration budget
+        src = src.replace("n, lam, sigma_blur = 256,", "n, lam, sigma_blur = 64,")
+        src = src.replace("MaxIter(400)", "MaxIter(40)").replace(
+            "max_iter=400", "max_iter=40")
+        exec(src, ns)
+    assert ns["err"] < 0.5

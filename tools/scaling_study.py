@@ -123,6 +123,12 @@ def _child(n_dev: int, size: int, tiles: int, tile: int, iters: int,
     for slv, kw in ((slv_tv, kw_tv), (slv_ca, kw_ca)):
         one_fit(slv, kw, crit)
         check_full_run(slv, iters)
+    # one DISCARDED alternation: the first post-warmup sample of each
+    # workload carries a systematic transient on this 2-vCPU host (first
+    # tv fit ~2x slow, first consensus fit ~2x fast — measured r5; the
+    # alternation re-steadies caches/scheduling before timing)
+    one_fit(slv_tv, kw_tv, crit)
+    one_fit(slv_ca, kw_ca, crit)
     # interleaved timed samples: tv, ca, tv, ca, ...
     samples = {"tv_sharded": [], "consensus": []}
     for _ in range(repeats):
