@@ -137,11 +137,13 @@ def radio_interferometry(shape=(256, 256), n_vis=5000, lam=0.02, seed=0,
     # makes (I + tau Q) so well-conditioned that 4 CG steps solve the
     # x-update essentially exactly.  Measured rel-err at 150 outers:
     #   tau=1.00 mi=24 -> 0.0259%  (25 grams/outer — the old default)
-    #   tau=0.05 mi=4  -> 0.0293%  ( 5 grams/outer — chosen: 5x fewer)
-    #   tau=0.05 mi=6  -> 0.0256%, tau=0.03 mi=4 -> 0.0428% (both neighbors
-    #   pass); tau<=0.02 collapses outer convergence (7-33% err) — the L1
-    #   threshold tau*lam gets too small to sparsify in 150 iterations.
-    slv = ADMM(f=f, h=h, solver_kwargs=dict(maxiter=4))
+    #   tau=0.05 mi=3  -> 0.0306%  ( 4 grams/outer — chosen: 6.3x fewer)
+    #   tau=0.05 mi=4  -> 0.0293%, mi=6 -> 0.0256%, tau=0.03 mi=3 ->
+    #   0.0357% (all neighbors pass; mi=2 at tau=0.03 fails 1.05% — mi=3
+    #   keeps a full safety step off that cliff); tau<=0.02 collapses
+    #   outer convergence (7-33% err) — the L1 threshold tau*lam gets too
+    #   small to sparsify in 150 iterations.
+    slv = ADMM(f=f, h=h, solver_kwargs=dict(maxiter=3))
     return slv, dict(x0=jnp.zeros(dom), tau=0.05), \
         dict(x_true=x_true, y=y, A=A)
 
