@@ -394,12 +394,14 @@ class Solver:
                     if hasattr(i, "dtype") else o, out, s)
 
         # optional temporal-blocking step: a solver may install
-        # ``self._m_step2`` (ONE call advances TWO exact iterations — e.g.
-        # the fused-TV 2-iteration Pallas kernel, ops/fused_tv.py); the
-        # segment then runs stop_rate // 2 double-steps (+ one single step
-        # when stop_rate is odd).  ``self._m_step2_on`` mirrors the choice
-        # into _hyper_key so compiled segments never alias across modes.
+        # ``self._m_step2`` (ONE call advances ``self._m_step2_iters``
+        # exact iterations — e.g. the fused-TV K-iteration Pallas kernel,
+        # ops/fused_tv.py); the segment then runs stop_rate // k
+        # multi-steps (+ single-step tail).  ``self._m_step2_on`` /
+        # ``_m_step2_iters`` mirror the choice into _hyper_key so compiled
+        # segments never alias across modes.
         step2 = getattr(self, "_m_step2", None)
+        kk = int(getattr(self, "_m_step2_iters", 2) or 2)
         if step2 is not None and getattr(self, "_dtype_lock", False):
             def step2(s, _orig=self._m_step2):
                 out = _orig(s)
@@ -414,10 +416,10 @@ class Solver:
 
             def body(carry):
                 mstate, cstate, k, stopped, hist, hist_n = carry
-                if step2 is not None and stop_rate >= 2:
+                if step2 is not None and stop_rate >= kk:
                     mstate = jax.lax.fori_loop(
-                        0, stop_rate // 2, lambda i, s: step2(s), mstate)
-                    if stop_rate % 2:
+                        0, stop_rate // kk, lambda i, s: step2(s), mstate)
+                    for _ in range(stop_rate % kk):
                         mstate = step(mstate)
                 else:
                     mstate = jax.lax.fori_loop(

@@ -888,20 +888,33 @@ def tv_step2_pallas(x, z, b, *, k0, k1, c0, c1, cst, lam, tau, sigma,
     op) and round-tripped through the storage dtype, exactly as two
     separate passes would.  Returns None-equivalent fallbacks are the
     caller's job (see :func:`match_fused_tv2`)."""
+    return tv_stepk_pallas(x, z, b, k0=k0, k1=k1, c0=c0, c1=c1, cst=cst,
+                           lam=lam, tau=tau, sigma=sigma, rho=rho,
+                           mode_k=mode_k, mode_d=mode_d, band=band,
+                           interpret=interpret, n_steps=2)
+
+
+def tv_stepk_pallas(x, z, b, *, k0, k1, c0, c1, cst, lam, tau, sigma,
+                    rho, mode_k="symmetric", mode_d="symmetric",
+                    band=None, interpret=False, n_steps=2):
+    """``n_steps`` exact Condat-Vu iterations per band pass (general
+    temporal blocking; the 2-step docstring's apron construction telescopes
+    — level j runs on a ±(n_steps-j)*hk apron, feeding level j+1)."""
     fn = _build_tv2_pallas(
         x.shape, str(x.dtype), str(z.dtype), tuple(float(v) for v in k0),
         tuple(float(v) for v in k1), int(c0), int(c1), float(cst),
         float(lam), float(tau), float(sigma), float(rho), mode_k, mode_d,
-        band, interpret)
+        band, interpret, int(n_steps))
     if fn is None:
         raise ValueError("band/halo configuration not eligible for the "
-                         "2-iteration kernel")
+                         f"{n_steps}-iteration kernel")
     return fn(x, z, b)
 
 
 @functools.lru_cache(maxsize=64)
 def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
-                      lam, tau, sigma, rho, mode_k, mode_d, band, interpret):
+                      lam, tau, sigma, rho, mode_k, mode_d, band, interpret,
+                      n_steps=2):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -937,26 +950,34 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
     aligned = (R % max(ax_al, az_al) == 0) and (H % max(ax_al, az_al) == 0)
     if not (aligned or interpret):
         return None
+    K = int(n_steps)
+    if K < 2:
+        return None
+    # Level-1 aprons (the K-step telescope: level j outputs xp on a
+    # +-(K-j)*hk apron, zp on +-((K-j-1)*hk + 1)):
+    #   x window:  [a0 - K*hk,           a0 + R + K*hk + 1)
+    #   z window:  [a0 - (K-1)*hk - 1,   a0 + R + (K-1)*hk + 1)
+    #   b window:  [a0 - (K-1)*hk,       a0 + R + (K-1)*hk + 1)
     if aligned:
-        TX = _au(2 * hk, ax_al)
-        NX = _au(TX + R + 2 * hk + 1, ax_al)
-        TZ = _au(hk + 1, az_al)
-        NZ = _au(TZ + R + hk + 1, az_al)
-        TB = _au(hk, 8)
-        NB_ = _au(TB + R + hk + 1, 8)
+        TX = _au(K * hk, ax_al)
+        NX = _au(TX + R + K * hk + 1, ax_al)
+        TZ = _au((K - 1) * hk + 1, az_al)
+        NZ = _au(TZ + R + (K - 1) * hk + 1, az_al)
+        TB = _au((K - 1) * hk, 8)
+        NB_ = _au(TB + R + (K - 1) * hk + 1, 8)
     else:
-        TX, NX = 2 * hk, 4 * hk + R + 1
-        TZ, NZ = hk + 1, R + 2 * hk + 2
-        TB, NB_ = hk, R + 2 * hk + 1
-    # interior windows must not clamp; corrections must fit the band;
-    # iteration-1's apron must stay inside the windows
-    if not all(T <= R and N - R - T <= R
+        TX, NX = K * hk, 2 * K * hk + R + 1
+        TZ, NZ = (K - 1) * hk + 1, R + 2 * (K - 1) * hk + 2
+        TB, NB_ = (K - 1) * hk, R + 2 * (K - 1) * hk + 1
+    # interior windows must not clamp; windows must fit the IMAGE (a
+    # window larger than H makes the clamped DMA start negative); the
+    # corrections must fit the band; level-1's apron must stay inside
+    if not all(T <= R and N - R - T <= R and N <= H
                for T, N in ((TX, NX), (TZ, NZ), (TB, NB_))):
         return None
-    if max(r0t, r0b, c0t, c0b) > R or R <= 2 * hk + 2:
+    if max(r0t, r0b, c0t, c0b) > R or R <= K * hk + 2:
         return None
 
-    N1 = R + 2 * hk + 1            # iter-1 xp rows: [a0-hk, a0+R+hk+1)
     dtype = cdt
 
     def _sel_band(pred, a, b):
@@ -993,8 +1014,9 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
             return jax.lax.select(ids >= Wa - d, jnp.zeros_like(a), rolled)
         return jax.lax.select(ids < -d, jnp.zeros_like(a), rolled)
 
-    def kernel(x_hbm, z_hbm, b_hbm, s1_ref, m1_ref, rowa1_ref, rowa2_ref,
-               xo_ref, zo_ref, xs, zs, bs, sems):
+    def kernel(x_hbm, z_hbm, b_hbm, s1_ref, m1_ref, *refs):
+        rowa_refs = refs[:K]
+        xo_ref, zo_ref, xs, zs, bs, sems = refs[K:]
         i = pl.program_id(0)
         a0 = i * R
 
@@ -1119,33 +1141,46 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
                 xpo = xp_
             return xpo, zp0, zp1
 
-        # ---- iteration 1 on the ±hk apron ----------------------------------
-        # No out-of-image masking needed: iteration-2's first/last-band row
-        # matrices carry zeroed columns for virtual rows outside [0, H)
-        # (see _row_stage_mats), the dual-edge selects override the rest,
-        # and the dual stage below is computed only on the [a0-1, a0+R+1)
-        # rows iteration 2 actually consumes (oz=1).  State round-trips
-        # through the storage dtype exactly as two separate passes would.
-        xp1, zp0_1, zp1_1 = half_iter(xb, TX, rowa1_ref[...], z0b, z1b,
-                                      TZ, hk, N1, oz=1, nz=R + 2)
-        xp1 = xp1.astype(xdt).astype(dtype)
-        zp0_1 = zp0_1.astype(zdt).astype(dtype)
-        zp1_1 = zp1_1.astype(zdt).astype(dtype)
+        # ---- K telescoping levels ------------------------------------------
+        # Level j (1-based) produces xp on a +-(K-j)*hk apron and zp on a
+        # +-((K-j-1)*hk + 1) apron — exactly what level j+1's stencils
+        # consume.  No out-of-image masking: each level's first/last-band
+        # row matrices carry zeroed columns for virtual rows outside
+        # [0, H) (see _row_stage_mats) and the dual-edge selects override
+        # the rest.  State round-trips through the storage dtype between
+        # levels, exactly as K separate kernel passes would.
+        xp, zp0, zp1 = xb, z0b, z1b
+        xT_cur, zT_cur = TX, TZ
+        for j in range(1, K + 1):
+            o = (K - j) * hk
+            last = j == K
+            oz = 0 if last else (K - j - 1) * hk + 1
+            nz = R if last else R + 2 * oz
+            xp, zp0, zp1 = half_iter(xp, xT_cur, rowa_refs[j - 1][...],
+                                     zp0, zp1, zT_cur, o, R + 2 * o + 1,
+                                     oz=oz, nz=nz)
+            if not last:
+                xp = xp.astype(xdt).astype(dtype)
+                zp0 = zp0.astype(zdt).astype(dtype)
+                zp1 = zp1.astype(zdt).astype(dtype)
+                xT_cur, zT_cur = o, oz     # produced aprons = next offsets
 
-        # ---- iteration 2 on the core band ----------------------------------
-        # zp*_1 rows: local 0 is virtual a0-1 -> zT = 1
-        xp2, zp0_2, zp1_2 = half_iter(xp1, hk, rowa2_ref[...], zp0_1,
-                                      zp1_1, 1, 0, R + 1)
+        xo_ref[...] = xp[:R].astype(xdt)
+        zo_ref[0] = zp0.astype(zdt)
+        zo_ref[1] = zp1.astype(zdt)
 
-        xo_ref[...] = xp2[:R].astype(xdt)
-        zo_ref[0] = zp0_2.astype(zdt)
-        zo_ref[1] = zp1_2.astype(zdt)
-
-    rowA1 = np.stack(_row_stage_mats(
-        g0t, D0t_np, D0b_np, r0t, r0b, hk, R, N1, NX, TX, hk))
-    rowA2 = np.stack(_row_stage_mats(
-        g0t, D0t_np, D0b_np, r0t, r0b, hk, R, R + 1, N1, hk, 0))
-    const_np = (S1_np, M1_np, rowA1, rowA2)
+    rowAs = []
+    for j in range(1, K + 1):
+        o = (K - j) * hk
+        n_out = R + 2 * o + 1
+        if j == 1:
+            n_in, xT = NX, TX
+        else:
+            n_in = R + 2 * (o + hk) + 1    # previous level's n_out
+            xT = o + hk
+        rowAs.append(np.stack(_row_stage_mats(
+            g0t, D0t_np, D0b_np, r0t, r0b, hk, R, n_out, n_in, xT, o)))
+    const_np = (S1_np, M1_np, *rowAs)
     const_specs = [
         pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n,
                      memory_space=pltpu.VMEM)
@@ -1386,16 +1421,26 @@ def match_fused_tv2(f, g, h, K, *, tau, sigma, rho):
     kw = dict(k0=k0, k1=k1, c0=c0, c1=c1, cst=float(cst), lam=float(lam),
               tau=float(tau), sigma=float(sigma), rho=float(rho),
               mode_k=mode_k, mode_d=mode_d)
+    # levels per pass: measured on v5e at 4K (BASELINE round 11); override
+    # with PYXU_TPU_FUSED2_K for A/B runs
+    n_steps = int(os.environ.get("PYXU_TPU_FUSED2_K", "3"))
     # eligibility precheck at f32 alignment; the builder re-checks per
     # dtype at trace time and the caller's wrapper falls back on failure
-    probe = _build_tv2_pallas(
-        (H, W), "float32", "float32", tuple(map(float, k0)),
-        tuple(map(float, k1)), int(c0), int(c1), float(cst), float(lam),
-        float(tau), float(sigma), float(rho), mode_k, mode_d, None, interp)
+    probe = None
+    while n_steps >= 2 and probe is None:
+        probe = _build_tv2_pallas(
+            (H, W), "float32", "float32", tuple(map(float, k0)),
+            tuple(map(float, k1)), int(c0), int(c1), float(cst),
+            float(lam), float(tau), float(sigma), float(rho), mode_k,
+            mode_d, None, interp, n_steps)
+        if probe is None:
+            n_steps -= 1
     if probe is None:
         return None
 
     def step2(x, z):
-        return tv_step2_pallas(x, z, b, interpret=interp, **kw)
+        return tv_stepk_pallas(x, z, b, interpret=interp,
+                               n_steps=n_steps, **kw)
 
+    step2.n_steps = n_steps
     return step2

@@ -194,6 +194,7 @@ class CondatVu(_PrimalDualSplitting):
         key = (self._tau, self._sigma, self._rho,
                os.environ.get("PYXU_TPU_FUSED", "auto"),
                os.environ.get("PYXU_TPU_FUSED2", "auto"),
+               os.environ.get("PYXU_TPU_FUSED2_K", "3"),
                os.environ.get("PYXU_TPU_FUSED_G", "1"))
         cached = getattr(self, "_fused_tv_cache", None)
         if cached is not None and cached[0] == key:
@@ -216,7 +217,8 @@ class CondatVu(_PrimalDualSplitting):
         # loop): one call = TWO exact iterations; trace-time failures
         # (dtype-tightened alignment, odd shapes) fall back to two m_steps
         if fused2 is not None and getattr(mst["x"], "ndim", 0) == 2:
-            def _step2(s, _f2=fused2):
+            def _step2(s, _f2=fused2,
+                       _k=int(getattr(fused2, "n_steps", 2))):
                 x, z = s["x"], s["z"]
                 okdt = (jnp.float32, jnp.bfloat16)
                 if x.dtype in okdt and z.dtype in okdt:
@@ -225,12 +227,16 @@ class CondatVu(_PrimalDualSplitting):
                         return {"x": xn, "z": zn}
                     except (AssertionError, ValueError):
                         pass
-                return self.m_step(self.m_step(s))
+                for _ in range(_k):
+                    s = self.m_step(s)
+                return s
             self._m_step2 = _step2
             self._m_step2_on = True
+            self._m_step2_iters = int(getattr(fused2, "n_steps", 2))
         else:
             self._m_step2 = None
             self._m_step2_on = False
+            self._m_step2_iters = 0
         return mst
 
     def m_step(self, mst):

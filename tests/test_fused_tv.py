@@ -266,3 +266,26 @@ def test_condatvu_double_step_matches_generic_solve(iters, monkeypatch):
         else:
             assert getattr(slv, "_m_step2", None) is None
     assert np.abs(sols["0"] - sols["1"]).max() < 2e-5
+
+
+@pytest.mark.parametrize("n_steps", [3, 4])
+def test_pallask_matches_k_xla_steps(n_steps):
+    """K-level temporal blocking == K single iterations (interpret)."""
+    from pyxu_tpu.ops.fused_tv import tv_stepk_pallas
+    H, W = 192, 41
+    k1 = _gauss()
+    x = jnp.asarray(rng0.random((H, W), np.float32))
+    z = jnp.asarray(rng0.standard_normal((2, H, W)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng0.standard_normal((H, W)).astype(np.float32) * 0.1)
+    kw = dict(cst=1.0, lam=0.01, tau=0.2, sigma=0.15, rho=0.9,
+              mode_k="symmetric", mode_d="symmetric")
+    s = (x, z[0], z[1])
+    for _ in range(n_steps):
+        s = tv_step_xla(s[0], s[1], s[2], b, jnp.asarray(k1),
+                        jnp.asarray(k1), 4, 4, **kw)
+    xg, zg = tv_stepk_pallas(x, z, b, k0=tuple(k1.tolist()),
+                             k1=tuple(k1.tolist()), c0=4, c1=4, band=48,
+                             interpret=True, n_steps=n_steps, **kw)
+    assert np.abs(np.asarray(xg) - np.asarray(s[0])).max() < 3e-5
+    assert np.abs(np.asarray(zg[0]) - np.asarray(s[1])).max() < 3e-5
+    assert np.abs(np.asarray(zg[1]) - np.asarray(s[2])).max() < 3e-5
