@@ -69,12 +69,19 @@ def cg_solve(matvec, b, x0=None, *, rtol: float = 1e-6, atol: float = 0.0,
         denom = dot(p, Ap)
         alpha = jnp.where(denom > eps, rz / jnp.maximum(denom, eps), 0.0)
         x = x + bcast(alpha) * p
-        # Periodic true-residual refresh fights FP32 drift.
-        r = jax.lax.cond(
-            (k + 1) % restart_rate == 0,
-            lambda: b - matvec(x),
-            lambda: r - bcast(alpha) * Ap,
-        )
+        # Periodic true-residual refresh fights FP32 drift.  STATIC skip
+        # when the restart can never fire inside the budget: the lax.cond
+        # would otherwise compile (and schedule around) a second matvec in
+        # every iteration of every nested CG (ADMM x-updates run 3-24
+        # iteration budgets — the refresh branch is pure dead weight there).
+        if restart_rate < maxiter:
+            r = jax.lax.cond(
+                (k + 1) % restart_rate == 0,
+                lambda: b - matvec(x),
+                lambda: r - bcast(alpha) * Ap,
+            )
+        else:
+            r = r - bcast(alpha) * Ap
         z = M(r)
         rz_new = dot(r, z)
         rs_new = dot(r, r)
