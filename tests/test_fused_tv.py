@@ -289,3 +289,42 @@ def test_pallask_matches_k_xla_steps(n_steps):
     assert np.abs(np.asarray(xg) - np.asarray(s[0])).max() < 3e-5
     assert np.abs(np.asarray(zg[0]) - np.asarray(s[1])).max() < 3e-5
     assert np.abs(np.asarray(zg[1]) - np.asarray(s[2])).max() < 3e-5
+
+
+def test_fused2_steps_down_when_windows_exceed_image(monkeypatch):
+    """match_fused_tv2 must fall back K=3 -> 2 when the level-1 windows
+    would exceed the image (a too-large window makes the clamped DMA
+    start negative — regression for the H=96 garbage-read bug)."""
+    monkeypatch.setenv("PYXU_TPU_FUSED", "1")
+    monkeypatch.setenv("PYXU_TPU_FUSED2", "1")
+    monkeypatch.setenv("PYXU_TPU_FUSED2_K", "3")
+    from pyxu_tpu.ops.fused_tv import match_fused_tv2
+    f, h, D, _, _ = _problem(96, 64, "symmetric")
+    step = match_fused_tv2(f, None, h, D, tau=0.1, sigma=0.1, rho=1.0)
+    assert step is not None and step.n_steps == 2   # 3 needs NX=104 > 96
+    f2, h2, D2, _, _ = _problem(384, 64, "symmetric")
+    step3 = match_fused_tv2(f2, None, h2, D2, tau=0.1, sigma=0.1, rho=1.0)
+    assert step3 is not None and step3.n_steps == 3
+
+
+@pytest.mark.parametrize("zdt", [jnp.bfloat16])
+def test_pallask_bf16_dual_storage(zdt):
+    """K-step kernel with bf16 dual storage == K single-kernel passes with
+    the same storage round-trips (interpret)."""
+    from pyxu_tpu.ops.fused_tv import tv_step_pallas, tv_stepk_pallas
+    H, W = 96, 41
+    k1 = _gauss()
+    x = jnp.asarray(rng0.random((H, W), np.float32))
+    z = jnp.asarray(rng0.standard_normal((2, H, W)) * 0.1).astype(zdt)
+    b = jnp.asarray(rng0.standard_normal((H, W)).astype(np.float32) * 0.1)
+    kw = dict(k0=tuple(_gauss().tolist()), k1=tuple(k1.tolist()), c0=4,
+              c1=4, cst=1.0, lam=0.01, tau=0.2, sigma=0.15, rho=1.0,
+              band=48, interpret=True)
+    s = (x, z)
+    for _ in range(2):
+        s = tv_step_pallas(s[0], s[1], b, **kw)
+    xg, zg = tv_stepk_pallas(x, z, b, n_steps=2, **kw)
+    assert zg.dtype == zdt
+    assert np.abs(np.asarray(xg) - np.asarray(s[0])).max() < 1e-5
+    assert np.abs(np.asarray(zg.astype(jnp.float32))
+                  - np.asarray(s[1].astype(jnp.float32))).max() < 1e-5

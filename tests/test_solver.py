@@ -291,3 +291,22 @@ def test_precision_schedule_reuses_compiled_segments():
     slv.fit(x0=jnp.zeros(30), **kw)
     for k, (fn, _) in slv._seg_cache.items():
         assert fn._cache_size() == sizes[k], "second scheduled fit retraced"
+
+
+def test_cg_restart_path_still_exact():
+    """cg_solve with restart_rate < maxiter (the lax.cond refresh branch)
+    solves as accurately as the static no-restart path (regression for the
+    round-5 static-skip: both paths must remain live and correct)."""
+    import numpy as np
+
+    from pyxu_tpu.math.cg import cg_solve
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((24, 24))
+    Q = A @ A.T + 24 * np.eye(24)
+    b = rng.standard_normal(24)
+    mv = lambda v: jnp.asarray(Q, jnp.float32) @ v
+    x_ref = np.linalg.solve(Q, b)
+    for rr in (5, 100):   # restart fires 4x / never
+        x = np.asarray(cg_solve(mv, jnp.asarray(b, jnp.float32),
+                                rtol=1e-7, maxiter=60, restart_rate=rr))
+        assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-4, rr
