@@ -2236,9 +2236,14 @@ class _NUFFTToeplitz(SelfAdjointOp):
         pad = [(0, p - n) for p, n in zip(self._P, self._N)]
         g = jnp.pad(x, pad)
         ghat = jnp.fft.rfftn(g)
-        spec_h = view_as_complex(self._that_half) if self._spec_complex \
-            else self._that_half
-        out = jnp.fft.irfftn(ghat * spec_h.astype(ghat.dtype), s=self._P)
+        if self._spec_complex:
+            spec_h = view_as_complex(self._that_half).astype(ghat.dtype)
+        else:
+            # REAL spectrum: multiply as real * complex (2 mults/elt) —
+            # casting to complex first would cost a full complex multiply
+            # in the hottest line of every CG/ADMM gram apply
+            spec_h = self._that_half.astype(jnp.real(ghat).dtype)
+        out = jnp.fft.irfftn(ghat * spec_h, s=self._P)
         for ax, n in enumerate(self._N):
             out = jax.lax.slice_in_dim(out, 0, n, axis=ax)
         return out
