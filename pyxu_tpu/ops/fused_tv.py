@@ -214,6 +214,35 @@ def _np_adj_axis(r, k, c, ax, mode):
     return core
 
 
+def _col_block_mats(g1t, h1):
+    """Three (128, 128) matrices expressing the banded column stage as
+    block matmuls over 128-lane tiles: out tile j = aL_j @ Bm1 + a_j @ B0
+    + aR_j @ Bp1, with aL/aR = whole-array lane rolls by +-128 (wrapped —
+    the wrap garbage lands in the same <=h1 edge columns the S1/M1
+    correction already subtracts, because the composite matrix equals the
+    rolled-banded base exactly).  Opt-in (PYXU_TPU_FUSED_CMM=1) and
+    MEASURED SLOWER on v5e at 4K/K=3: 0.830 vs 0.594 ms/iter — the 384
+    f32 MACs/element (plus the rank-3 dot_general relayouts) cost more
+    MXU time than the 33 VPU passes they replace.  Kept as a documented
+    dead end (numerics verified 1.8e-7); don't re-enable without bf16
+    operands or a layout-free tile matmul."""
+    B0 = np.zeros((128, 128), np.float32)
+    Bm1 = np.zeros((128, 128), np.float32)
+    Bp1 = np.zeros((128, 128), np.float32)
+    for k in range(128):
+        for c in range(128):
+            d = k - c
+            if abs(d) <= h1:
+                B0[k, c] = g1t[d + h1]
+            d = k - 128 - c              # source tile j-1 (via aL)
+            if abs(d) <= h1:
+                Bm1[k, c] = g1t[d + h1]
+            d = k + 128 - c              # source tile j+1 (via aR)
+            if abs(d) <= h1:
+                Bp1[k, c] = g1t[d + h1]
+    return B0, Bm1, Bp1
+
+
 def _row_stage_mats(g0t, D0t, D0b, r0t, r0b, hk, R, n_out, n_in, xT, oT):
     """Three (n_out, n_in) row-stage matrices — interior / first / last band.
 
@@ -900,11 +929,13 @@ def tv_stepk_pallas(x, z, b, *, k0, k1, c0, c1, cst, lam, tau, sigma,
     """``n_steps`` exact Condat-Vu iterations per band pass (general
     temporal blocking; the 2-step docstring's apron construction telescopes
     — level j runs on a ±(n_steps-j)*hk apron, feeding level j+1)."""
+    import os
+    col_mm = os.environ.get("PYXU_TPU_FUSED_CMM", "0") == "1"
     fn = _build_tv2_pallas(
         x.shape, str(x.dtype), str(z.dtype), tuple(float(v) for v in k0),
         tuple(float(v) for v in k1), int(c0), int(c1), float(cst),
         float(lam), float(tau), float(sigma), float(rho), mode_k, mode_d,
-        band, interpret, int(n_steps))
+        band, interpret, int(n_steps), col_mm)
     if fn is None:
         raise ValueError("band/halo configuration not eligible for the "
                          f"{n_steps}-iteration kernel")
@@ -914,7 +945,7 @@ def tv_stepk_pallas(x, z, b, *, k0, k1, c0, c1, cst, lam, tau, sigma,
 @functools.lru_cache(maxsize=64)
 def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
                       lam, tau, sigma, rho, mode_k, mode_d, band, interpret,
-                      n_steps=2):
+                      n_steps=2, col_mm=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1016,7 +1047,11 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
 
     def kernel(x_hbm, z_hbm, b_hbm, s1_ref, m1_ref, *refs):
         rowa_refs = refs[:K]
-        xo_ref, zo_ref, xs, zs, bs, sems = refs[K:]
+        if col_mm:
+            b0_ref, bm1_ref, bp1_ref = refs[K:K + 3]
+            xo_ref, zo_ref, xs, zs, bs, sems = refs[K + 3:]
+        else:
+            xo_ref, zo_ref, xs, zs, bs, sems = refs[K:]
         i = pl.program_id(0)
         a0 = i * R
 
@@ -1076,10 +1111,26 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
                                A3[2], A3[0]))
             rowo = jnp.dot(Asel, xarr, preferred_element_type=jnp.float32
                            ).astype(xarr.dtype)
-            col = None
-            for d in range(-h1, h1 + 1):
-                term = float(g1t[d + h1]) * _roll_cols(rowo, d)
-                col = term if col is None else col + term
+            if col_mm:
+                n = rowo.shape[0]
+                nt = W // 128
+                aL = pltpu.roll(rowo, 128, 1)
+                aR = pltpu.roll(rowo, W - 128, 1)
+
+                def mm(x, Bref):
+                    x3 = x.reshape(n, nt, 128)
+                    y3 = jax.lax.dot_general(
+                        x3, Bref[...], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return y3.reshape(n, W)
+
+                col = (mm(aL, bm1_ref) + mm(rowo, b0_ref)
+                       + mm(aR, bp1_ref)).astype(rowo.dtype)
+            else:
+                col = None
+                for d in range(-h1, h1 + 1):
+                    term = float(g1t[d + h1]) * _roll_cols(rowo, d)
+                    col = term if col is None else col + term
             corr = jnp.dot(jnp.dot(rowo, S1,
                                    preferred_element_type=jnp.float32),
                            M1, preferred_element_type=jnp.float32)
@@ -1181,6 +1232,10 @@ def _build_tv2_pallas(shape, dtype_str, z_dtype_str, k0, k1, c0, c1, cst,
         rowAs.append(np.stack(_row_stage_mats(
             g0t, D0t_np, D0b_np, r0t, r0b, hk, R, n_out, n_in, xT, o)))
     const_np = (S1_np, M1_np, *rowAs)
+    if col_mm:
+        if W % 128:
+            return None
+        const_np = const_np + _col_block_mats(g1t, h1)
     const_specs = [
         pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n,
                      memory_space=pltpu.VMEM)

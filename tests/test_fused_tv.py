@@ -328,3 +328,22 @@ def test_pallask_bf16_dual_storage(zdt):
     assert np.abs(np.asarray(xg) - np.asarray(s[0])).max() < 1e-5
     assert np.abs(np.asarray(zg.astype(jnp.float32))
                   - np.asarray(s[1].astype(jnp.float32))).max() < 1e-5
+
+
+def test_pallask_col_mm_matches(monkeypatch):
+    """Opt-in block-banded MXU column stage == rolled column stage
+    (interpret; W multiple of 128)."""
+    from pyxu_tpu.ops.fused_tv import tv_stepk_pallas
+    H, W = 96, 256
+    k1 = _gauss()
+    x = jnp.asarray(rng0.random((H, W), np.float32))
+    z = jnp.asarray(rng0.standard_normal((2, H, W)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng0.standard_normal((H, W)).astype(np.float32) * 0.1)
+    kw = dict(k0=tuple(k1.tolist()), k1=tuple(k1.tolist()), c0=4, c1=4,
+              cst=1.0, lam=0.01, tau=0.2, sigma=0.15, rho=1.0, band=32,
+              interpret=True)
+    want = tv_stepk_pallas(x, z, b, n_steps=2, **kw)
+    monkeypatch.setenv("PYXU_TPU_FUSED_CMM", "1")
+    got = tv_stepk_pallas(x, z, b, n_steps=2, **kw)
+    assert np.abs(np.asarray(got[0]) - np.asarray(want[0])).max() < 2e-5
+    assert np.abs(np.asarray(got[1]) - np.asarray(want[1])).max() < 2e-5
