@@ -347,3 +347,28 @@ def test_pallask_col_mm_matches(monkeypatch):
     got = tv_stepk_pallas(x, z, b, n_steps=2, **kw)
     assert np.abs(np.asarray(got[0]) - np.asarray(want[0])).max() < 2e-5
     assert np.abs(np.asarray(got[1]) - np.asarray(want[1])).max() < 2e-5
+
+
+def test_precision_schedule_with_k_step_engine(monkeypatch):
+    """precision_schedule phases (bf16 warm -> f32 polish) compose with the
+    K-step temporal-blocking hook: each phase re-matches, the dtype-lock
+    wrapper keeps the carry stable, and the result tracks the generic
+    path's schedule to bf16 accuracy."""
+    import jax.numpy as jnp
+    H, W = 96, 67
+    sols = {}
+    for fl in ("0", "1"):
+        monkeypatch.setenv("PYXU_TPU_FUSED", fl)
+        monkeypatch.setenv("PYXU_TPU_FUSED2", fl)
+        f, h, D, _, y = _problem(H, W, "symmetric")
+        slv = CondatVu(f=f, h=h, K=D, stop_rate=12)
+        slv.fit(x0=y, stop_crit=MaxIter(48), max_iter=48, segment_size=24,
+                precision_schedule=[(jnp.bfloat16, 24), (jnp.float32, None)])
+        x = slv.solution()
+        assert np.asarray(x).dtype == np.float32
+        sols[fl] = float(f.apply(x) + h.apply(D.apply(x)))
+    # bf16 phases quantize at different points in the two implementations
+    # (per-store in the kernel vs per-m_step in the engine lock), so the
+    # ITERATES legitimately drift a few %; the solves must reach the same
+    # objective quality
+    assert abs(sols["1"] - sols["0"]) / abs(sols["0"]) < 1e-2, sols
